@@ -1,0 +1,215 @@
+"""SPS grid loading and representation.
+
+The reference drives Synthesizer's `Grid` objects + C/OpenMP pipeline
+(`/root/reference/src/synference/library.py:2562-2619`). Here the grid is a
+plain pytree of device arrays: `spectra[stype]` has shape
+(n_ages, n_mets, n_wav) in erg/s/Hz per Msun formed, so the whole SED hot
+loop becomes one batched matmul on the MXU (see `sed.py`).
+
+`SPSGrid.from_hdf5` understands the Synthesizer grid HDF5 layout
+(groups `axes/` and `spectra/`, axis names in the `axes` file attribute) so
+users can point it at the same grid files the reference uses.
+`make_synthetic_grid` builds a small deterministic physically-shaped grid for
+tests/benchmarks (the miniature-real-asset pattern of the reference test
+suite, reference tests/conftest.py:57-70).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SPSGrid", "make_synthetic_grid"]
+
+
+@dataclass
+class SPSGrid:
+    """An (age, metallicity, wavelength) SPS model grid.
+
+    Attributes:
+        name: grid identifier (e.g. "bpass-2.2.1-bin_chabrier03-0.1,300.0").
+        log10_ages: (A,) log10(age/yr), ascending.
+        metallicities: (Z,) absolute metallicities, ascending.
+        lam: (L,) rest-frame wavelengths [Angstrom], ascending.
+        spectra: dict spectra-type -> (A, Z, L) float32, erg/s/Hz/Msun.
+            Synthesizer-compatible type names: "incident", "transmitted",
+            "nebular", "total".
+    """
+
+    name: str
+    log10_ages: np.ndarray
+    metallicities: np.ndarray
+    lam: np.ndarray
+    spectra: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_ages(self) -> int:
+        return len(self.log10_ages)
+
+    @property
+    def n_mets(self) -> int:
+        return len(self.metallicities)
+
+    @property
+    def n_wav(self) -> int:
+        return len(self.lam)
+
+    @property
+    def ages_yr(self) -> np.ndarray:
+        return 10.0**self.log10_ages
+
+    @property
+    def age_bin_edges_yr(self) -> np.ndarray:
+        """(A+1,) bin edges in linear yr: geometric midpoints in log space,
+        closed at 0 below and at the top age above."""
+        la = self.log10_ages
+        mids = 0.5 * (la[1:] + la[:-1])
+        lo = np.concatenate([[0.0], 10.0**mids])  # first bin starts at t=0
+        hi = 10.0 ** np.concatenate([mids, [la[-1]]])
+        return np.concatenate([lo, [hi[-1]]])
+
+    @property
+    def log10_metallicities(self) -> np.ndarray:
+        return np.log10(self.metallicities)
+
+    def spectra_device(self, stype: str = "incident", dtype=jnp.float32):
+        """Grid spectra as a device array reshaped (A*Z, L) for contraction."""
+        s = self.spectra[stype]
+        return jnp.asarray(s.reshape(-1, s.shape[-1]), dtype=dtype)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_hdf5(cls, path: str, spectra_types: tuple = None) -> "SPSGrid":
+        """Load a Synthesizer-format grid HDF5.
+
+        Layout (as consumed by the reference via `synthesizer.grid.Grid`):
+        `axes` file attr lists axis names; datasets under `axes/`
+        ("ages" [yr] or "log10ages"/"log10age", "metallicities"/"metallicity");
+        `spectra/wavelength` [Angstrom]; each other dataset under `spectra/`
+        is a spectra type with shape (A, Z, L).
+        """
+        with h5py.File(path, "r") as f:
+            axes_grp = f["axes"]
+
+            def _axis(*names):
+                for n in names:
+                    if n in axes_grp:
+                        return np.asarray(axes_grp[n][:], dtype=np.float64)
+                raise KeyError(f"none of {names} in axes/ of {path}")
+
+            try:
+                ages = _axis("ages", "age")
+                log10_ages = np.log10(ages)
+            except KeyError:
+                log10_ages = _axis("log10ages", "log10age")
+            mets = _axis("metallicities", "metallicity")
+
+            spec_grp = f["spectra"]
+            lam = np.asarray(spec_grp["wavelength"][:], dtype=np.float64)
+            types = spectra_types or [
+                k for k in spec_grp.keys() if k != "wavelength"
+            ]
+            spectra = {
+                t: np.asarray(spec_grp[t][:], dtype=np.float32) for t in types
+            }
+            name = str(f.attrs.get("grid_name", path.rsplit("/", 1)[-1]))
+        return cls(
+            name=name,
+            log10_ages=log10_ages,
+            metallicities=mets,
+            lam=lam,
+            spectra=spectra,
+        )
+
+    def to_hdf5(self, path: str) -> None:
+        with h5py.File(path, "w") as f:
+            f.attrs["axes"] = ["ages", "metallicities"]
+            f.attrs["grid_name"] = self.name
+            ax = f.create_group("axes")
+            ax.create_dataset("ages", data=self.ages_yr)
+            ax.create_dataset("metallicities", data=self.metallicities)
+            sp = f.create_group("spectra")
+            sp.create_dataset("wavelength", data=self.lam)
+            for t, s in self.spectra.items():
+                sp.create_dataset(t, data=s)
+
+
+def make_synthetic_grid(
+    n_ages: int = 48,
+    n_mets: int = 8,
+    n_wav: int = 2048,
+    lam_min: float = 300.0,
+    lam_max: float = 1.0e7,  # reach the FIR so energy-balance dust emission lands on-grid
+    seed: int = 0,
+    name: str = "synthetic_test_grid",
+) -> SPSGrid:
+    """Deterministic physically-shaped fake SPS grid for tests/benchmarks.
+
+    Spectra are blackbody-like continua whose effective temperature falls with
+    age, with a Lyman-break suppression, a Balmer-break feature and a
+    metallicity-dependent UV slope — enough structure that photometry responds
+    sensibly to every parameter. Units mimic real grids
+    (~1e20 erg/s/Hz/Msun scale).
+    """
+    rng = np.random.default_rng(seed)
+    log10_ages = np.linspace(5.0, 10.2, n_ages)
+    metallicities = np.logspace(-4, -1.4, n_mets)
+    lam = np.geomspace(lam_min, lam_max, n_wav)
+
+    # effective temperature declines with age: 4e4 K (young) -> 3e3 K (old)
+    t_eff = 10.0 ** (4.6 - 0.25 * (log10_ages - 5.0))[:, None, None]
+    lam_b = lam[None, None, :]
+    # Planck-ish shape in L_nu: B_nu ∝ nu^3/(exp(hnu/kT)-1); use lam form
+    hc_k = 1.43877688e8  # hc/k in Angstrom*K
+    x = hc_k / (lam_b * t_eff)
+    planck = (lam_b ** -3.0) / np.expm1(np.clip(x, 1e-6, 60.0))
+    # normalize each (age, Z) spectrum to a fixed bolometric-ish scale that
+    # declines with age (older populations are dimmer per unit mass)
+    lum_scale = 10.0 ** (21.5 - 0.8 * (log10_ages - 5.0) / 5.2)[:, None, None]
+    met_slope = (np.log10(metallicities) + 2.7)[None, :, None]
+    uv_tilt = (lam_b / 5500.0) ** (0.08 * met_slope)
+
+    spec = planck / planck.max(axis=-1, keepdims=True) * lum_scale * uv_tilt
+    # Lyman break at 912 A
+    spec = spec * np.where(lam_b < 912.0, 0.01, 1.0)
+    # Balmer break grows with age
+    balmer = 1.0 - 0.4 * ((log10_ages - 5.0) / 5.2)[:, None, None] * (
+        lam_b < 3646.0
+    )
+    spec = spec * balmer
+    # small deterministic wiggles standing in for absorption features
+    wig = 1.0 + 0.05 * np.sin(lam_b / 200.0 + met_slope * 3.0)
+    spec = (spec * wig).astype(np.float32)
+
+    # "nebular"/"transmitted" variants: transmitted = incident minus ionizing,
+    # nebular = reprocessed ionizing energy re-emitted with flat continuum +
+    # a few emission-line spikes (young ages only).
+    ionizing = np.where(lam_b < 912.0, spec, 0.0)
+    transmitted = spec - ionizing
+    young = (log10_ages < 7.0)[:, None, None]
+    line_lams = np.array([1216.0, 3727.0, 4861.0, 5007.0, 6563.0])
+    lines = np.zeros_like(spec)
+    for ll in line_lams:
+        prof = np.exp(-0.5 * ((lam - ll) / (ll * 0.002)) ** 2)
+        lines += prof[None, None, :]
+    neb_scale = ionizing.sum(axis=-1, keepdims=True) * 1.0e-4
+    nebular = (young * neb_scale * (lines + 0.01)).astype(np.float32)
+    total = (transmitted + nebular).astype(np.float32)
+
+    del rng  # reserved for future stochastic features; grid is deterministic
+    return SPSGrid(
+        name=name,
+        log10_ages=log10_ages,
+        metallicities=metallicities,
+        lam=lam,
+        spectra={
+            "incident": spec,
+            "transmitted": transmitted.astype(np.float32),
+            "nebular": nebular,
+            "total": total,
+        },
+    )

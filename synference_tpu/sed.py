@@ -1,0 +1,339 @@
+"""The batched TPU SED simulator — θ → spectra/photometry.
+
+This module replaces the reference's entire per-galaxy object pipeline
+(Synthesizer `Pipeline.run()` C/OpenMP hot loop, invoked at
+`/root/reference/src/synference/library.py:2619`, and the online
+`GalaxySimulator.simulate` `/root/reference/src/synference/library.py:5553-5864`)
+with one pure function over a parameter batch:
+
+    θ (B, P) ──sfh/zdist kernels──► SFZH weights (B, A·Z)
+            ──MXU matmul with grid spectra (A·Z, L)──► L_ν (B, L)
+            ──dust/nebular/IGM/distance (VPU, fused)──► f_ν (B, L)
+            ──filter convolution──► photometry (B, F)
+
+Everything is traced once under jit; redshift-dependent quantities
+(luminosity distance, max-age clipping, filter shifts) are computed with
+lax-friendly math, so the whole batch runs with static shapes on the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cosmology import PLANCK18, Cosmology
+from .dust import attenuation_curve, greybody_emission
+from .filters import FilterSet
+from .grids import SPSGrid
+from .igm import igm_transmission
+from .sfh import make_age_sampling, sfh_weights, zdist_weights
+from .units import C_AA_S
+
+__all__ = ["EmissionConfig", "BatchSEDSimulator"]
+
+_FOUR_PI = 4.0 * np.pi
+
+
+@dataclass(frozen=True)
+class EmissionConfig:
+    """Static emission-model configuration (the analogue of the reference's
+    stored emission-model recipe, `library.py:1875-2132`).
+
+    Attributes:
+        incident_type / reprocessed_types: which grid spectra enter the
+            escaped and reprocessed channels. lnu = fesc * incident +
+            (1 - fesc) * Σ reprocessed (Pacman semantics).
+        fesc: fixed escape fraction, or the *name* of a θ parameter.
+        dust_law: key of `dust.ATTENUATION_LAWS`; `dust_params` its statics.
+        tau_v_param: θ name of the ISM V-band optical depth (None = dust-free).
+        tau_v_bc_param / age_pivot_log10: extra birth-cloud dust applied to
+            stars younger than the pivot (None disables the young/old split).
+        dust_emission: add energy-balance greybody re-emission.
+        igm: IGM model name ("madau95" | "none").
+    """
+
+    incident_type: str = "incident"
+    reprocessed_types: tuple = ()
+    fesc: float | str = 0.0
+    dust_law: str = "calzetti2000"
+    dust_params: tuple = ()  # tuple of (key, value) pairs; hashability
+    tau_v_param: str | None = "tau_v"
+    tau_v_bc_param: str | None = None
+    age_pivot_log10: float = 7.0
+    dust_emission: bool = False
+    dust_temperature: float = 25.0
+    dust_emissivity: float = 1.6
+    igm: str = "madau95"
+
+    def dust_params_dict(self) -> dict:
+        return dict(self.dust_params)
+
+    def to_dict(self) -> dict:
+        return {
+            "incident_type": self.incident_type,
+            "reprocessed_types": list(self.reprocessed_types),
+            "fesc": self.fesc,
+            "dust_law": self.dust_law,
+            "dust_params": dict(self.dust_params),
+            "tau_v_param": self.tau_v_param,
+            "tau_v_bc_param": self.tau_v_bc_param,
+            "age_pivot_log10": self.age_pivot_log10,
+            "dust_emission": self.dust_emission,
+            "dust_temperature": self.dust_temperature,
+            "dust_emissivity": self.dust_emissivity,
+            "igm": self.igm,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EmissionConfig":
+        d = dict(d)
+        d["reprocessed_types"] = tuple(d.get("reprocessed_types", ()))
+        d["dust_params"] = tuple(dict(d.get("dust_params", {})).items())
+        return cls(**d)
+
+
+class BatchSEDSimulator:
+    """θ → photometry/spectra forward model over galaxy batches.
+
+    The TPU-native equivalent of the reference `GalaxySimulator`
+    (`library.py:4922-5997`): construct once (static config), then call
+    `.photometry(theta)` / `.simulate(theta)` on (B, P) parameter arrays.
+
+    Args:
+        grid: SPSGrid.
+        filters: FilterSet (photometry output bands).
+        param_names: ordering of the θ vector. Recognized names: "log10_mass",
+            "redshift", SFH family params, ZDist params, dust params
+            (per EmissionConfig), "fesc" if parameterized.
+        sfh: SFH family name (see `sfh.SFH_FAMILIES` + "dense_basis").
+        zdist: ZDist family name ("delta" | "normal").
+        emission: EmissionConfig.
+        cosmology: flat-ΛCDM used for distances and max-age clipping.
+        fixed_params: dict of θ names fixed at construction (reference
+            "fixed parameters" in the Model group, `library.py:5218-5551`).
+        n_age_sub: sub-samples per grid age bin for SFH integration.
+        compute_dtype: dtype of the spectra contraction matmul; bf16 halves
+            HBM traffic on the hot op at <0.5% photometric error.
+    """
+
+    def __init__(
+        self,
+        grid: SPSGrid,
+        filters: FilterSet,
+        param_names: tuple,
+        sfh: str = "lognormal",
+        zdist: str = "delta",
+        emission: EmissionConfig | None = None,
+        cosmology: Cosmology = PLANCK18,
+        fixed_params: dict | None = None,
+        n_age_sub: int = 4,
+        compute_dtype=jnp.float32,
+    ):
+        self.grid = grid
+        self.filters = filters
+        self.param_names = tuple(param_names)
+        self.sfh_name = sfh
+        self.zdist_name = zdist
+        self.emission = emission or EmissionConfig()
+        self.cosmology = cosmology
+        self.fixed_params = dict(fixed_params or {})
+        self.compute_dtype = compute_dtype
+
+        self._sampling = make_age_sampling(grid.age_bin_edges_yr, n_age_sub)
+        self._log10_mets = jnp.asarray(grid.log10_metallicities, jnp.float32)
+        self._log10_ages = jnp.asarray(grid.log10_ages, jnp.float32)
+        self._lam = jnp.asarray(grid.lam, jnp.float32)
+        # integration weights dλ/λ on the rest grid (photon-count convention)
+        lam = grid.lam
+        dlam = np.gradient(lam)
+        self._wlam = jnp.asarray(dlam / lam, jnp.float32)
+        nu_phz = C_AA_S / lam * 1.0e-15
+        self._dnu_phz = jnp.asarray(-np.gradient(nu_phz), jnp.float32)
+
+        # device-resident spectra components, reshaped (A*Z, L)
+        em = self.emission
+        needed = {em.incident_type, *em.reprocessed_types}
+        self._components = {
+            t: grid.spectra_device(t, dtype=compute_dtype) for t in needed
+        }
+        # precomputed dust curve on the rest grid
+        self._dust_curve = attenuation_curve(
+            em.dust_law, self._lam, em.dust_params_dict()
+        )
+        young = grid.log10_ages < em.age_pivot_log10
+        self._young_mask = jnp.asarray(young, jnp.float32)
+
+    # ------------------------------------------------------------------
+    # θ plumbing
+    # ------------------------------------------------------------------
+    def theta_dict(self, theta_row):
+        """(P,) vector -> {name: scalar}, merged with fixed params."""
+        d = {n: theta_row[i] for i, n in enumerate(self.param_names)}
+        for k, v in self.fixed_params.items():
+            d.setdefault(k, jnp.asarray(v, jnp.float32))
+        return d
+
+    def _max_age(self, params):
+        """Oldest-star age [yr]: explicit θ/fixed value, else the age of the
+        universe at z (the reference clips the same way, library.py:1204-1311)."""
+        z = params.get("redshift", jnp.asarray(0.0))
+        age_univ = self.cosmology.age_yr(z)
+        if "max_age" in params:
+            return jnp.minimum(params["max_age"], age_univ)
+        if "log10_max_age" in params:
+            return jnp.minimum(10.0 ** params["log10_max_age"], age_univ)
+        return age_univ
+
+    # ------------------------------------------------------------------
+    # core per-galaxy pipeline (vmapped over the batch)
+    # ------------------------------------------------------------------
+    def _sfzh(self, params):
+        """(A*Z,) mass weights [Msun] for one galaxy."""
+        sfh_params = dict(params)
+        sfh_params["max_age"] = self._max_age(params)
+        w_age = sfh_weights(self.sfh_name, sfh_params, self._sampling)  # (A,)
+        w_met = zdist_weights(self.zdist_name, params, self._log10_mets)  # (Z,)
+        mass = 10.0 ** params.get("log10_mass", jnp.asarray(8.0))
+        sfzh = jnp.outer(w_age, w_met) * mass
+        return sfzh.reshape(-1), w_age * mass
+
+    def _intrinsic_lnu(self, sfzh_flat):
+        """Contract SFZH against grid spectra -> (lnu_escaped, lnu_reproc).
+
+        Each contraction is a (A·Z,) × (A·Z, L) matvec; over the vmapped batch
+        XLA lifts it to the (B, A·Z) × (A·Z, L) MXU matmul that dominates the
+        FLOP budget — the direct replacement of Synthesizer's C hot loop.
+        """
+        em = self.emission
+        w = sfzh_flat.astype(self.compute_dtype)
+
+        def contract(stype):
+            return jnp.matmul(
+                w, self._components[stype], preferred_element_type=jnp.float32
+            )
+
+        incident = contract(em.incident_type)
+        if em.reprocessed_types:
+            reproc = sum(contract(t) for t in em.reprocessed_types)
+        else:
+            reproc = incident
+        return incident, reproc
+
+    def _split_sfzh(self, sfzh_flat):
+        """Split weights into young/old parts for birth-cloud dust."""
+        n_z = self.grid.n_mets
+        m = jnp.repeat(self._young_mask, n_z)
+        return sfzh_flat * m, sfzh_flat * (1.0 - m)
+
+    def _apply_emission(self, params, sfzh_flat):
+        """Full intrinsic+dust rest-frame L_ν for one galaxy: (L,)."""
+        em = self.emission
+        fesc = (
+            params[em.fesc]
+            if isinstance(em.fesc, str)
+            else jnp.asarray(em.fesc, jnp.float32)
+        )
+        tau_v = (
+            params[em.tau_v_param]
+            if em.tau_v_param is not None
+            else jnp.asarray(0.0)
+        )
+
+        if em.tau_v_bc_param is not None:
+            tau_bc = params[em.tau_v_bc_param]
+            sf_young, sf_old = self._split_sfzh(sfzh_flat)
+            inc_y, rep_y = self._intrinsic_lnu(sf_young)
+            inc_o, rep_o = self._intrinsic_lnu(sf_old)
+            att_old = jnp.exp(-tau_v * self._dust_curve)
+            att_young = jnp.exp(-(tau_v + tau_bc) * self._dust_curve)
+            escaped = fesc * (inc_y + inc_o)
+            attenuated = (1.0 - fesc) * (rep_y * att_young + rep_o * att_old)
+            intrinsic = escaped + (1.0 - fesc) * (rep_y + rep_o)
+        else:
+            inc, rep = self._intrinsic_lnu(sfzh_flat)
+            att = jnp.exp(-tau_v * self._dust_curve)
+            escaped = fesc * inc
+            attenuated = (1.0 - fesc) * rep * att
+            intrinsic = escaped + (1.0 - fesc) * rep
+
+        lnu = escaped + attenuated
+
+        if em.dust_emission:
+            # Energy balance: re-emit the absorbed luminosity as a greybody.
+            # Scaled arithmetic (L_ν in 1e30 erg/s/Hz, ν in PHz) keeps the
+            # energy integral inside fp32 range; the 1e45 restores erg/s.
+            absorbed30 = jnp.sum((intrinsic - lnu) * 1.0e-30 * self._dnu_phz)
+            grey = greybody_emission(
+                self._lam, em.dust_temperature, em.dust_emissivity
+            )
+            # split the 1e45 rescale across both factors: the literal 1e45 is
+            # inf in fp32, and absorbed30*1e45 alone would overflow
+            lnu = lnu + (jnp.maximum(absorbed30, 0.0) * 1.0e23) * (grey * 1.0e22)
+        return lnu
+
+    def _observe(self, params, lnu):
+        """Rest L_ν -> observed f_ν [nJy] on λ_obs = λ_rest (1+z)."""
+        z = params.get("redshift", jnp.asarray(0.0))
+        zp1 = 1.0 + z
+        # d_L in units of 1e19 cm keeps d² within fp32 range (d_L_cm² ~ 1e57
+        # would overflow); the 1e32 erg->nJy factor folds into the same scale:
+        # nJy = lnu * (1+z) * T_igm / (4π d19²) * 1e-6
+        d19 = self.cosmology.luminosity_distance_cm(jnp.maximum(z, 1.0e-4)) * 1.0e-19
+        lam_obs = self._lam * zp1
+        t_igm = igm_transmission(lam_obs, z, self.emission.igm)
+        fnu_njy = lnu * t_igm * (zp1 * 1.0e-6 / (_FOUR_PI * d19**2))
+        return fnu_njy, lam_obs
+
+    def _photometry_one(self, fnu_njy, z):
+        """(F,) band fluxes [nJy]: photon-count mean over shifted filters."""
+        lam_obs = self._lam * (1.0 + z)
+        t = self.filters.transmission_at(lam_obs)  # (F, L)
+        tw = t * self._wlam
+        num = tw @ fnu_njy
+        den = jnp.sum(tw, axis=-1)
+        return num / jnp.maximum(den, 1.0e-30)
+
+    # ------------------------------------------------------------------
+    # public batched API
+    # ------------------------------------------------------------------
+    def _one(self, theta_row, want_spectra: bool):
+        params = self.theta_dict(theta_row)
+        sfzh_flat, sfh_mass = self._sfzh(params)
+        lnu = self._apply_emission(params, sfzh_flat)
+        fnu_njy, _ = self._observe(params, lnu)
+        z = params.get("redshift", jnp.asarray(0.0))
+        phot = self._photometry_one(fnu_njy, z)
+        out = {"photometry_njy": phot}
+        if want_spectra:
+            out["fnu_njy"] = fnu_njy
+            out["lnu"] = lnu
+            out["sfh_mass"] = sfh_mass
+        return out
+
+    def simulate(self, theta, want_spectra: bool = False):
+        """Run the batch: θ (B, P) -> dict of (B, ...) outputs.
+
+        Not jitted here so callers can wrap it in jit/shard_map with their own
+        sharding (see `parallel/generate.py`).
+        """
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        return jax.vmap(lambda row: self._one(row, want_spectra))(theta)
+
+    def photometry(self, theta):
+        """θ (B, P) -> (B, F) photometry [nJy]."""
+        return self.simulate(theta)["photometry_njy"]
+
+    def __call__(self, theta):
+        return self.photometry(theta)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_filters(self) -> int:
+        return len(self.filters)
+
+    @property
+    def n_params(self) -> int:
+        return len(self.param_names)
