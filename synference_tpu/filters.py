@@ -100,6 +100,36 @@ class FilterSet:
         by_code = {f.code: f for f in self.filters}
         return FilterSet([by_code[c] for c in codes])
 
+    def shifted_table(self, lam_rest: np.ndarray, z_max: float = 25.0):
+        """Precompute transmissions on an extended log-λ grid for the
+        shift-based photometry fast path.
+
+        `lam_rest` must be geometrically spaced (dlog constant). Because
+        λ_obs = λ_rest (1+z), in log-λ a redshift is a pure shift of
+        s(z) = log10(1+z)/dlog table columns. Photometry then needs only two
+        contiguous dynamic-slices of this table + a lerp — no per-galaxy
+        interpolation (the vmapped `jnp.interp` path costs ~1000x more on
+        TPU).
+
+        Returns:
+            table: (F, L + max_shift + 1) float32 transmissions at
+                   lam_rest[0] * 10**(dlog * arange(...)).
+            dlog: log10 column spacing.
+            max_shift: number of extra columns (clamp for s(z)).
+        """
+        lam_rest = np.asarray(lam_rest)
+        dlogs = np.diff(np.log10(lam_rest))
+        dlog = float(dlogs.mean())
+        if not np.allclose(dlogs, dlog, rtol=1e-4):
+            raise ValueError("shifted_table requires log-uniform lam_rest")
+        max_shift = int(np.ceil(np.log10(1.0 + z_max) / dlog)) + 1
+        n_cols = len(lam_rest) + max_shift + 1
+        lam_ext = lam_rest[0] * 10.0 ** (dlog * np.arange(n_cols))
+        table = np.zeros((len(self.filters), n_cols), dtype=np.float32)
+        for i, f in enumerate(self.filters):
+            table[i] = np.interp(lam_ext, f.lam, f.transmission, left=0.0, right=0.0)
+        return table, dlog, max_shift
+
     def transmission_at(self, lam_obs):
         """Evaluate all filter curves at observed wavelengths.
 

@@ -81,6 +81,37 @@ class SPSGrid:
         s = self.spectra[stype]
         return jnp.asarray(s.reshape(-1, s.shape[-1]), dtype=dtype)
 
+    @property
+    def is_log_uniform(self) -> bool:
+        """True when lam is geometrically spaced (required for the
+        shift-based photometry fast path in `sed.py`)."""
+        ratios = np.diff(np.log10(self.lam))
+        return bool(np.allclose(ratios, ratios[0], rtol=1e-4))
+
+    def resampled_loglam(self, n_wav: int | None = None) -> "SPSGrid":
+        """Return a copy with spectra interpolated onto a geometric λ grid.
+
+        Real SPS grid files often mix linear/log λ spacing; the TPU simulator
+        needs uniform log spacing so a redshift becomes a constant index
+        shift. Point interpolation is adequate at comparable resolution.
+        """
+        n = n_wav or self.n_wav
+        new_lam = np.geomspace(self.lam[0], self.lam[-1], n)
+        new_spectra = {}
+        for t, s in self.spectra.items():
+            flat = s.reshape(-1, s.shape[-1])
+            out = np.empty((flat.shape[0], n), dtype=np.float32)
+            for i in range(flat.shape[0]):
+                out[i] = np.interp(new_lam, self.lam, flat[i])
+            new_spectra[t] = out.reshape(*s.shape[:-1], n)
+        return SPSGrid(
+            name=self.name,
+            log10_ages=self.log10_ages,
+            metallicities=self.metallicities,
+            lam=new_lam,
+            spectra=new_spectra,
+        )
+
     # ------------------------------------------------------------------
     @classmethod
     def from_hdf5(cls, path: str, spectra_types: tuple = None) -> "SPSGrid":

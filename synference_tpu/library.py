@@ -1,0 +1,447 @@
+"""Mock-library generation and the reference-compatible HDF5 schema.
+
+Replaces the reference's `GalaxyBasis`/`CombinedBasis`/`LibraryCreator` stack
+(`/root/reference/src/synference/library.py:1497-6298`): instead of building
+per-galaxy Synthesizer objects and running an external C pipeline in MPI
+batches with rank-file merging, generation here is a host loop over jitted
+`BatchSEDSimulator` chunks (optionally shard_mapped over a device mesh —
+`parallel/generate.py`), accumulating directly into the final arrays.
+
+The HDF5 *schema* is kept byte-compatible with the reference
+(`Grid/{Photometry,Spectra,Parameters,SupplementaryParameters}` datasets +
+`ParameterNames`/`FilterCodes`/`PhotometryUnits`/... attrs; writer
+`library.py:4074-4153`, reader `utils.py:37-112`) so libraries interoperate
+across frameworks. A `Model` group persists the full simulator recipe
+(reference `library.py:2017-2132`, loaded `:5218-5551`) — but parameter
+transforms are a named registry, not stored `exec` source.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import h5py
+import numpy as np
+from scipy.stats import qmc
+
+from .cosmology import Cosmology
+from .filters import FilterSet
+from .grids import SPSGrid
+from .sed import BatchSEDSimulator, EmissionConfig
+
+__all__ = [
+    "draw_from_hypercube",
+    "save_library_hdf5",
+    "load_library_hdf5",
+    "LibraryCreator",
+    "LibraryGenerator",
+    "simulator_from_library",
+]
+
+
+# ---------------------------------------------------------------------------
+# Prior sampling (reference `draw_from_hypercube`, library.py:1021-1115)
+# ---------------------------------------------------------------------------
+
+
+def draw_from_hypercube(
+    param_ranges: dict,
+    n: int,
+    rng: np.random.Generator | None = None,
+    unlog_keys: list | None = None,
+    engine: str = "lhc",
+) -> dict:
+    """Draw n quasi-random samples over named (lo, hi) ranges.
+
+    `unlog_keys` entries are sampled in log space then raised to 10**x, with
+    any "log_"/"log10_" prefix stripped from the returned key (reference
+    semantics, library.py:1103-1107).
+
+    engine: "lhc" (scrambled Latin hypercube), "sobol", "halton", "random".
+    """
+    unlog_keys = unlog_keys or []
+    d = len(param_ranges)
+    seed = rng if rng is not None else np.random.default_rng()
+    if engine == "lhc":
+        sampler = qmc.LatinHypercube(d=d, rng=seed)
+        u = sampler.random(int(n))
+    elif engine == "sobol":
+        u = qmc.Sobol(d=d, rng=seed).random(int(n))
+    elif engine == "halton":
+        u = qmc.Halton(d=d, rng=seed).random(int(n))
+    elif engine == "random":
+        u = seed.random((int(n), d))
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    out = {}
+    for i, (key, (lo, hi)) in enumerate(param_ranges.items()):
+        if not lo < hi:
+            raise ValueError(f"range for {key!r} must have lo < hi")
+        vals = (lo + (hi - lo) * u[:, i]).astype(np.float32)
+        if key in unlog_keys:
+            vals = (10.0**vals).astype(np.float32)
+            for prefix in ("log10_", "log_"):
+                if key.startswith(prefix):
+                    key = key[len(prefix):]
+                    break
+        if not np.isfinite(vals).all():
+            raise ValueError(f"non-finite samples for parameter {key!r}")
+        out[key] = vals
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HDF5 schema (reference writer library.py:4074-4153 / reader utils.py:37-112)
+# ---------------------------------------------------------------------------
+
+
+def save_library_hdf5(
+    path: str,
+    parameters: np.ndarray,
+    parameter_names: list,
+    filter_codes: list | None = None,
+    photometry: np.ndarray | None = None,
+    spectra: np.ndarray | None = None,
+    parameter_units: list | None = None,
+    supplementary_parameters: np.ndarray | None = None,
+    supplementary_parameter_names: list | None = None,
+    supplementary_parameter_units: list | None = None,
+    photometry_units: str = "nJy",
+    model_name: str = "synference_tpu",
+    extra_datasets: dict | None = None,
+    extra_attrs: dict | None = None,
+    model_group_writer=None,
+) -> None:
+    """Write a library in the reference schema.
+
+    Array convention matches the reference: 2-D datasets are stored
+    (n_features, n_samples) — i.e. `photometry` here is (F, N) and
+    `parameters` (P, N).
+    """
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Grid")
+        if photometry is not None:
+            g.create_dataset("Photometry", data=photometry, compression="gzip")
+        if spectra is not None:
+            g.create_dataset("Spectra", data=spectra, compression="gzip")
+        g.create_dataset("Parameters", data=parameters, compression="gzip")
+        if supplementary_parameters is not None:
+            g.create_dataset(
+                "SupplementaryParameters",
+                data=supplementary_parameters,
+                compression="gzip",
+            )
+            f.attrs["SupplementaryParameterNames"] = list(
+                supplementary_parameter_names or []
+            )
+            f.attrs["SupplementaryParameterUnits"] = list(
+                supplementary_parameter_units
+                or [""] * len(supplementary_parameter_names or [])
+            )
+        f.attrs["ParameterNames"] = list(parameter_names)
+        if filter_codes is not None:
+            try:
+                f.attrs["FilterCodes"] = list(filter_codes)
+            except (OSError, RuntimeError):
+                # >64KB attr: reference falls back to a dataset + pointer attr
+                g.create_dataset(
+                    "FilterCodes",
+                    data=np.array(filter_codes, dtype="S"),
+                    compression="gzip",
+                )
+                f.attrs["FilterCodes"] = "/Grid/FilterCodes/"
+        f.attrs["PhotometryUnits"] = photometry_units
+        if parameter_units is not None:
+            f.attrs["ParameterUnits"] = list(parameter_units)
+        f.attrs["model_name"] = model_name
+        f.attrs["CreationDT"] = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        for k, v in (extra_datasets or {}).items():
+            g.create_dataset(k, data=v, compression="gzip")
+        for k, v in (extra_attrs or {}).items():
+            f.attrs[k] = v
+        if model_group_writer is not None:
+            model_group_writer(f.create_group("Model"))
+
+
+def load_library_hdf5(path: str) -> dict:
+    """Read a reference-schema library (reference `load_library_from_hdf5`,
+    utils.py:37-112). Returns the same dict keys the reference produces."""
+    with h5py.File(path, "r") as f:
+        out = {
+            "parameters": f["Grid/Parameters"][:],
+            "parameter_names": list(f.attrs["ParameterNames"]),
+            "photometry_units": str(f.attrs.get("PhotometryUnits", "nJy")),
+            "parameter_units": (
+                list(f.attrs["ParameterUnits"])
+                if "ParameterUnits" in f.attrs
+                else None
+            ),
+        }
+        fc = f.attrs.get("FilterCodes")
+        if isinstance(fc, (bytes, str)):
+            fc = [c.decode() if isinstance(c, bytes) else str(c)
+                  for c in f[str(fc)][:]]
+        elif fc is not None:
+            fc = [c.decode() if isinstance(c, bytes) else str(c) for c in fc]
+        out["filter_codes"] = fc
+        if "Grid/Photometry" in f:
+            out["photometry"] = f["Grid/Photometry"][:]
+        if "Grid/Spectra" in f:
+            out["spectra"] = f["Grid/Spectra"][:]
+        if "Grid/SupplementaryParameters" in f:
+            out["supplementary_parameters"] = f["Grid/SupplementaryParameters"][:]
+            out["supplementary_parameter_names"] = list(
+                f.attrs["SupplementaryParameterNames"]
+            )
+            out["supplementary_parameter_units"] = list(
+                f.attrs["SupplementaryParameterUnits"]
+            )
+    return out
+
+
+class LibraryCreator:
+    """Bring-your-own-library: write conforming HDF5 from raw arrays without
+    a simulator (reference `LibraryCreator`, library.py:6100-6298)."""
+
+    def __init__(
+        self,
+        parameters: np.ndarray,  # (N, P) or (P, N)
+        parameter_names: list,
+        photometry: np.ndarray | None = None,  # (N, F) or (F, N)
+        filter_codes: list | None = None,
+        spectra: np.ndarray | None = None,
+        **extra,
+    ):
+        parameters = np.asarray(parameters)
+        if parameters.shape[0] != len(parameter_names):
+            parameters = parameters.T
+        if parameters.shape[0] != len(parameter_names):
+            raise ValueError("parameters shape does not match parameter_names")
+        self.parameters = parameters
+        self.parameter_names = list(parameter_names)
+        if photometry is not None:
+            photometry = np.asarray(photometry)
+            if filter_codes and photometry.shape[0] != len(filter_codes):
+                photometry = photometry.T
+        self.photometry = photometry
+        self.filter_codes = filter_codes
+        self.spectra = spectra
+        self.extra = extra
+
+    def save(self, path: str, **kw) -> None:
+        save_library_hdf5(
+            path,
+            parameters=self.parameters,
+            parameter_names=self.parameter_names,
+            photometry=self.photometry,
+            filter_codes=self.filter_codes,
+            spectra=self.spectra,
+            **{**self.extra, **kw},
+        )
+
+
+# ---------------------------------------------------------------------------
+# Library generation through the batch simulator
+# ---------------------------------------------------------------------------
+
+
+class LibraryGenerator:
+    """θ-prior + BatchSEDSimulator -> HDF5 library.
+
+    The TPU-native replacement for `GalaxyBasis.create_mock_library`
+    (reference library.py:3022-3183): the entire per-galaxy object pipeline
+    collapses into chunked jitted batches; supplementary quantities come from
+    `supplementary.py` on the same intermediates.
+    """
+
+    def __init__(
+        self,
+        simulator: BatchSEDSimulator,
+        param_ranges: dict,
+        unlog_keys: list | None = None,
+        supplementary: tuple = (),
+        engine: str = "lhc",
+    ):
+        self.simulator = simulator
+        self.param_ranges = dict(param_ranges)
+        self.unlog_keys = list(unlog_keys or [])
+        self.supplementary = tuple(supplementary)
+        self.engine = engine
+        # the post-unlog key order must match simulator.param_names
+        drawn_keys = []
+        for key in self.param_ranges:
+            k = key
+            if key in self.unlog_keys:
+                for prefix in ("log10_", "log_"):
+                    if k.startswith(prefix):
+                        k = k[len(prefix):]
+                        break
+            drawn_keys.append(k)
+        missing = [p for p in simulator.param_names if p not in drawn_keys]
+        if missing:
+            raise ValueError(
+                f"simulator params {missing} not covered by param_ranges"
+            )
+        self._drawn_keys = drawn_keys
+
+    def sample_parameters(self, n: int, rng=None) -> np.ndarray:
+        """(N, P) θ draws in simulator.param_names order."""
+        draws = draw_from_hypercube(
+            self.param_ranges, n, rng=rng, unlog_keys=self.unlog_keys,
+            engine=self.engine,
+        )
+        return np.stack(
+            [draws[p] for p in self.simulator.param_names], axis=1
+        )
+
+    def generate(
+        self,
+        n: int,
+        batch_size: int = 16384,
+        seed: int = 0,
+        out_path: str | None = None,
+        want_spectra: bool = False,
+        pmapped_fn=None,
+    ) -> dict:
+        """Generate n mock SEDs; returns the library dict, optionally writes
+        HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
+        batch function for multi-device meshes."""
+        import jax
+
+        theta = self.sample_parameters(n, rng=np.random.default_rng(seed))
+        n_pad = int(np.ceil(n / batch_size) * batch_size)
+        theta_pad = np.zeros((n_pad, theta.shape[1]), np.float32)
+        theta_pad[:n] = theta
+        theta_pad[n:] = theta[:1]  # pad with a valid row
+
+        sim = self.simulator
+        if pmapped_fn is not None:
+            batch_fn = pmapped_fn
+        else:
+            batch_fn = jax.jit(
+                lambda t: sim.simulate(
+                    t, want_spectra=want_spectra or bool(self.supplementary)
+                )
+            )
+
+        phot_chunks, spec_chunks, supp_chunks = [], [], []
+        for i in range(0, n_pad, batch_size):
+            out = batch_fn(theta_pad[i : i + batch_size])
+            phot_chunks.append(np.asarray(out["photometry_njy"]))
+            if want_spectra:
+                spec_chunks.append(np.asarray(out["fnu_njy"]))
+            if self.supplementary:
+                from .supplementary import compute_supplementary
+
+                supp = compute_supplementary(
+                    self.supplementary, sim, theta_pad[i : i + batch_size], out
+                )
+                supp_chunks.append(np.asarray(supp))
+
+        photometry = np.concatenate(phot_chunks, axis=0)[:n]
+        result = {
+            "parameters": theta.T,  # (P, N) reference convention
+            "parameter_names": list(sim.param_names),
+            "photometry": photometry.T,  # (F, N)
+            "filter_codes": list(sim.filters.codes),
+            "photometry_units": "nJy",
+        }
+        if want_spectra:
+            result["spectra"] = np.concatenate(spec_chunks, axis=0)[:n].T
+        if self.supplementary:
+            result["supplementary_parameters"] = np.concatenate(
+                supp_chunks, axis=0
+            )[:n].T
+            result["supplementary_parameter_names"] = list(self.supplementary)
+
+        if out_path is not None:
+            save_library_hdf5(
+                out_path,
+                parameters=result["parameters"],
+                parameter_names=result["parameter_names"],
+                photometry=result["photometry"],
+                filter_codes=result["filter_codes"],
+                spectra=result.get("spectra"),
+                supplementary_parameters=result.get("supplementary_parameters"),
+                supplementary_parameter_names=result.get(
+                    "supplementary_parameter_names"
+                ),
+                model_group_writer=lambda grp: _write_model_group(
+                    grp, sim, self.param_ranges, self.unlog_keys
+                ),
+            )
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Model group: persist + reconstruct the simulator
+# (reference stores grid/emission/instrument/cosmology/SFH recipe,
+#  library.py:2017-2132; reconstruction :5218-5551)
+# ---------------------------------------------------------------------------
+
+
+def _write_model_group(grp: h5py.Group, sim: BatchSEDSimulator,
+                       param_ranges=None, unlog_keys=None) -> None:
+    grp.attrs["grid_name"] = sim.grid.name
+    grp.attrs["sfh"] = sim.sfh_name
+    grp.attrs["zdist"] = sim.zdist_name
+    grp.attrs["param_names"] = list(sim.param_names)
+    grp.attrs["emission_config"] = json.dumps(sim.emission.to_dict())
+    grp.attrs["cosmology"] = json.dumps(sim.cosmology.to_dict())
+    grp.attrs["fixed_params"] = json.dumps(
+        {k: float(v) for k, v in sim.fixed_params.items()}
+    )
+    if param_ranges is not None:
+        grp.attrs["param_ranges"] = json.dumps(
+            {k: [float(v[0]), float(v[1])] for k, v in param_ranges.items()}
+        )
+    if unlog_keys is not None:
+        grp.attrs["unlog_keys"] = json.dumps(list(unlog_keys))
+    sim.filters.to_hdf5(grp.create_group("instrument"))
+    # embed the grid so the library alone reconstructs the simulator
+    gg = grp.create_group("grid")
+    gg.attrs["name"] = sim.grid.name
+    gg.create_dataset("log10_ages", data=sim.grid.log10_ages)
+    gg.create_dataset("metallicities", data=sim.grid.metallicities)
+    gg.create_dataset("lam", data=sim.grid.lam)
+    sp = gg.create_group("spectra")
+    for t, s in sim.grid.spectra.items():
+        sp.create_dataset(t, data=s, compression="gzip")
+
+
+def simulator_from_library(path: str, grid: SPSGrid | None = None,
+                           **overrides) -> BatchSEDSimulator:
+    """Reconstruct the forward model from a library's Model group
+    (the analogue of `GalaxySimulator.from_library`, reference
+    library.py:5218-5551 — minus the stored-source `exec`)."""
+    with h5py.File(path, "r") as f:
+        if "Model" not in f:
+            raise ValueError(f"{path} has no Model group")
+        grp = f["Model"]
+        sfh = str(grp.attrs["sfh"])
+        zdist = str(grp.attrs["zdist"])
+        param_names = tuple(str(p) for p in grp.attrs["param_names"])
+        emission = EmissionConfig.from_dict(
+            json.loads(grp.attrs["emission_config"])
+        )
+        cosmology = Cosmology.from_dict(json.loads(grp.attrs["cosmology"]))
+        fixed = json.loads(grp.attrs["fixed_params"])
+        filters = FilterSet.from_hdf5(grp["instrument"])
+        if grid is None:
+            gg = grp["grid"]
+            grid = SPSGrid(
+                name=str(gg.attrs["name"]),
+                log10_ages=gg["log10_ages"][:],
+                metallicities=gg["metallicities"][:],
+                lam=gg["lam"][:],
+                spectra={t: gg["spectra"][t][:] for t in gg["spectra"]},
+            )
+    kwargs = dict(
+        grid=grid, filters=filters, param_names=param_names, sfh=sfh,
+        zdist=zdist, emission=emission, cosmology=cosmology,
+        fixed_params=fixed,
+    )
+    kwargs.update(overrides)
+    return BatchSEDSimulator(**kwargs)

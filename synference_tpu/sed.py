@@ -131,7 +131,11 @@ class BatchSEDSimulator:
         fixed_params: dict | None = None,
         n_age_sub: int = 4,
         compute_dtype=jnp.float32,
+        z_max: float = 25.0,
     ):
+        if not grid.is_log_uniform:
+            # shift-based photometry needs geometric λ spacing
+            grid = grid.resampled_loglam()
         self.grid = grid
         self.filters = filters
         self.param_names = tuple(param_names)
@@ -166,14 +170,30 @@ class BatchSEDSimulator:
         young = grid.log10_ages < em.age_pivot_log10
         self._young_mask = jnp.asarray(young, jnp.float32)
 
+        # Photometry fast path: filter transmissions on an extended log-λ
+        # table; a redshift is a constant column shift (see
+        # FilterSet.shifted_table). Two dynamic-slices + lerp replace the
+        # per-galaxy interpolation the reference's convolution implies.
+        table, dlog, max_shift = filters.shifted_table(grid.lam, z_max=z_max)
+        self._filter_table = jnp.asarray(table)
+        self._filter_dlog = float(dlog)
+        self._max_shift = int(max_shift)
+
     # ------------------------------------------------------------------
     # θ plumbing
     # ------------------------------------------------------------------
     def theta_dict(self, theta_row):
-        """(P,) vector -> {name: scalar}, merged with fixed params."""
+        """(P,) vector -> {name: scalar}, merged with fixed params.
+
+        Names prefixed "log10_" also provide the unlogged alias (the
+        registry-based replacement for the reference's stored-source
+        parameter transforms, library.py:5515-5534)."""
         d = {n: theta_row[i] for i, n in enumerate(self.param_names)}
         for k, v in self.fixed_params.items():
             d.setdefault(k, jnp.asarray(v, jnp.float32))
+        for k in list(d.keys()):
+            if k.startswith("log10_"):
+                d.setdefault(k[6:], 10.0 ** d[k])
         return d
 
     def _max_age(self, params):
@@ -260,6 +280,7 @@ class BatchSEDSimulator:
             intrinsic = escaped + (1.0 - fesc) * rep
 
         lnu = escaped + attenuated
+        self._last_intrinsic = intrinsic  # stashed for want_spectra outputs
 
         if em.dust_emission:
             # Energy balance: re-emit the absorbed luminosity as a greybody.
@@ -288,9 +309,20 @@ class BatchSEDSimulator:
         return fnu_njy, lam_obs
 
     def _photometry_one(self, fnu_njy, z):
-        """(F,) band fluxes [nJy]: photon-count mean over shifted filters."""
-        lam_obs = self._lam * (1.0 + z)
-        t = self.filters.transmission_at(lam_obs)  # (F, L)
+        """(F,) band fluxes [nJy]: photon-count mean over shifted filters.
+
+        T_f(λ_l (1+z)) = table_f[l + s(z)] with s = log10(1+z)/dlog; two
+        contiguous dynamic-slices + lerp, then an (F, L) x (L,) matvec that
+        XLA batches onto the MXU across the vmapped galaxy axis.
+        """
+        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+        k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, self._max_shift - 1)
+        frac = s - k.astype(s.dtype)
+        n_f = self._filter_table.shape[0]
+        n_l = self._lam.shape[0]
+        t0 = jax.lax.dynamic_slice(self._filter_table, (0, k), (n_f, n_l))
+        t1 = jax.lax.dynamic_slice(self._filter_table, (0, k + 1), (n_f, n_l))
+        t = t0 * (1.0 - frac) + t1 * frac
         tw = t * self._wlam
         num = tw @ fnu_njy
         den = jnp.sum(tw, axis=-1)
@@ -310,7 +342,9 @@ class BatchSEDSimulator:
         if want_spectra:
             out["fnu_njy"] = fnu_njy
             out["lnu"] = lnu
+            out["lnu_intrinsic"] = self._last_intrinsic
             out["sfh_mass"] = sfh_mass
+            out["sfzh"] = sfzh_flat
         return out
 
     def simulate(self, theta, want_spectra: bool = False):

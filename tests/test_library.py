@@ -1,0 +1,173 @@
+"""Library generation + HDF5 schema tests (mirrors reference
+tests/test_library.py's check_hdf5 schema validation pattern)."""
+
+import h5py
+import numpy as np
+import pytest
+
+from synference_tpu.library import (
+    LibraryCreator,
+    LibraryGenerator,
+    draw_from_hypercube,
+    load_library_hdf5,
+    save_library_hdf5,
+    simulator_from_library,
+)
+from synference_tpu.sed import BatchSEDSimulator, EmissionConfig
+
+PARAM_RANGES = {
+    "log10_mass": (7.5, 11.0),
+    "redshift": (0.1, 8.0),
+    "log10_peak_age": (7.5, 9.0),
+    "tau": (0.1, 1.2),
+    "log10_metallicity": (-3.9, -1.5),
+    "tau_v": (0.0, 2.5),
+}
+
+
+def check_hdf5_schema(path, expect_supp=False):
+    """Schema validation helper (reference test_library.py:27-44)."""
+    with h5py.File(path, "r") as f:
+        assert "Grid" in f
+        assert "Photometry" in f["Grid"]
+        assert "Parameters" in f["Grid"]
+        assert f["Grid/Photometry"].ndim == 2
+        assert f["Grid/Parameters"].ndim == 2
+        assert "ParameterNames" in f.attrs
+        assert "FilterCodes" in f.attrs
+        assert "PhotometryUnits" in f.attrs
+        if expect_supp:
+            assert "SupplementaryParameters" in f["Grid"]
+            assert "SupplementaryParameterNames" in f.attrs
+
+
+class TestHypercube:
+    def test_ranges_and_shapes(self):
+        d = draw_from_hypercube({"a": (0.0, 1.0), "b": (-5.0, 5.0)}, 100)
+        assert set(d) == {"a", "b"}
+        assert d["a"].shape == (100,)
+        assert d["a"].min() >= 0.0 and d["a"].max() <= 1.0
+        assert d["b"].min() >= -5.0 and d["b"].max() <= 5.0
+
+    def test_unlog_renames_key(self):
+        d = draw_from_hypercube(
+            {"log10_mass": (8.0, 10.0)}, 50, unlog_keys=["log10_mass"]
+        )
+        assert "mass" in d and "log10_mass" not in d
+        assert d["mass"].min() >= 10**8.0 - 1 and d["mass"].max() <= 10**10.0 + 1
+
+    def test_lhc_stratification(self):
+        # LHC: each of n equal bins contains exactly one sample
+        d = draw_from_hypercube(
+            {"x": (0.0, 1.0)}, 64, rng=np.random.default_rng(0)
+        )
+        counts, _ = np.histogram(d["x"], bins=64, range=(0, 1))
+        assert (counts == 1).all()
+
+    @pytest.mark.parametrize("engine", ["sobol", "halton", "random"])
+    def test_other_engines(self, engine):
+        d = draw_from_hypercube(
+            {"x": (2.0, 3.0)}, 32, rng=np.random.default_rng(1), engine=engine
+        )
+        assert d["x"].shape == (32,) and (d["x"] >= 2.0).all()
+
+
+class TestSchemaIO:
+    def test_roundtrip(self, tmp_path, rng):
+        phot = rng.random((7, 100)).astype(np.float32)
+        params = rng.random((3, 100)).astype(np.float32)
+        path = str(tmp_path / "lib.h5")
+        save_library_hdf5(
+            path,
+            parameters=params,
+            parameter_names=["a", "b", "c"],
+            photometry=phot,
+            filter_codes=[f"F{i}" for i in range(7)],
+        )
+        check_hdf5_schema(path)
+        lib = load_library_hdf5(path)
+        np.testing.assert_allclose(lib["photometry"], phot)
+        np.testing.assert_allclose(lib["parameters"], params)
+        assert lib["parameter_names"] == ["a", "b", "c"]
+        assert lib["filter_codes"] == [f"F{i}" for i in range(7)]
+        assert lib["photometry_units"] == "nJy"
+
+    def test_library_creator_transposes(self, tmp_path, rng):
+        # (N, P) input auto-transposed to reference (P, N) layout
+        params = rng.random((50, 3))
+        phot = rng.random((50, 7))
+        lc = LibraryCreator(
+            parameters=params,
+            parameter_names=["a", "b", "c"],
+            photometry=phot,
+            filter_codes=[f"F{i}" for i in range(7)],
+        )
+        path = str(tmp_path / "byo.h5")
+        lc.save(path)
+        lib = load_library_hdf5(path)
+        assert lib["parameters"].shape == (3, 50)
+        assert lib["photometry"].shape == (7, 50)
+
+
+@pytest.fixture(scope="module")
+def generator(test_grid, nircam_filters):
+    sim = BatchSEDSimulator(
+        grid=test_grid,
+        filters=nircam_filters,
+        param_names=(
+            "log10_mass", "redshift", "peak_age", "tau",
+            "log10_metallicity", "tau_v",
+        ),
+        sfh="lognormal",
+        zdist="delta",
+        emission=EmissionConfig(),
+    )
+    return LibraryGenerator(
+        sim, PARAM_RANGES, unlog_keys=["log10_peak_age"],
+        supplementary=("m_uv", "sfr_100", "mass_weighted_age", "t50", "beta_uv"),
+    )
+
+
+class TestLibraryGenerator:
+    def test_generate_small(self, generator, tmp_path):
+        path = str(tmp_path / "mock.h5")
+        lib = generator.generate(
+            n=100, batch_size=64, seed=1, out_path=path
+        )
+        assert lib["photometry"].shape == (7, 100)
+        assert lib["parameters"].shape == (6, 100)
+        assert np.isfinite(lib["photometry"]).all()
+        assert lib["supplementary_parameters"].shape == (5, 100)
+        assert np.isfinite(lib["supplementary_parameters"]).all()
+        check_hdf5_schema(path, expect_supp=True)
+
+    def test_supplementary_sanity(self, generator):
+        lib = generator.generate(n=64, batch_size=64, seed=2)
+        supp = lib["supplementary_parameters"]
+        names = lib["supplementary_parameter_names"]
+        m_uv = supp[names.index("m_uv")]
+        # heavily dust-attenuated low-mass draws can be very faint
+        assert np.all((m_uv > -28) & (m_uv < 5))
+        t50 = supp[names.index("t50")]
+        assert np.all(t50 > 0) and np.all(t50 < 1.4e10)
+        mwa = supp[names.index("mass_weighted_age")]
+        assert np.all(mwa > 0) and np.all(mwa < 1.4e10)
+
+    def test_simulator_roundtrip_from_library(self, generator, tmp_path):
+        """Model group fully reconstructs the simulator: same photometry."""
+        path = str(tmp_path / "withmodel.h5")
+        lib = generator.generate(n=32, batch_size=32, seed=3, out_path=path)
+        sim2 = simulator_from_library(path)
+        theta = lib["parameters"].T  # (N, P)
+        p_orig = lib["photometry"].T
+        p_rec = np.asarray(sim2.photometry(theta))
+        np.testing.assert_allclose(p_rec, p_orig, rtol=2e-3)
+
+    def test_missing_param_raises(self, test_grid, nircam_filters):
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+        )
+        with pytest.raises(ValueError, match="not covered"):
+            LibraryGenerator(sim, {"log10_mass": (8, 10)})

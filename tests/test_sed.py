@@ -79,7 +79,7 @@ class TestSimulator:
         theta = _theta(8, rng)
         eager = np.asarray(sim.photometry(theta))
         jitted = np.asarray(jax.jit(sim.photometry)(theta))
-        np.testing.assert_allclose(jitted, eager, rtol=1e-5)
+        np.testing.assert_allclose(jitted, eager, rtol=1e-4)
 
     def test_lyman_break_crosses_filters(self, sim, rng):
         """At z~7 the Lyman break sits in/above the bluest band: flux ratio

@@ -33,7 +33,7 @@ PARAMS = {
 def test_weights_normalized_nonneg(family, sampling):
     p = {k: jnp.asarray(v, jnp.float32) for k, v in PARAMS[family].items()}
     w = np.asarray(sfh_weights(family, p, sampling))
-    assert w.shape == (sampling.t_sub.shape[0],)
+    assert w.shape == (sampling.n_bins,)
     assert np.all(w >= 0)
     assert np.isclose(w.sum(), 1.0, atol=1e-5)
 
