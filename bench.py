@@ -1,0 +1,140 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Primary metric: mock SEDs/sec through the full θ -> photometry pipeline
+(48×8 SPS grid, 2048 λ bins, 7 NIRCam-like bands, lognormal SFH + Calzetti
+dust + Madau IGM) on one chip — the direct counterpart of the reference's
+Synthesizer C/OpenMP `pipeline.run()` hot loop.
+
+Secondary metrics included as extra JSON fields: NPE (NSF) train steps/sec
+and posterior samples/sec.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). Estimate from
+its paper-scale run: 100,000 SEDs generated on 6 nodes × 28 cores in
+"hours" (examples/library_generation/scripts/make_library.slurm); assuming
+2 h wall time -> ~13.9 SEDs/sec for the full cluster. vs_baseline is ours /
+13.9 on ONE chip.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import optax  # noqa: E402
+
+import synference_tpu as st  # noqa: E402
+from synference_tpu.flows import build_flow  # noqa: E402
+
+REF_SEDS_PER_SEC = 13.9  # see module docstring
+
+
+def bench_generation(batch=8192, iters=10):
+    grid = st.make_synthetic_grid(n_ages=48, n_mets=8, n_wav=2048)
+    centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
+    widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
+    filters = st.FilterSet([
+        st.tophat_filter(f"F{i}", c, w)
+        for i, (c, w) in enumerate(zip(centers, widths))
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "redshift", "peak_age", "tau",
+                     "log10_metallicity", "tau_v"),
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="madau95"),
+    )
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(np.stack([
+        rng.uniform(7.5, 11, batch), rng.uniform(0.05, 10, batch),
+        rng.uniform(5e7, 1e9, batch), rng.uniform(0.1, 1.2, batch),
+        rng.uniform(-3.9, -1.5, batch), rng.uniform(0, 3, batch),
+    ], axis=1), jnp.float32)
+    fn = jax.jit(sim.photometry)
+    fn(theta).block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        p = fn(theta)
+    p.block_until_ready()
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
+def bench_training(n=50000, batch=1024, iters=30):
+    rng = np.random.default_rng(1)
+    theta = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, 14)), jnp.float32)
+    flow = build_flow("nsf", 6, 14, hidden_features=69, num_transforms=15)
+    params = flow.init(jax.random.PRNGKey(0), theta, x)
+    tx = optax.adamw(3e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss(p):
+            return -flow.log_prob(p, theta[idx], x[idx]).mean()
+
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    idx = jnp.arange(batch)
+    params, opt_state, l = step(params, opt_state, idx)
+    jax.block_until_ready(l)
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, l = step(params, opt_state, (idx + i * batch) % n)
+    jax.block_until_ready(l)
+    return iters / (time.time() - t0)
+
+
+def bench_sampling(n_objects=256, n_samples=1000):
+    rng = np.random.default_rng(2)
+    flow = build_flow("nsf", 6, 14, hidden_features=69, num_transforms=15)
+    theta = jnp.asarray(rng.standard_normal((512, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((512, 14)), jnp.float32)
+    params = flow.init(jax.random.PRNGKey(0), theta, x)
+
+    @jax.jit
+    def draw(key, xs):
+        keys = jax.random.split(key, xs.shape[0])
+        return jax.vmap(
+            lambda k, xi: flow.sample(params, k, xi, n_samples)
+        )(keys, xs)
+
+    xs = x[:n_objects]
+    s = draw(jax.random.PRNGKey(1), xs)
+    jax.block_until_ready(s)
+    t0 = time.time()
+    s = draw(jax.random.PRNGKey(2), xs)
+    jax.block_until_ready(s)
+    dt = time.time() - t0
+    return n_objects * n_samples / dt
+
+
+def main():
+    seds_per_sec = bench_generation()
+    train_steps = bench_training()
+    samples_per_sec = bench_sampling()
+    out = {
+        "metric": "mock_seds_per_sec",
+        "value": round(seds_per_sec, 1),
+        "unit": "SEDs/s (1 chip, fp32, 7 bands)",
+        "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),
+        "npe_train_steps_per_sec": round(train_steps, 1),
+        "posterior_samples_per_sec": round(samples_per_sec, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,35 +11,84 @@ Public API mirrors the reference's flat namespace
 """
 
 from .cosmology import PLANCK18, Cosmology
+from .diagnostics import (
+    evaluate_posterior,
+    expected_coverage,
+    pit_ks_statistic,
+    pit_values,
+    point_metrics,
+    sbc_ranks,
+    tarp_coverage,
+    tarp_deviation,
+)
 from .dust import ATTENUATION_LAWS, attenuation_curve, greybody_emission
+from .features import FeatureConfig, FeaturePipeline, FeatureResult
+from .filter_arithmetic import FilterArithmeticParser
 from .filters import Filter, FilterSet, tophat_filter
+from .fitter import SBIFitter
+from .flows import ConditionalFlow, build_flow
 from .grids import SPSGrid, make_synthetic_grid
 from .igm import igm_transmission
+from .library import (
+    LibraryCreator,
+    LibraryGenerator,
+    draw_from_hypercube,
+    load_library_hdf5,
+    save_library_hdf5,
+    simulator_from_library,
+)
+from .noise_models import (
+    AsinhEmpiricalNoiseModel,
+    DepthNoiseModel,
+    EmpiricalNoiseModel,
+    GeneralEmpiricalNoiseModel,
+    NoiseModel,
+    SpectralNoiseModel,
+    load_noise_model_hdf5,
+    save_noise_model_hdf5,
+)
+from .posterior import DirectPosterior, EnsemblePosterior
+from .priors import BoxUniform, priors_from_library
 from .sed import BatchSEDSimulator, EmissionConfig
 from .sfh import SFH_FAMILIES, ZDIST_FAMILIES, sfh_weights, zdist_weights
+from .supplementary import SUPP_FUNCTIONS, compute_supplementary
+from .train import TrainConfig, train_ensemble, train_npe
 from .units import FluxUnit, convert_flux, convert_flux_err
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "PLANCK18",
-    "Cosmology",
-    "ATTENUATION_LAWS",
-    "attenuation_curve",
-    "greybody_emission",
-    "Filter",
-    "FilterSet",
-    "tophat_filter",
-    "SPSGrid",
-    "make_synthetic_grid",
+    # cosmology
+    "PLANCK18", "Cosmology",
+    # dust / igm
+    "ATTENUATION_LAWS", "attenuation_curve", "greybody_emission",
     "igm_transmission",
-    "BatchSEDSimulator",
-    "EmissionConfig",
-    "SFH_FAMILIES",
-    "ZDIST_FAMILIES",
-    "sfh_weights",
-    "zdist_weights",
-    "FluxUnit",
-    "convert_flux",
-    "convert_flux_err",
+    # filters / grids
+    "Filter", "FilterSet", "tophat_filter", "SPSGrid", "make_synthetic_grid",
+    # SED simulator
+    "BatchSEDSimulator", "EmissionConfig",
+    "SFH_FAMILIES", "ZDIST_FAMILIES", "sfh_weights", "zdist_weights",
+    "SUPP_FUNCTIONS", "compute_supplementary",
+    # library
+    "LibraryCreator", "LibraryGenerator", "draw_from_hypercube",
+    "load_library_hdf5", "save_library_hdf5", "simulator_from_library",
+    # noise
+    "NoiseModel", "DepthNoiseModel", "SpectralNoiseModel",
+    "EmpiricalNoiseModel", "AsinhEmpiricalNoiseModel",
+    "GeneralEmpiricalNoiseModel", "save_noise_model_hdf5",
+    "load_noise_model_hdf5",
+    # features
+    "FeatureConfig", "FeaturePipeline", "FeatureResult",
+    "FilterArithmeticParser",
+    # inference
+    "SBIFitter", "ConditionalFlow", "build_flow",
+    "TrainConfig", "train_npe", "train_ensemble",
+    "DirectPosterior", "EnsemblePosterior",
+    "BoxUniform", "priors_from_library",
+    # diagnostics
+    "evaluate_posterior", "pit_values", "sbc_ranks", "tarp_coverage",
+    "tarp_deviation", "expected_coverage", "pit_ks_statistic",
+    "point_metrics",
+    # units
+    "FluxUnit", "convert_flux", "convert_flux_err",
 ]

@@ -1,0 +1,168 @@
+"""Posterior validation: PIT, SBC ranks, TARP, coverage, point metrics.
+
+On-device replacements for the reference's diagnostics stack — `calculate_PIT`
+(`/root/reference/src/synference/sbi_runner.py:7128-7160`), `calculate_TARP`
+via the `tarp` package (`:7090-7126`), SBC ranks/coverage via ili
+`PosteriorCoverage` (`:7209-7345`), and the `evaluate_model` metric table
+(`:6484-6735`). All operate on a (M, S, P) posterior-sample tensor so the
+whole validation set is one fused computation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pit_values",
+    "sbc_ranks",
+    "tarp_coverage",
+    "tarp_deviation",
+    "expected_coverage",
+    "pit_ks_statistic",
+    "point_metrics",
+    "evaluate_posterior",
+]
+
+
+def pit_values(samples, truths):
+    """Probability integral transform per object/parameter.
+
+    Args:
+        samples: (M, S, P) posterior draws.
+        truths: (M, P) true parameters.
+    Returns:
+        (M, P) PIT values in [0, 1]; uniform under calibration.
+    """
+    samples = jnp.asarray(samples)
+    truths = jnp.asarray(truths)
+    return (samples < truths[:, None, :]).mean(axis=1)
+
+
+def sbc_ranks(samples, truths):
+    """Simulation-based-calibration ranks: rank of the truth among S draws
+    (integer 0..S); uniform under calibration (Talts et al. 2018)."""
+    samples = jnp.asarray(samples)
+    truths = jnp.asarray(truths)
+    return (samples < truths[:, None, :]).sum(axis=1)
+
+
+def pit_ks_statistic(pit):
+    """Kolmogorov–Smirnov distance of PIT values from U(0,1), per param.
+
+    The reference's `log_dpit_max` objective uses the max PIT deviation
+    (sbi_runner.py:7128-7160)."""
+    pit = np.sort(np.asarray(pit), axis=0)
+    m = pit.shape[0]
+    grid = (np.arange(1, m + 1) / m)[:, None]
+    return np.max(np.abs(pit - grid), axis=0)
+
+
+def tarp_coverage(samples, truths, key=None, n_alpha: int = 50,
+                  norm: bool = True):
+    """TARP expected coverage probability (Lemos et al. 2023).
+
+    For each sim draw a random reference point; the credibility of the truth
+    is the fraction of posterior draws closer to the reference than the truth
+    is. ECP(α) = P(credibility < α); calibrated ⇒ ECP(α) = α.
+
+    Returns:
+        (alphas (n_alpha,), ecp (n_alpha,)).
+    """
+    samples = jnp.asarray(samples, jnp.float32)  # (M, S, P)
+    truths = jnp.asarray(truths, jnp.float32)  # (M, P)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if norm:
+        mu = samples.mean(axis=(0, 1))
+        sd = jnp.maximum(samples.std(axis=(0, 1)), 1.0e-8)
+        samples = (samples - mu) / sd
+        truths = (truths - mu) / sd
+    m = truths.shape[0]
+    # reference points ~ uniform over the sample bounding box
+    lo = samples.min(axis=(0, 1))
+    hi = samples.max(axis=(0, 1))
+    refs = lo + (hi - lo) * jax.random.uniform(key, truths.shape)
+    d_truth = jnp.linalg.norm(truths - refs, axis=-1)  # (M,)
+    d_samp = jnp.linalg.norm(samples - refs[:, None, :], axis=-1)  # (M, S)
+    cred = (d_samp < d_truth[:, None]).mean(axis=1)  # (M,)
+    alphas = jnp.linspace(0.0, 1.0, n_alpha)
+    ecp = (cred[None, :] < alphas[:, None]).mean(axis=1)
+    return np.asarray(alphas), np.asarray(ecp)
+
+
+def tarp_deviation(samples, truths, key=None):
+    """|ECP(0.5) − 0.5| summary (the reference's TARP objective uses the
+    mid-curve deviation, sbi_runner.py:7116-7126)."""
+    alphas, ecp = tarp_coverage(samples, truths, key=key)
+    mid = np.argmin(np.abs(alphas - 0.5))
+    return float(np.abs(ecp[mid] - 0.5))
+
+
+def expected_coverage(samples, truths, levels=(0.5, 0.68, 0.9, 0.95)):
+    """Central credible-interval coverage per level and parameter.
+
+    Returns (len(levels), P) empirical coverage fractions."""
+    samples = np.asarray(samples)
+    truths = np.asarray(truths)
+    out = np.zeros((len(levels), truths.shape[1]))
+    for i, lvl in enumerate(levels):
+        lo_q, hi_q = 0.5 - lvl / 2, 0.5 + lvl / 2
+        lo = np.quantile(samples, lo_q, axis=1)
+        hi = np.quantile(samples, hi_q, axis=1)
+        out[i] = ((truths >= lo) & (truths <= hi)).mean(axis=0)
+    return out
+
+
+def point_metrics(samples, truths):
+    """Point-estimate metrics from posterior medians (reference
+    `evaluate_model` table, sbi_runner.py:6484-6735).
+
+    Returns dict of per-parameter arrays: mse, rmse, mae, median_ae, r2,
+    nmse (normalized by variance), bias.
+    """
+    samples = np.asarray(samples)
+    truths = np.asarray(truths)
+    med = np.median(samples, axis=1)  # (M, P)
+    err = med - truths
+    mse = (err**2).mean(axis=0)
+    var = truths.var(axis=0)
+    return {
+        "mse": mse,
+        "rmse": np.sqrt(mse),
+        "mae": np.abs(err).mean(axis=0),
+        "median_ae": np.median(np.abs(err), axis=0),
+        "bias": err.mean(axis=0),
+        "r2": 1.0 - mse / np.maximum(var, 1.0e-12),
+        "nmse": mse / np.maximum(var, 1.0e-12),
+    }
+
+
+def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
+                       parameter_names=None):
+    """Full validation report for a posterior on held-out (x, θ) pairs.
+
+    Returns dict with point metrics, PIT KS per param, TARP deviation, mean
+    log-prob of truths, coverage table — the on-device analogue of the
+    reference's `evaluate_model` + `plot_coverage` metrics.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_samp, k_tarp = jax.random.split(key)
+    samples = np.asarray(posterior.sample_batch(k_samp, xs, n_samples))
+    pit = np.asarray(pit_values(samples, truths))
+    metrics = point_metrics(samples, truths)
+    lp = np.asarray(posterior.log_prob(jnp.asarray(truths), jnp.asarray(xs)))
+    finite = np.isfinite(lp)
+    report = {
+        "point": {k: v.tolist() for k, v in metrics.items()},
+        "pit_ks": pit_ks_statistic(pit).tolist(),
+        "tarp_deviation": tarp_deviation(samples, truths, key=k_tarp),
+        "mean_log_prob": float(lp[finite].mean()) if finite.any() else None,
+        "frac_outside_support": float(1.0 - finite.mean()),
+        "coverage": expected_coverage(samples, truths).tolist(),
+        "coverage_levels": [0.5, 0.68, 0.9, 0.95],
+        "n_samples": int(n_samples),
+    }
+    if parameter_names is not None:
+        report["parameter_names"] = list(parameter_names)
+    return report

@@ -1,0 +1,294 @@
+"""`SBIFitter` — the top-level amortized-inference workflow.
+
+TPU-native counterpart of the reference's `SBI_Fitter`
+(`/root/reference/src/synference/sbi_runner.py:167-7640`): holds the library,
+builds features, trains flow ensembles, produces posteriors, evaluates
+coverage, and persists everything. The torch/ili/optuna machinery is replaced
+by the pure-JAX modules in this package; training an ensemble is one vmapped
+program and posterior sampling is fully batched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diagnostics import evaluate_posterior
+from .features import FeatureConfig, FeaturePipeline
+from .flows.base import ConditionalFlow, build_flow
+from .library import load_library_hdf5
+from .posterior import DirectPosterior, EnsemblePosterior
+from .priors import BoxUniform, priors_from_library
+from .train import TrainConfig, train_ensemble
+
+__all__ = ["SBIFitter"]
+
+
+class SBIFitter:
+    """Train and apply amortized posteriors over an SED library.
+
+    Typical flow (mirrors the reference API shape):
+
+        fitter = SBIFitter.init_from_hdf5("library.h5")
+        fitter.create_feature_array(FeatureConfig(...))
+        result = fitter.run_single_sbi(model_type="nsf", n_nets=3)
+        samples = fitter.sample_posterior(x_obs, n_samples=1000)
+        report = fitter.evaluate_model()
+    """
+
+    def __init__(
+        self,
+        photometry: np.ndarray,  # (N, F) nJy
+        parameters: np.ndarray,  # (N, P)
+        parameter_names,
+        filter_codes,
+        supplementary: np.ndarray | None = None,
+        supplementary_names=(),
+        name: str = "sbi_model",
+    ):
+        self.photometry = np.asarray(photometry, np.float32)
+        self.parameters = np.asarray(parameters, np.float32)
+        self.parameter_names = list(parameter_names)
+        self.filter_codes = list(filter_codes)
+        self.supplementary = (
+            None if supplementary is None else np.asarray(supplementary)
+        )
+        self.supplementary_names = list(supplementary_names)
+        self.name = name
+
+        self.feature_pipeline: FeaturePipeline | None = None
+        self.features: np.ndarray | None = None
+        self.feature_params: np.ndarray | None = None
+        self.prior: BoxUniform | None = None
+        self.flow: ConditionalFlow | None = None
+        self.train_result = None
+        self.posterior = None
+        self._split = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def init_from_hdf5(cls, path: str, name: str | None = None) -> "SBIFitter":
+        """Load a reference-schema library (reference `init_from_hdf5`,
+        sbi_runner.py:316-408)."""
+        lib = load_library_hdf5(path)
+        return cls(
+            photometry=lib["photometry"].T,
+            parameters=lib["parameters"].T,
+            parameter_names=lib["parameter_names"],
+            filter_codes=lib["filter_codes"],
+            supplementary=(
+                lib["supplementary_parameters"].T
+                if "supplementary_parameters" in lib
+                else None
+            ),
+            supplementary_names=lib.get("supplementary_parameter_names", ()),
+            name=name or os.path.basename(path).rsplit(".", 1)[0],
+        )
+
+    # ------------------------------------------------------------------
+    def create_feature_array(
+        self,
+        config: FeatureConfig | None = None,
+        noise_models: dict | None = None,
+        key=None,
+        **config_kwargs,
+    ):
+        """Build the training features (reference
+        `create_feature_array_from_raw_photometry`, sbi_runner.py:1429)."""
+        if config is None:
+            config = FeatureConfig(
+                filter_codes=tuple(self.filter_codes), **config_kwargs
+            )
+        self.feature_pipeline = FeaturePipeline(config, noise_models)
+        res = self.feature_pipeline.build(
+            key if key is not None else jax.random.PRNGKey(0),
+            self.photometry,
+            self.parameters,
+            self.parameter_names,
+            supplementary=self.supplementary,
+            supplementary_names=self.supplementary_names,
+        )
+        self.features = res.features
+        self.feature_params = res.parameters
+        self.feature_flags = res.flags
+        return res
+
+    # ------------------------------------------------------------------
+    def create_priors(self, overrides=None, extend_pct: float = 0.0):
+        self.prior = priors_from_library(
+            self.feature_params
+            if self.feature_params is not None
+            else self.parameters,
+            self.parameter_names,
+            overrides=overrides,
+            extend_pct=extend_pct,
+        )
+        return self.prior
+
+    # ------------------------------------------------------------------
+    def split_dataset(self, test_fraction: float = 0.1, seed: int = 0):
+        n = self.features.shape[0]
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(n)
+        n_test = max(int(n * test_fraction), 1)
+        self._split = {
+            "test": perm[:n_test],
+            "train": perm[n_test:],
+        }
+        return self._split
+
+    # ------------------------------------------------------------------
+    def run_single_sbi(
+        self,
+        model_type: str = "nsf",
+        n_nets: int = 1,
+        hidden_features: int = 50,
+        num_transforms: int = 5,
+        train_config: TrainConfig | None = None,
+        test_fraction: float = 0.1,
+        key=None,
+        **model_kwargs,
+    ):
+        """Train the estimator (reference `run_single_sbi`,
+        sbi_runner.py:4392-5067, defaults `:4404-4409`)."""
+        if self.features is None:
+            self.create_feature_array()
+        if self.prior is None:
+            self.create_priors()
+        if self._split is None:
+            self.split_dataset(test_fraction)
+
+        cfg = dict(model_kwargs)
+        if model_type in ("maf", "nsf"):
+            cfg.update(hidden_features=hidden_features,
+                       num_transforms=num_transforms)
+        elif model_type == "mdn":
+            cfg.setdefault("hidden_features", hidden_features)
+
+        self.flow = build_flow(
+            model_type,
+            theta_dim=len(self.parameter_names),
+            context_dim=self.features.shape[1],
+            **cfg,
+        )
+        tr_idx = self._split["train"]
+        key = key if key is not None else jax.random.PRNGKey(42)
+        self.train_result = train_ensemble(
+            self.flow,
+            self.feature_params[tr_idx],
+            self.features[tr_idx],
+            key=key,
+            config=train_config or TrainConfig(),
+            n_nets=n_nets,
+        )
+        if n_nets == 1:
+            params = jax.tree_util.tree_map(
+                lambda a: a[0], self.train_result.params
+            )
+            self.posterior = DirectPosterior(self.flow, params, self.prior)
+        else:
+            self.posterior = EnsemblePosterior(
+                self.flow, self.train_result.params, self.prior, n_nets
+            )
+        return self.train_result
+
+    # ------------------------------------------------------------------
+    def sample_posterior(self, xs, n_samples: int = 1000, key=None):
+        """(M, D_features) -> (M, n_samples, P); fully batched (the
+        reference loops per object, sbi_runner.py:6412-6424)."""
+        key = key if key is not None else jax.random.PRNGKey(1)
+        return np.asarray(
+            self.posterior.sample_batch(key, jnp.asarray(xs), n_samples)
+        )
+
+    # ------------------------------------------------------------------
+    def evaluate_model(self, n_samples: int = 256, key=None, max_objects: int = 512):
+        """Held-out metrics + coverage (reference `evaluate_model`,
+        sbi_runner.py:6484-6735)."""
+        idx = self._split["test"][:max_objects]
+        return evaluate_posterior(
+            self.posterior,
+            self.features[idx],
+            self.feature_params[idx],
+            key=key,
+            n_samples=n_samples,
+            parameter_names=self.parameter_names,
+        )
+
+    # ------------------------------------------------------------------
+    def save_state(self, path: str):
+        """Persist flow spec + params + prior + feature flags (reference
+        `save_state`, sbi_runner.py:693-811)."""
+        state = {
+            "name": self.name,
+            "flow_spec": self.flow.spec(),
+            "params": jax.tree_util.tree_map(
+                np.asarray, self.train_result.params
+            ),
+            "n_members": self.train_result.n_members,
+            "prior": self.prior.to_dict(),
+            "parameter_names": self.parameter_names,
+            "filter_codes": self.filter_codes,
+            "feature_flags": getattr(self, "feature_flags", None),
+            "train_history": {
+                "train_losses": np.asarray(self.train_result.train_losses),
+                "val_losses": np.asarray(self.train_result.val_losses),
+            },
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @classmethod
+    def load_saved_model(cls, path: str):
+        """Rebuild a fitter (posterior only; library not required) —
+        reference `load_saved_model`, sbi_runner.py:410-474."""
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        fitter = cls.__new__(cls)
+        fitter.name = state["name"]
+        fitter.parameter_names = list(state["parameter_names"])
+        fitter.filter_codes = list(state["filter_codes"])
+        fitter.flow = ConditionalFlow.from_spec(state["flow_spec"])
+        fitter.prior = BoxUniform.from_dict(state["prior"])
+        params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        n_members = state.get("n_members", 1)
+        if n_members == 1:
+            single = jax.tree_util.tree_map(lambda a: a[0], params)
+            fitter.posterior = DirectPosterior(fitter.flow, single, fitter.prior)
+        else:
+            fitter.posterior = EnsemblePosterior(
+                fitter.flow, params, fitter.prior, n_members
+            )
+        flags = state.get("feature_flags")
+        fitter.feature_pipeline = (
+            FeaturePipeline.from_flags(flags) if flags else None
+        )
+        fitter.features = None
+        fitter.feature_params = None
+        fitter.supplementary = None
+        fitter.supplementary_names = []
+        fitter.train_result = None
+        fitter._split = None
+        fitter.photometry = None
+        fitter.parameters = None
+        return fitter
+
+    # ------------------------------------------------------------------
+    def features_from_observations(self, flux, flux_err=None,
+                                   flux_unit="nJy", missing_mask=None):
+        """Replay training feature transform on a catalogue (reference
+        `create_features_from_observations`, sbi_runner.py:2473-2947)."""
+        if self.feature_pipeline is None:
+            raise RuntimeError("no feature pipeline; build or load one first")
+        return self.feature_pipeline.transform_observations(
+            flux, flux_err, flux_unit, missing_mask
+        )
+
+    def save_metrics(self, report: dict, path: str):
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)

@@ -1,0 +1,148 @@
+"""Flow wrapper: standardization + model registry.
+
+sbi standardizes both θ and x internally before its flows (the reference
+relies on that via ili); `ConditionalFlow` reproduces it explicitly — z-score
+affine layers whose statistics are set from the training set, with the
+Jacobian correction folded into log_prob. Everything stays a pure pytree so
+ensembles vmap across member parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ConditionalFlow", "build_flow"]
+
+
+@dataclass
+class ConditionalFlow:
+    """A conditional density estimator q(θ | x) with input standardization.
+
+    Attributes:
+        model: "maf" | "nsf" | "mdn" | "gaussian".
+        theta_dim / context_dim: dimensions.
+        config: model hyperparameters (hidden_features, num_transforms, ...).
+    """
+
+    model: str
+    theta_dim: int
+    context_dim: int
+    config: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        from .maf import make_maf
+        from .mdn import make_mdn
+        from .nsf import make_nsf
+
+        cfg = dict(self.config)
+        if self.model == "maf":
+            fns = make_maf(self.theta_dim, self.context_dim, **cfg)
+        elif self.model == "nsf":
+            fns = make_nsf(self.theta_dim, self.context_dim, **cfg)
+        elif self.model == "mdn":
+            fns = make_mdn(self.theta_dim, self.context_dim, **cfg)
+        elif self.model == "gaussian":
+            cfg.setdefault("num_components", 1)
+            fns = make_mdn(self.theta_dim, self.context_dim, **cfg)
+        else:
+            raise ValueError(f"unknown flow model {self.model!r}")
+        self._init, self._log_prob, self._sample = fns
+
+    # ------------------------------------------------------------------
+    def init(self, key, theta_data=None, x_data=None):
+        """Initialize params; standardization stats from training data."""
+        flow_params = self._init(key)
+
+        def stats(data, dim):
+            if data is None:
+                return jnp.zeros(dim), jnp.ones(dim)
+            data = jnp.asarray(data, jnp.float32)
+            return data.mean(0), jnp.maximum(data.std(0), 1.0e-6)
+
+        tm, ts = stats(theta_data, self.theta_dim)
+        xm, xs = stats(x_data, self.context_dim)
+        return {
+            "flow": flow_params,
+            "theta_mean": tm,
+            "theta_std": ts,
+            "x_mean": xm,
+            "x_std": xs,
+        }
+
+    def _std_theta(self, params, theta):
+        return (theta - params["theta_mean"]) / params["theta_std"]
+
+    def _std_x(self, params, x):
+        return (x - params["x_mean"]) / params["x_std"]
+
+    def log_prob(self, params, theta, x):
+        """(B, D), (B, C) -> (B,) log q(θ|x) in *raw* θ units."""
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        z = self._std_theta(params, theta)
+        xs = self._std_x(params, x)
+        lp = self._log_prob(params["flow"], z, xs)
+        return lp - jnp.sum(jnp.log(params["theta_std"]))
+
+    def sample(self, params, key, x, n):
+        """Sample n draws conditioned on a single x (C,) -> (n, D) raw units."""
+        xs = self._std_x(params, jnp.asarray(x, jnp.float32))
+        z = self._sample(params["flow"], key, xs, n)
+        return z * params["theta_std"] + params["theta_mean"]
+
+    def sample_batch(self, params, key, xs, n):
+        """Batched sampling: xs (M, C) -> (M, n, D); one fused program (the
+        reference loops objects in Python, sbi_runner.py:6412-6424)."""
+        xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+        keys = jax.random.split(key, xs.shape[0])
+        return jax.vmap(lambda k, x: self.sample(params, k, x, n))(keys, xs)
+
+    # -- serialization ---------------------------------------------------
+    def spec(self) -> dict:
+        return {
+            "model": self.model,
+            "theta_dim": self.theta_dim,
+            "context_dim": self.context_dim,
+            "config": dict(self.config),
+        }
+
+    @classmethod
+    def from_spec(cls, spec: dict) -> "ConditionalFlow":
+        return cls(
+            model=spec["model"],
+            theta_dim=int(spec["theta_dim"]),
+            context_dim=int(spec["context_dim"]),
+            config=dict(spec.get("config", {})),
+        )
+
+
+def build_flow(model: str, theta_dim: int, context_dim: int, **config):
+    """Registry constructor mirroring the reference's model-zoo names
+    (`sbi_runner.py:4816-4861`)."""
+    return ConditionalFlow(
+        model=model, theta_dim=theta_dim, context_dim=context_dim,
+        config=config,
+    )
+
+
+def flatten_params(params) -> dict:
+    """Pytree -> {path: np.ndarray} dict for npz persistence."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_params(template, flat: dict):
+    """Inverse of flatten_params given a template pytree of same structure."""
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(str(p) for p in path)
+        leaves.append(jnp.asarray(flat[key]))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

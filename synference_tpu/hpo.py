@@ -1,0 +1,354 @@
+"""Hyperparameter optimization: native TPE-style study with pruning.
+
+Replacement for the reference's Optuna machinery (not available here):
+`optimize_sbi` (`/root/reference/src/synference/sbi_runner.py:3601-3775`),
+per-model search spaces + Median/Hyperband pruners + RDB storage
+(`/root/reference/src/synference/custom_runner.py:744-968`, `:216-236`,
+`:374-419`). Implements:
+
+- a `Study` with ask/tell, JSON-file or sqlite3 persistence (multi-worker
+  coordination through the shared sqlite DB with WAL + retries — the
+  stdlib stand-in for the reference's SQLAlchemy storage),
+- random warmup + TPE-style sampler (quantile split, per-dim kernel
+  density ratio),
+- `MedianPruner` over intermediate values,
+- `optimize_sbi(fitter, ...)` with the reference's objectives
+  ("val_loss", "log_prob", "log_prob-pit", "tarp").
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sqlite3
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = [
+    "SearchSpace",
+    "Study",
+    "MedianPruner",
+    "optimize_sbi",
+    "DEFAULT_SEARCH_SPACES",
+]
+
+
+# ---------------------------------------------------------------------------
+# search space
+# ---------------------------------------------------------------------------
+
+
+class SearchSpace:
+    """Named dims: ("int", lo, hi) | ("float", lo, hi[, "log"]) |
+    ("categorical", [choices])."""
+
+    def __init__(self, spec: dict):
+        self.spec = dict(spec)
+
+    def sample_random(self, rng: np.random.Generator) -> dict:
+        out = {}
+        for name, d in self.spec.items():
+            kind = d[0]
+            if kind == "int":
+                out[name] = int(rng.integers(d[1], d[2] + 1))
+            elif kind == "float":
+                log = len(d) > 3 and d[3] == "log"
+                if log:
+                    out[name] = float(
+                        np.exp(rng.uniform(np.log(d[1]), np.log(d[2])))
+                    )
+                else:
+                    out[name] = float(rng.uniform(d[1], d[2]))
+            elif kind == "categorical":
+                out[name] = d[1][int(rng.integers(len(d[1]))) ]
+            else:
+                raise ValueError(kind)
+        return out
+
+    def _to_unit(self, name, value):
+        d = self.spec[name]
+        if d[0] == "int":
+            return (value - d[1]) / max(d[2] - d[1], 1)
+        if d[0] == "float":
+            if len(d) > 3 and d[3] == "log":
+                return (math.log(value) - math.log(d[1])) / (
+                    math.log(d[2]) - math.log(d[1])
+                )
+            return (value - d[1]) / (d[2] - d[1])
+        return d[1].index(value) / max(len(d[1]) - 1, 1)
+
+    def _from_unit(self, name, u):
+        d = self.spec[name]
+        u = min(max(u, 0.0), 1.0)
+        if d[0] == "int":
+            return int(round(d[1] + u * (d[2] - d[1])))
+        if d[0] == "float":
+            if len(d) > 3 and d[3] == "log":
+                return float(
+                    math.exp(math.log(d[1]) + u * (math.log(d[2]) - math.log(d[1])))
+                )
+            return float(d[1] + u * (d[2] - d[1]))
+        idx = int(round(u * (len(d[1]) - 1)))
+        return d[1][idx]
+
+
+# ---------------------------------------------------------------------------
+# pruners
+# ---------------------------------------------------------------------------
+
+
+class MedianPruner:
+    """Prune a trial whose intermediate value is worse than the median of
+    completed trials at the same step (reference default pruner,
+    custom_runner.py:216-230)."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 3):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+
+    def should_prune(self, step: int, value: float, study: "Study") -> bool:
+        if step < self.n_warmup_steps:
+            return False
+        completed = [t for t in study.trials if t["state"] == "COMPLETE"]
+        if len(completed) < self.n_startup_trials:
+            return False
+        at_step = [
+            t["intermediate"][str(step)]
+            for t in completed
+            if str(step) in t.get("intermediate", {})
+        ]
+        if len(at_step) < self.n_startup_trials:
+            return False
+        return value > float(np.median(at_step))
+
+
+# ---------------------------------------------------------------------------
+# study + TPE-lite sampler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Study:
+    """Minimize-direction study with optional shared persistence."""
+
+    space: SearchSpace
+    storage: str | None = None  # .json or .db/.sqlite path
+    seed: int = 0
+    n_startup_trials: int = 10
+    gamma: float = 0.25  # TPE good-quantile
+    trials: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        if self.storage:
+            self._init_storage()
+            self._load()
+
+    # -- persistence -----------------------------------------------------
+    def _is_sql(self):
+        return self.storage and self.storage.endswith((".db", ".sqlite"))
+
+    def _init_storage(self):
+        if self._is_sql():
+            with self._conn() as con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS trials ("
+                    "number INTEGER PRIMARY KEY, payload TEXT)"
+                )
+
+    def _conn(self):
+        con = sqlite3.connect(self.storage, timeout=30.0)
+        con.execute("PRAGMA journal_mode=WAL")
+        return con
+
+    def _load(self):
+        if self._is_sql():
+            with self._conn() as con:
+                rows = con.execute(
+                    "SELECT payload FROM trials ORDER BY number"
+                ).fetchall()
+            self.trials = [json.loads(r[0]) for r in rows]
+        elif os.path.exists(self.storage):
+            with open(self.storage) as f:
+                self.trials = json.load(f)
+
+    def _persist(self, trial):
+        if not self.storage:
+            return
+        for attempt in range(5):
+            try:
+                if self._is_sql():
+                    with self._conn() as con:
+                        con.execute(
+                            "INSERT OR REPLACE INTO trials VALUES (?, ?)",
+                            (trial["number"], json.dumps(trial)),
+                        )
+                else:
+                    with open(self.storage, "w") as f:
+                        json.dump(self.trials, f)
+                return
+            except sqlite3.OperationalError:
+                time.sleep(0.2 * (attempt + 1))
+
+    # -- ask/tell --------------------------------------------------------
+    def ask(self) -> dict:
+        if self.storage:
+            self._load()  # pick up other workers' results
+        trial = {
+            "number": len(self.trials),
+            "params": self._suggest(),
+            "state": "RUNNING",
+            "value": None,
+            "intermediate": {},
+        }
+        self.trials.append(trial)
+        self._persist(trial)
+        return trial
+
+    def report_intermediate(self, trial: dict, step: int, value: float):
+        trial["intermediate"][str(step)] = float(value)
+
+    def tell(self, trial: dict, value: float | None, state: str = "COMPLETE"):
+        trial["value"] = None if value is None else float(value)
+        trial["state"] = state
+        self._persist(trial)
+
+    @property
+    def best_trial(self) -> dict:
+        done = [t for t in self.trials
+                if t["state"] == "COMPLETE" and t["value"] is not None]
+        if not done:
+            raise ValueError("no completed trials")
+        return min(done, key=lambda t: t["value"])
+
+    # -- TPE-lite sampler ------------------------------------------------
+    def _suggest(self) -> dict:
+        done = [t for t in self.trials
+                if t["state"] == "COMPLETE" and t["value"] is not None]
+        if len(done) < self.n_startup_trials:
+            return self.space.sample_random(self._rng)
+        done = sorted(done, key=lambda t: t["value"])
+        n_good = max(int(len(done) * self.gamma), 2)
+        good, bad = done[:n_good], done[n_good:]
+        out = {}
+        for name in self.space.spec:
+            g = np.array([self.space._to_unit(name, t["params"][name])
+                          for t in good])
+            b = np.array([self.space._to_unit(name, t["params"][name])
+                          for t in bad]) if bad else np.array([0.5])
+            bw = max(g.std(), 0.05)
+            # draw candidates from the good KDE, score by density ratio
+            cands = np.clip(
+                g[self._rng.integers(len(g), size=24)]
+                + bw * self._rng.standard_normal(24),
+                0.0, 1.0,
+            )
+
+            def kde(pts, x):
+                return np.mean(
+                    np.exp(-0.5 * ((x[:, None] - pts[None]) / bw) ** 2), axis=1
+                ) + 1.0e-12
+
+            score = kde(g, cands) / kde(b, cands)
+            out[name] = self.space._from_unit(name, float(cands[np.argmax(score)]))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# optimize_sbi
+# ---------------------------------------------------------------------------
+
+DEFAULT_SEARCH_SPACES = {
+    # reference NSF space: hidden 10-100, transforms 3-20, lr 5e-5..1e-2 log
+    # (examples/sbi/configs/custom_loop.yaml via BASELINE.md)
+    "nsf": {
+        "hidden_features": ("int", 10, 100),
+        "num_transforms": ("int", 3, 20),
+        "learning_rate": ("float", 5.0e-5, 1.0e-2, "log"),
+        "batch_size": ("categorical", [64, 128, 256, 512]),
+    },
+    "maf": {
+        "hidden_features": ("int", 10, 128),
+        "num_transforms": ("int", 3, 15),
+        "learning_rate": ("float", 5.0e-5, 1.0e-2, "log"),
+        "batch_size": ("categorical", [64, 128, 256, 512]),
+    },
+    "mdn": {
+        "hidden_features": ("int", 16, 128),
+        "num_components": ("int", 2, 20),
+        "learning_rate": ("float", 5.0e-5, 1.0e-2, "log"),
+        "batch_size": ("categorical", [64, 128, 256, 512]),
+    },
+}
+
+
+def optimize_sbi(
+    fitter,
+    model_type: str = "nsf",
+    search_space: dict | None = None,
+    n_trials: int = 20,
+    objective: str = "val_loss",
+    pruner: MedianPruner | None = None,
+    storage: str | None = None,
+    seed: int = 0,
+    max_epochs: int = 60,
+    verbose: bool = True,
+):
+    """HPO over flow architecture/training (reference `optimize_sbi`,
+    sbi_runner.py:3601-3775).
+
+    objective: "val_loss" (default; = −log_prob), "log_prob-pit"
+    (val_loss + max-PIT-KS penalty), "tarp" (TARP mid deviation).
+    Returns (study, best_params).
+    """
+    from .train import TrainConfig
+
+    space = SearchSpace(search_space or DEFAULT_SEARCH_SPACES[model_type])
+    study = Study(space=space, storage=storage, seed=seed)
+    pruner = pruner or MedianPruner()
+
+    for _ in range(n_trials):
+        trial = study.ask()
+        p = dict(trial["params"])
+        lr = p.pop("learning_rate", 1.0e-4)
+        bs = p.pop("batch_size", 256)
+        try:
+            res = fitter.run_single_sbi(
+                model_type=model_type,
+                train_config=TrainConfig(
+                    batch_size=int(bs), learning_rate=float(lr),
+                    max_epochs=max_epochs, stop_after_epochs=10,
+                ),
+                **p,
+            )
+            val_losses = np.asarray(res.val_losses).reshape(len(res.val_losses), -1).mean(1)
+            pruned = False
+            for step, v in enumerate(val_losses):
+                study.report_intermediate(trial, step, float(v))
+                if pruner.should_prune(step, float(v), study):
+                    pruned = True
+                    break
+            if pruned:
+                study.tell(trial, float(val_losses.min()), state="PRUNED")
+                continue
+            value = float(val_losses.min())
+            if objective in ("log_prob-pit", "tarp"):
+                report = fitter.evaluate_model(n_samples=128, max_objects=128)
+                if objective == "log_prob-pit":
+                    value = value + float(np.max(report["pit_ks"]))
+                else:
+                    value = report["tarp_deviation"]
+            study.tell(trial, value)
+            if verbose:
+                print(f"trial {trial['number']}: {value:.4f} {trial['params']}",
+                      flush=True)
+        except (ValueError, RuntimeError) as e:  # failed trial
+            study.tell(trial, None, state="FAIL")
+            if verbose:
+                print(f"trial {trial['number']} failed: {e}", flush=True)
+
+    best = study.best_trial
+    return study, best["params"]

@@ -1,0 +1,82 @@
+"""Online (sequential) NPE — truncated SNPE rounds with the jitted simulator.
+
+The reference's online path (`run_single_sbi(learning_type="online")`,
+`/root/reference/src/synference/sbi_runner.py:4710-4803`) wraps
+`GalaxySimulator` so every θ draw runs the full Python/Synthesizer stack —
+its slowest configuration (SURVEY §3.4). Here the simulator is a jitted
+batch function, so sequential rounds are cheap: this implements TSNPE
+(truncated sequential NPE, Deistler et al. 2022) — each round's proposal is
+the current posterior restricted to the prior box, which keeps the plain NPE
+loss valid (no importance reweighting or atomic corrections needed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .posterior import DirectPosterior
+from .priors import BoxUniform
+from .train import TrainConfig, train_npe
+
+__all__ = ["run_online_snpe"]
+
+
+def run_online_snpe(
+    simulate_fn,
+    prior: BoxUniform,
+    flow,
+    x_obs,
+    n_rounds: int = 3,
+    sims_per_round: int = 2000,
+    train_config: TrainConfig | None = None,
+    key=None,
+    verbose: bool = True,
+):
+    """Sequential NPE focused on one observation.
+
+    Args:
+        simulate_fn: θ (B, P) -> x (B, D) batched (jit-compatible) simulator
+            INCLUDING the feature transform (so x matches `x_obs`).
+        prior: BoxUniform over θ.
+        flow: ConditionalFlow (untrained; re-trained from scratch each round
+            on the accumulated dataset).
+        x_obs: (D,) the target observation.
+    Returns:
+        (posterior, data dict with all θ/x rounds, per-round history).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    x_obs = jnp.asarray(x_obs, jnp.float32)
+    cfg = train_config or TrainConfig()
+
+    all_theta, all_x, history = [], [], []
+    posterior = None
+    for rnd in range(n_rounds):
+        key, k_prop, k_train = jax.random.split(key, 3)
+        if posterior is None:
+            theta = prior.sample(k_prop, sims_per_round)
+        else:
+            # truncated-posterior proposal (rejection inside the prior box)
+            theta = posterior.sample(
+                k_prop, x_obs, sims_per_round, oversample=2.0
+            )
+        x = simulate_fn(theta)
+        all_theta.append(np.asarray(theta))
+        all_x.append(np.asarray(x))
+
+        theta_cat = np.concatenate(all_theta)
+        x_cat = np.concatenate(all_x)
+        good = np.isfinite(x_cat).all(axis=1) & np.isfinite(theta_cat).all(axis=1)
+        res = train_npe(flow, theta_cat[good], x_cat[good], k_train, cfg)
+        posterior = DirectPosterior(flow, res.params, prior)
+        history.append({
+            "round": rnd,
+            "n_sims": int(good.sum()),
+            "best_val": float(np.min(res.val_losses)),
+        })
+        if verbose:
+            print(f"round {rnd}: n={good.sum()} "
+                  f"val={history[-1]['best_val']:.3f}", flush=True)
+
+    return posterior, {"theta": all_theta, "x": all_x}, history

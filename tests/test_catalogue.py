@@ -1,0 +1,144 @@
+"""Catalogue fitting, OOD, and SBI++ missing-data tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synference_tpu.catalogue import (
+    MissingPhotometryHandler,
+    fit_catalogue,
+    mahalanobis_ood,
+    ood_vote,
+)
+from synference_tpu.features import FeatureConfig
+from synference_tpu.fitter import SBIFitter
+from synference_tpu.library import LibraryGenerator
+from synference_tpu.sed import BatchSEDSimulator, EmissionConfig
+from synference_tpu.train import TrainConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestOOD:
+    def test_mahalanobis_flags_outliers(self, rng):
+        train = rng.standard_normal((2000, 5))
+        test = np.vstack([rng.standard_normal((50, 5)),
+                          10.0 + rng.standard_normal((10, 5))])
+        flags, dist = mahalanobis_ood(train, test)
+        assert flags[50:].all()
+        assert flags[:50].mean() < 0.1
+        assert (dist[50:] > dist[:50].mean()).all()
+
+    def test_vote(self, rng):
+        train = rng.standard_normal((1000, 4))
+        test = np.vstack([rng.standard_normal((20, 4)),
+                          8.0 + np.zeros((5, 4))])
+        flags, votes = ood_vote(train, test, methods=("mahalanobis", "iforest"))
+        assert flags[20:].all()
+        assert votes.shape == (2, 25)
+
+
+class TestMissingHandler:
+    def test_impute_preserves_valid_fills_missing(self, rng):
+        lib = rng.uniform(100, 1000, (500, 4)).astype(np.float32)
+        h = MissingPhotometryHandler(lib, k_neighbors=32, nmc=8)
+        flux = np.array([[500.0, 0.0, 400.0, 300.0]], np.float32)
+        err = np.full((1, 4), 20.0, np.float32)
+        miss = np.array([[0, 1, 0, 0]], np.float32)
+        imp = np.asarray(h.impute(KEY, flux, err, miss))
+        assert imp.shape == (1, 8, 4)
+        # valid bands unchanged
+        np.testing.assert_allclose(imp[0, :, 0], 500.0)
+        np.testing.assert_allclose(imp[0, :, 2], 400.0)
+        # missing band filled within the library range (plus jitter slack)
+        assert imp[0, :, 1].std() > 0
+        assert (imp[0, :, 1] > 0).all() and (imp[0, :, 1] < 2000).all()
+
+    def test_imputation_uses_correlations(self, rng):
+        # library with strong band-band correlation: band1 = 2*band0
+        b0 = rng.uniform(100, 1000, 2000).astype(np.float32)
+        lib = np.stack([b0, 2 * b0], axis=1)
+        h = MissingPhotometryHandler(lib, k_neighbors=32, nmc=32)
+        flux = np.array([[300.0, 0.0]], np.float32)
+        err = np.full((1, 2), 10.0, np.float32)
+        miss = np.array([[0, 1]], np.float32)
+        imp = np.asarray(h.impute(KEY, flux, err, miss))
+        # imputed band1 should cluster near 600
+        assert abs(np.median(imp[0, :, 1]) - 600.0) < 60.0
+
+
+@pytest.fixture(scope="module")
+def trained_fitter(test_grid, nircam_filters):
+    sim = BatchSEDSimulator(
+        grid=test_grid, filters=nircam_filters,
+        param_names=("log10_mass", "redshift", "peak_age", "tau",
+                     "log10_metallicity", "tau_v"),
+        sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+    )
+    gen = LibraryGenerator(sim, {
+        "log10_mass": (8.0, 10.5), "redshift": (0.5, 6.0),
+        "peak_age": (1e8, 8e8), "tau": (0.2, 1.0),
+        "log10_metallicity": (-3.5, -1.8), "tau_v": (0.0, 1.5),
+    })
+    lib = gen.generate(n=1500, batch_size=512, seed=0)
+    fitter = SBIFitter(
+        photometry=lib["photometry"].T,
+        parameters=lib["parameters"].T,
+        parameter_names=lib["parameter_names"],
+        filter_codes=lib["filter_codes"],
+    )
+    fitter.create_feature_array(FeatureConfig(
+        filter_codes=tuple(fitter.filter_codes), unit="asinh",
+        depths_ab=tuple([29.0] * 7), include_errors=True,
+    ))
+    fitter.run_single_sbi(
+        model_type="mdn", hidden_features=32, num_components=4,
+        train_config=TrainConfig(max_epochs=15, batch_size=512,
+                                 learning_rate=1e-3),
+    )
+    return fitter, lib
+
+
+class TestFitCatalogue:
+    def test_basic_table(self, trained_fitter, rng):
+        fitter, lib = trained_fitter
+        phot = lib["photometry"].T[:10]
+        errs = 0.05 * phot
+        table = fit_catalogue(fitter, phot, errs, "nJy", n_samples=200,
+                              check_ood=True,
+                              ood_methods=("mahalanobis",))
+        assert table["_samples"].shape == (10, 200, 6)
+        for name in fitter.parameter_names:
+            assert f"{name}_q50" in table
+            lo, mid, hi = (table[f"{name}_q16"], table[f"{name}_q50"],
+                           table[f"{name}_q84"])
+            assert (lo <= mid).all() and (mid <= hi).all()
+        # in-distribution inputs: few OOD flags
+        assert table["flag_ood"].mean() < 0.5
+
+    def test_ood_flags_garbage(self, trained_fitter):
+        fitter, lib = trained_fitter
+        garbage = np.full((5, 7), 1.0e9, np.float32)
+        errs = 0.05 * garbage
+        table = fit_catalogue(fitter, garbage, errs, "nJy", n_samples=50,
+                              ood_methods=("mahalanobis",))
+        assert table["flag_ood"].all()
+
+    def test_missing_data_path(self, trained_fitter):
+        fitter, lib = trained_fitter
+        phot = lib["photometry"].T[:6]
+        errs = 0.05 * phot
+        miss = np.zeros_like(phot)
+        miss[:, 2] = 1.0
+        handler = MissingPhotometryHandler(
+            lib["photometry"].T, k_neighbors=32, nmc=4
+        )
+        table = fit_catalogue(
+            fitter, phot, errs, "nJy", missing_mask=miss,
+            n_samples=100, check_ood=False,
+            missing_data_handler=handler,
+        )
+        assert table["_samples"].shape == (6, 100, 6)
+        assert (table["n_missing"] == 1).all()
+        assert np.isfinite(table["_samples"]).all()

@@ -1,0 +1,226 @@
+"""Feature pipeline tests (mirrors reference test_sbi.py's ~15 feature-array
+variants, sbi_runner feature semantics)."""
+
+import jax
+import numpy as np
+import pytest
+
+from synference_tpu import units as U
+from synference_tpu.features import FeatureConfig, FeaturePipeline
+from synference_tpu.filter_arithmetic import FilterArithmeticParser
+from synference_tpu.noise_models import EmpiricalNoiseModel
+
+CODES = ("F090W", "F115W", "F150W", "F200W", "F277W", "F356W", "F444W")
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture()
+def phot(rng):
+    return 10.0 ** rng.uniform(1.0, 4.0, (200, 7))  # nJy
+
+
+@pytest.fixture()
+def params(rng):
+    return rng.random((200, 3)).astype(np.float32)
+
+
+class TestBasics:
+    def test_plain_asinh_features(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(filter_codes=CODES, unit="asinh",
+                                           include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape == (200, 7)
+        assert res.parameters.shape == (200, 3)
+        expected = np.asarray(
+            U.f_jy_to_asinh(phot * 1e-9, 5.0e-9)
+        )
+        np.testing.assert_allclose(res.features, expected, rtol=1e-4)
+
+    def test_remove_filters(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(filter_codes=CODES,
+                                           remove_filters=("F090W", "F444W"),
+                                           include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape[1] == 5
+        assert "F090W" not in res.feature_names
+
+    def test_depth_scattering_and_errors(self, phot, params):
+        depths = tuple([28.0] * 7)
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="AB", depths_ab=depths,
+            n_scatters=3, include_errors=True))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape[0] <= 600  # NaN rows pruned
+        assert res.features.shape[1] == 14
+        assert res.parameters.shape[0] == res.features.shape[0]
+        # params repeat in scatter blocks
+        n = res.flags["n_input_rows"]
+        assert n == 200
+
+    def test_min_pct_error_floor(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="nJy", depths_ab=tuple([35.0] * 7),
+            min_pct_error=0.1, include_errors=True))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        flux = res.features[:, :7]
+        err = res.features[:, 7:]
+        assert np.all(err >= 0.1 * np.abs(flux) - 1e-5)
+
+    def test_scatter_statistics(self, params, rng):
+        flux = np.full((500, 7), 1000.0)
+        depths = tuple([28.0] * 7)
+        sigma = float(U.ab_depth_to_sigma_njy(28.0, 5.0))
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="nJy", depths_ab=depths,
+            include_errors=True))
+        res = fp.build(KEY, flux, None, ())
+        resid = res.features[:, :7] - 1000.0
+        assert np.isclose(resid.std(), sigma, rtol=0.05)
+        np.testing.assert_allclose(res.features[:, 7:], sigma, rtol=1e-5)
+
+
+class TestNormalization:
+    def test_filter_norm_mag_space(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="AB", normalize_method="F200W",
+            norm_unit="log10_nJy", include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        # 6 colors + 1 norm
+        assert res.features.shape[1] == 7
+        assert res.feature_names[-1] == "norm_F200W_log10_nJy"
+        ab = np.asarray(U.njy_to_ab(phot))
+        expected_colors = np.delete(ab, 3, axis=1) - ab[:, 3:4]
+        np.testing.assert_allclose(
+            res.features[:, :6], expected_colors, rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            res.features[:, 6], np.log10(phot[:, 3]), rtol=1e-5
+        )
+
+    def test_flux_space_norm_divides(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="nJy", normalize_method="F200W",
+            include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        expected = np.delete(phot, 3, axis=1) / phot[:, 3:4]
+        np.testing.assert_allclose(res.features[:, :6], expected, rtol=1e-4)
+
+
+class TestMissingBands:
+    def test_random_missing(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="asinh", missing_fraction=0.3,
+            include_errors=False, include_flags=True))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape[1] == 14
+        flux = res.features[:, :7]
+        flags = res.features[:, 7:]
+        frac = (flux == 99.0).mean()
+        assert 0.2 < frac < 0.4
+        np.testing.assert_array_equal(flux == 99.0, flags == 1.0)
+
+    def test_preset_mask_options(self, phot, params):
+        opts = ((0, 0, 0, 0, 0, 0, 0), (1, 1, 0, 0, 0, 0, 0))
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="asinh",
+            missing_flux_options=opts, include_errors=False,
+            include_flags=True))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        flags = res.features[:, 7:]
+        # every row matches one of the two presets
+        for row in flags:
+            assert tuple(row.astype(int)) in opts
+
+
+class TestExtraFeatures:
+    def test_filter_arithmetic_color(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="AB",
+            extra_features=("F200W - F090W",), include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape[1] == 8
+        ab = np.asarray(U.njy_to_ab(phot))
+        np.testing.assert_allclose(
+            res.features[:, 7], ab[:, 3] - ab[:, 0], rtol=1e-4, atol=1e-4
+        )
+
+    def test_parameter_as_feature(self, phot, params):
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="asinh",
+            extra_features=("b",), include_errors=False))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        np.testing.assert_allclose(res.features[:, 7], params[:, 1], rtol=1e-5)
+
+
+class TestObservationReplay:
+    def test_replay_matches_training_transform(self, phot, rng):
+        """Noise-free training transform == observation transform."""
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="asinh", normalize_method="F200W",
+            include_errors=True, norm_unit="AB")
+        fp = FeaturePipeline(cfg)
+        errs = 0.05 * phot
+        x_obs = fp.transform_observations(phot, errs, flux_unit="nJy")
+        # training path without noise models: same transform, sigma absent ->
+        # emulate by providing empirical "identity" errors via obs replay only
+        assert x_obs.shape[1] == 6 + 6 + 1
+        assert np.isfinite(x_obs).all()
+
+    def test_missing_mask_replay(self, phot):
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="asinh", include_errors=True,
+            missing_fraction=0.2, include_flags=True)
+        fp = FeaturePipeline(cfg)
+        errs = 0.05 * phot
+        mask = np.zeros_like(phot)
+        mask[:, 2] = 1.0
+        x = fp.transform_observations(phot, errs, "nJy", missing_mask=mask)
+        assert x.shape[1] == 21
+        assert np.all(x[:, 2] == 99.0)
+        assert np.all(x[:, 7 + 2] == 99.0)
+        assert np.all(x[:, 14 + 2] == 1.0)
+
+    def test_flags_roundtrip(self, phot, params):
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="AB", depths_ab=tuple([28.0] * 7),
+            n_scatters=2, normalize_method="F200W")
+        fp = FeaturePipeline(cfg)
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        fp2 = FeaturePipeline.from_flags(res.flags)
+        assert fp2.config == cfg
+
+
+class TestEmpiricalNoiseInPipeline:
+    def test_per_filter_models(self, phot, params, rng):
+        cat_flux = 10.0 ** rng.uniform(1, 4, 20000)
+        cat_err = 0.05 * cat_flux + 2.0
+        m = EmpiricalNoiseModel.from_catalogue(cat_flux, cat_err)
+        fp = FeaturePipeline(
+            FeatureConfig(filter_codes=CODES, unit="nJy",
+                          include_errors=True),
+            noise_models={c: m for c in CODES},
+        )
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.features.shape[1] == 14
+        assert np.isfinite(res.features).all()
+
+
+class TestParser:
+    def test_tokenize_and_eval(self):
+        p = FilterArithmeticParser()
+        cols = {"F200W": np.array([3.0]), "F090W": np.array([1.0])}
+        assert p.parse_and_evaluate("F200W - F090W", cols)[0] == 2.0
+        assert p.parse_and_evaluate("(F200W + F090W) / 2", cols)[0] == 2.0
+        assert p.parse_and_evaluate("2 * F090W", cols)[0] == 2.0
+
+    def test_long_names(self):
+        p = FilterArithmeticParser()
+        cols = {"JWST/NIRCam.F200W": np.array([5.0])}
+        assert p.parse_and_evaluate("F200W * 2", cols)[0] == 10.0
+
+    def test_errors(self):
+        p = FilterArithmeticParser()
+        with pytest.raises(KeyError):
+            p.parse_and_evaluate("NOPE + 1", {"a": np.array([1.0])})
+        with pytest.raises(ValueError):
+            p.parse_and_evaluate("(a + 1", {"a": np.array([1.0])})

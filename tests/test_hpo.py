@@ -1,0 +1,82 @@
+"""HPO study/sampler/pruner tests."""
+
+import numpy as np
+import pytest
+
+from synference_tpu.hpo import MedianPruner, SearchSpace, Study
+
+
+class TestSearchSpace:
+    def test_random_sampling_respects_bounds(self):
+        sp = SearchSpace({
+            "h": ("int", 10, 100),
+            "lr": ("float", 1e-5, 1e-2, "log"),
+            "bs": ("categorical", [64, 128]),
+        })
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            s = sp.sample_random(rng)
+            assert 10 <= s["h"] <= 100
+            assert 1e-5 <= s["lr"] <= 1e-2
+            assert s["bs"] in (64, 128)
+
+    def test_unit_roundtrip(self):
+        sp = SearchSpace({"lr": ("float", 1e-5, 1e-2, "log")})
+        u = sp._to_unit("lr", 1e-3)
+        assert np.isclose(sp._from_unit("lr", u), 1e-3, rtol=1e-6)
+
+
+class TestStudy:
+    def _run_study(self, storage=None, n=30, seed=0):
+        sp = SearchSpace({"x": ("float", -5.0, 5.0),
+                          "y": ("float", -5.0, 5.0)})
+        study = Study(space=sp, storage=storage, seed=seed,
+                      n_startup_trials=8)
+        for _ in range(n):
+            t = study.ask()
+            value = (t["params"]["x"] - 2.0) ** 2 + (t["params"]["y"] + 1.0) ** 2
+            study.tell(t, value)
+        return study
+
+    def test_tpe_converges_toward_optimum(self):
+        study = self._run_study(n=60)
+        best = study.best_trial
+        assert best["value"] < 1.0
+        # later trials should concentrate near the optimum vs random
+        late = [t["params"]["x"] for t in study.trials[40:]]
+        assert abs(np.median(late) - 2.0) < 2.0
+
+    def test_json_persistence(self, tmp_path):
+        path = str(tmp_path / "study.json")
+        s1 = self._run_study(storage=path, n=12)
+        s2 = Study(space=s1.space, storage=path)
+        assert len(s2.trials) == 12
+        assert s2.best_trial["value"] == s1.best_trial["value"]
+
+    def test_sqlite_multiworker(self, tmp_path):
+        path = str(tmp_path / "study.db")
+        s1 = self._run_study(storage=path, n=10, seed=0)
+        # second "worker" resumes the same study and sees prior trials
+        s2 = Study(space=s1.space, storage=path, seed=1)
+        t = s2.ask()
+        assert t["number"] == 10
+        s2.tell(t, 123.0)
+        s3 = Study(space=s1.space, storage=path)
+        assert len(s3.trials) == 11
+
+
+class TestPruner:
+    def test_median_pruner(self):
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp, n_startup_trials=1)
+        pruner = MedianPruner(n_startup_trials=3, n_warmup_steps=1)
+        # five completed trials with intermediate values ~1.0
+        for _ in range(5):
+            t = study.ask()
+            for step in range(5):
+                study.report_intermediate(t, step, 1.0)
+            study.tell(t, 1.0)
+        t = study.ask()
+        assert not pruner.should_prune(0, 5.0, study)  # warmup
+        assert pruner.should_prune(3, 5.0, study)  # way above median
+        assert not pruner.should_prune(3, 0.5, study)  # better than median

@@ -1,0 +1,91 @@
+"""Simformer tests: VPSDE math, score net shapes, end-to-end conditional
+recovery on a toy joint distribution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synference_tpu.simformer import (
+    Simformer,
+    SimformerConfig,
+    SimformerPosterior,
+    VPSDE,
+    block_attn_mask,
+    train_simformer,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestVPSDE:
+    def test_boundary_values(self):
+        sde = VPSDE()
+        assert float(sde.alpha(jnp.asarray(0.0))) == pytest.approx(1.0)
+        assert float(sde.sigma(jnp.asarray(1.0))) == pytest.approx(1.0, abs=1e-3)
+        assert float(sde.sigma(jnp.asarray(1e-4))) < 0.01
+
+    def test_variance_preserved(self):
+        sde = VPSDE()
+        for t in [0.1, 0.5, 0.9]:
+            a = float(sde.alpha(jnp.asarray(t)))
+            s = float(sde.sigma(jnp.asarray(t)))
+            assert a**2 + s**2 == pytest.approx(1.0, abs=1e-4)
+
+
+class TestScoreNet:
+    def test_shapes(self):
+        cfg = SimformerConfig(n_tokens=10, d_model=32, n_heads=2, n_layers=2)
+        model = Simformer(cfg)
+        params = model.init(KEY)
+        v = jnp.zeros((4, 10))
+        t = jnp.full((4,), 0.5)
+        cond = jnp.zeros((4, 10))
+        s = model.score(params, v, t, cond)
+        assert s.shape == (4, 10)
+        assert np.isfinite(np.asarray(s)).all()
+
+    def test_attn_mask_blocks(self):
+        m = block_attn_mask(3, 4, "causal")
+        assert m.shape == (7, 7)
+        assert m[0, :3].all() and not m[0, 3:].any()  # theta sees theta only
+        assert m[3, :4].all() and not m[3, 4:].any()  # x0 sees theta + itself
+
+    def test_full_mask(self):
+        assert block_attn_mask(2, 2, "full").all()
+
+
+@pytest.mark.slow
+def test_simformer_recovers_conditional():
+    """Joint: x = θ + 0.1 ε with θ ~ N(0,1): posterior θ|x ~ N(x·(1/1.01),
+    ~0.1). Train briefly; check conditional mean tracks x."""
+    rng = np.random.default_rng(0)
+    n = 3000
+    theta = rng.standard_normal((n, 2)).astype(np.float32)
+    x = (theta + 0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+
+    cfg = SimformerConfig(n_tokens=4, d_model=48, n_heads=4, n_layers=2,
+                          d_ff=96)
+    model = Simformer(cfg)
+    params, std, hist = train_simformer(
+        model, theta, x, KEY, batch_size=256, learning_rate=3e-4,
+        max_epochs=40, stop_after_epochs=40,
+    )
+    assert hist["val"][-1] < hist["val"][0]
+
+    post = SimformerPosterior(model, params, std, n_steps=200)
+    x_obs = np.array([1.0, -1.0], np.float32)
+    s = np.asarray(post.sample(jax.random.PRNGKey(3), x_obs, 800))
+    assert s.shape == (800, 2)
+    # conditional mean near x_obs, spread well below prior (1.0)
+    assert abs(s[:, 0].mean() - 1.0) < 0.35
+    assert abs(s[:, 1].mean() + 1.0) < 0.35
+    assert s.std(0).max() < 0.6
+
+    # arbitrary conditioning: observe only x0 -> theta1 stays ~prior
+    cond = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+    s2 = np.asarray(
+        post.sample(jax.random.PRNGKey(4), x_obs, 800, condition_mask=cond)
+    )
+    assert s2[:, 1].std() > 0.6  # close to prior width
+    assert abs(s2[:, 0].mean() - 1.0) < 0.35

@@ -1,0 +1,205 @@
+"""Training loop, posterior, and diagnostics tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synference_tpu.diagnostics import (
+    expected_coverage,
+    pit_ks_statistic,
+    pit_values,
+    point_metrics,
+    sbc_ranks,
+    tarp_coverage,
+)
+from synference_tpu.flows import build_flow
+from synference_tpu.posterior import DirectPosterior, EnsemblePosterior
+from synference_tpu.priors import BoxUniform, priors_from_library
+from synference_tpu.train import TrainConfig, train_ensemble, train_npe
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _toy_data(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    theta = np.stack(
+        [x[:, 0] + 0.1 * rng.standard_normal(n),
+         x[:, 1] - x[:, 2] + 0.1 * rng.standard_normal(n)], axis=1
+    ).astype(np.float32)
+    return theta, x
+
+
+class TestTraining:
+    def test_single_flow_improves(self):
+        theta, x = _toy_data()
+        flow = build_flow("maf", 2, 3, hidden_features=24, num_transforms=3)
+        res = train_npe(flow, theta, x, KEY,
+                        TrainConfig(max_epochs=15, stop_after_epochs=15,
+                                    batch_size=256, learning_rate=3e-4))
+        assert res.val_losses[-1] < res.val_losses[0]
+        assert res.n_members == 1
+
+    def test_ensemble_stacks_members(self):
+        theta, x = _toy_data(800)
+        flow = build_flow("mdn", 2, 3, hidden_features=16, num_components=3)
+        res = train_ensemble(flow, theta, x, KEY,
+                             TrainConfig(max_epochs=5, batch_size=256),
+                             n_nets=3)
+        assert res.val_losses.shape[1] == 3
+        leaves = jax.tree_util.tree_leaves(res.params)
+        assert all(leaf.shape[0] == 3 for leaf in leaves)
+        # members differ (different inits)
+        w = leaves[0]
+        assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
+
+    def test_early_stopping(self):
+        theta, x = _toy_data(400)
+        flow = build_flow("gaussian", 2, 3, hidden_features=8)
+        res = train_npe(flow, theta, x, KEY,
+                        TrainConfig(max_epochs=500, stop_after_epochs=3,
+                                    batch_size=128, learning_rate=5e-3))
+        assert len(res.val_losses) < 500
+
+    def test_checkpoint_resume(self, tmp_path):
+        theta, x = _toy_data(400)
+        flow = build_flow("gaussian", 2, 3, hidden_features=8)
+        ckpt = str(tmp_path / "ck.pkl")
+        cfg = TrainConfig(max_epochs=4, stop_after_epochs=50, batch_size=128,
+                          checkpoint_path=ckpt, checkpoint_every=2)
+        train_npe(flow, theta, x, KEY, cfg, resume=False)
+        # checkpoint deleted on success
+        assert not os.path.exists(ckpt)
+        # interrupt-style: run 2 epochs, checkpoint persists midway
+        cfg2 = TrainConfig(max_epochs=2, stop_after_epochs=50, batch_size=128,
+                           checkpoint_path=ckpt, checkpoint_every=1)
+        train_npe(flow, theta, x, KEY, cfg2, resume=False)
+        assert not os.path.exists(ckpt)  # completed normally again
+
+
+class TestPosterior:
+    def _trained(self, n_nets=1):
+        theta, x = _toy_data()
+        flow = build_flow("mdn", 2, 3, hidden_features=24, num_components=3)
+        res = train_ensemble(flow, theta, x, KEY,
+                             TrainConfig(max_epochs=25, batch_size=256,
+                                         learning_rate=1e-3), n_nets=n_nets)
+        prior = BoxUniform([-3.0, -3.0], [3.0, 3.0], ("a", "b"))
+        if n_nets == 1:
+            params = jax.tree_util.tree_map(lambda a: a[0], res.params)
+            return DirectPosterior(flow, params, prior), theta, x
+        return EnsemblePosterior(flow, res.params, prior, n_nets), theta, x
+
+    def test_samples_in_support(self):
+        post, theta, x = self._trained()
+        s = np.asarray(post.sample(KEY, x[0], 500))
+        assert s.shape == (500, 2)
+        assert (s >= -3).all() and (s <= 3).all()
+
+    def test_sample_batch_shape(self):
+        post, theta, x = self._trained()
+        s = np.asarray(post.sample_batch(KEY, x[:7], 100))
+        assert s.shape == (7, 100, 2)
+
+    def test_posterior_centers_on_truth(self):
+        post, theta, x = self._trained()
+        s = np.asarray(post.sample_batch(KEY, x[:50], 400))
+        med = np.median(s, axis=1)
+        resid = med - theta[:50]
+        assert np.abs(resid.mean(0)).max() < 0.1
+        assert resid.std(0).max() < 0.25
+
+    def test_log_prob_outside_support(self):
+        post, theta, x = self._trained()
+        lp = np.asarray(post.log_prob(np.array([[10.0, 0.0]]), x[:1]))
+        assert lp[0] == -np.inf
+
+    def test_ensemble_posterior(self):
+        post, theta, x = self._trained(n_nets=2)
+        s = np.asarray(post.sample(KEY, x[0], 300))
+        assert s.shape == (300, 2)
+        lp = np.asarray(post.log_prob(theta[:10], x[:10]))
+        assert np.isfinite(lp).all()
+
+
+class TestDiagnostics:
+    def test_pit_uniform_for_calibrated(self, rng):
+        # perfectly calibrated: samples from the same normal as truths
+        m, s_count = 400, 200
+        truths = rng.standard_normal((m, 2)).astype(np.float32)
+        samples = rng.standard_normal((m, s_count, 2)).astype(np.float32)
+        pit = np.asarray(pit_values(samples, truths))
+        ks = pit_ks_statistic(pit)
+        assert (ks < 0.08).all()
+
+    def test_pit_detects_miscalibration(self, rng):
+        m, s_count = 400, 200
+        truths = rng.standard_normal((m, 1)).astype(np.float32)
+        # overconfident posterior (too narrow)
+        samples = 0.2 * rng.standard_normal((m, s_count, 1)).astype(np.float32)
+        ks = pit_ks_statistic(np.asarray(pit_values(samples, truths)))
+        assert ks[0] > 0.2
+
+    def test_sbc_ranks_range(self, rng):
+        samples = rng.standard_normal((50, 99, 2))
+        truths = rng.standard_normal((50, 2))
+        ranks = np.asarray(sbc_ranks(samples, truths))
+        assert ranks.min() >= 0 and ranks.max() <= 99
+
+    def test_tarp_calibrated(self, rng):
+        m, s_count = 500, 300
+        truths = rng.standard_normal((m, 2)).astype(np.float32)
+        samples = rng.standard_normal((m, s_count, 2)).astype(np.float32)
+        alphas, ecp = tarp_coverage(samples, truths)
+        assert np.abs(ecp - alphas).max() < 0.08
+
+    def test_tarp_detects_bias(self, rng):
+        m, s_count = 500, 300
+        truths = rng.standard_normal((m, 2)).astype(np.float32)
+        samples = (
+            2.0 + rng.standard_normal((m, s_count, 2))
+        ).astype(np.float32)  # biased
+        alphas, ecp = tarp_coverage(samples, truths)
+        assert np.abs(ecp - alphas).max() > 0.2
+
+    def test_coverage_table(self, rng):
+        truths = rng.standard_normal((300, 2))
+        samples = rng.standard_normal((300, 400, 2))
+        cov = expected_coverage(samples, truths, levels=(0.68,))
+        np.testing.assert_allclose(cov, 0.68, atol=0.08)
+
+    def test_point_metrics_perfect(self):
+        truths = np.linspace(0, 1, 50)[:, None]
+        samples = np.repeat(truths[:, None, :], 64, axis=1)
+        m = point_metrics(samples, truths)
+        assert m["rmse"][0] < 1e-6
+        assert m["r2"][0] > 0.999
+
+
+class TestPriors:
+    def test_from_library(self):
+        params = np.array([[1.0, 2.0, 3.0], [10.0, 20.0, 30.0]]).T  # (3,2)?
+        prior = priors_from_library(
+            params.T, ["a", "b"], overrides={"b": (0.0, 100.0)}
+        )
+        assert prior.names == ("a", "b")
+        np.testing.assert_allclose(np.asarray(prior.low), [1.0, 0.0])
+        np.testing.assert_allclose(np.asarray(prior.high), [3.0, 100.0])
+
+    def test_extend_pct_with_guard(self):
+        params = np.array([[0.1, 1.0]])  # (1 param, 2 samples)? shape (1,2)
+        prior = priors_from_library(
+            params, ["mass"], extend_pct=0.5, positive_params=("mass",)
+        )
+        assert float(prior.low[0]) == 0.0
+        assert float(prior.high[0]) > 1.0
+
+    def test_sample_log_prob(self):
+        prior = BoxUniform([0.0], [2.0])
+        s = prior.sample(KEY, 1000)
+        assert (np.asarray(s) >= 0).all() and (np.asarray(s) <= 2).all()
+        lp = np.asarray(prior.log_prob(np.array([[1.0]])))
+        np.testing.assert_allclose(lp, -np.log(2.0), rtol=1e-5)
