@@ -10,10 +10,20 @@ Public API mirrors the reference's flat namespace
 (`/root/reference/src/synference/__init__.py:49-115`).
 """
 
+from .catalogue import (
+    MissingPhotometryHandler,
+    fit_catalogue,
+    mahalanobis_ood,
+    ood_vote,
+)
+from .composite import CompositeSEDSimulator, grid_combinations
 from .cosmology import PLANCK18, Cosmology
 from .diagnostics import (
+    c2st,
     evaluate_posterior,
     expected_coverage,
+    fit_marginal_flow,
+    misspecification_check,
     pit_ks_statistic,
     pit_values,
     point_metrics,
@@ -37,6 +47,13 @@ from .library import (
     save_library_hdf5,
     simulator_from_library,
 )
+from .hpo import MedianPruner, SearchSpace, Study, optimize_sbi
+from .mcmc import (
+    dirichlet_cumsum_transform,
+    fit_observation_mcmc,
+    gaussian_loglike,
+    run_ensemble_mcmc,
+)
 from .noise_models import (
     AsinhEmpiricalNoiseModel,
     DepthNoiseModel,
@@ -44,11 +61,26 @@ from .noise_models import (
     GeneralEmpiricalNoiseModel,
     NoiseModel,
     SpectralNoiseModel,
+    create_noise_models_from_catalogue,
     load_noise_model_hdf5,
     save_noise_model_hdf5,
 )
+from .online import run_online_snpe
 from .posterior import DirectPosterior, EnsemblePosterior
 from .priors import BoxUniform, priors_from_library
+from .recovery import recover_sed
+from .simformer import (
+    Simformer,
+    SimformerConfig,
+    SimformerPosterior,
+    VPSDE,
+    train_simformer,
+)
+from .spectra import (
+    SpectralFeaturePipeline,
+    generate_constant_r_grid,
+    match_resolution_constant_r,
+)
 from .sed import BatchSEDSimulator, EmissionConfig
 from .sfh import SFH_FAMILIES, ZDIST_FAMILIES, sfh_weights, zdist_weights
 from .supplementary import SUPP_FUNCTIONS, compute_supplementary
@@ -91,4 +123,23 @@ __all__ = [
     "point_metrics",
     # units
     "FluxUnit", "convert_flux", "convert_flux_err",
+    # catalogue fitting
+    "fit_catalogue", "MissingPhotometryHandler", "mahalanobis_ood",
+    "ood_vote",
+    # composite
+    "CompositeSEDSimulator", "grid_combinations",
+    # simformer
+    "Simformer", "SimformerConfig", "SimformerPosterior", "VPSDE",
+    "train_simformer",
+    # hpo
+    "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
+    # mcmc / online / recovery
+    "run_ensemble_mcmc", "fit_observation_mcmc", "gaussian_loglike",
+    "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",
+    # spectra
+    "SpectralFeaturePipeline", "generate_constant_r_grid",
+    "match_resolution_constant_r",
+    # misc diagnostics
+    "c2st", "fit_marginal_flow", "misspecification_check",
+    "create_noise_models_from_catalogue",
 ]

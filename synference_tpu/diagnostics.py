@@ -138,6 +138,66 @@ def point_metrics(samples, truths):
     }
 
 
+def c2st(x_samples, y_samples, n_folds: int = 3, random_state: int = 0):
+    """Classifier two-sample test (the reference exposes sbi's L-C2ST,
+    sbi_runner.py:986-1063): accuracy ≈ 0.5 ⇒ the two sample sets are
+    indistinguishable. Uses an sklearn MLP with k-fold cross-validation."""
+    from sklearn.model_selection import cross_val_score
+    from sklearn.neural_network import MLPClassifier
+
+    x = np.asarray(x_samples)
+    y = np.asarray(y_samples)
+    data = np.concatenate([x, y])
+    mu, sd = data.mean(0), np.maximum(data.std(0), 1e-8)
+    data = (data - mu) / sd
+    labels = np.concatenate([np.zeros(len(x)), np.ones(len(y))])
+    clf = MLPClassifier(
+        hidden_layer_sizes=(64,), max_iter=300, random_state=random_state
+    )
+    scores = cross_val_score(clf, data, labels, cv=n_folds)
+    return float(scores.mean())
+
+
+def fit_marginal_flow(x, key=None, hidden_features: int = 32,
+                      num_transforms: int = 4, max_epochs: int = 40):
+    """Unconditional density model of the feature marginal p(x), used for
+    model-misspecification checks (reference trains sbi's MarginalTrainer,
+    sbi_runner.py:905-984). Returns (flow, params)."""
+    import jax as _jax
+
+    from .flows.base import build_flow
+    from .train import TrainConfig, train_npe
+
+    x = np.asarray(x, np.float32)
+    flow = build_flow("maf", theta_dim=x.shape[1], context_dim=0,
+                      hidden_features=hidden_features,
+                      num_transforms=num_transforms)
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    res = train_npe(
+        flow, x, np.zeros((len(x), 0), np.float32), key,
+        TrainConfig(max_epochs=max_epochs, stop_after_epochs=8,
+                    batch_size=512, learning_rate=1e-3),
+    )
+    return flow, res.params
+
+
+def misspecification_check(flow, params, x_train, x_obs,
+                           quantile: float = 0.01):
+    """Flag observations whose marginal density falls below the `quantile`
+    of the training-set marginal log-probs. Returns (flags, logp_obs,
+    threshold)."""
+    lp_train = np.asarray(
+        flow.log_prob(params, np.asarray(x_train, np.float32),
+                      np.zeros((len(x_train), 0), np.float32))
+    )
+    thresh = float(np.quantile(lp_train, quantile))
+    x_obs = np.atleast_2d(np.asarray(x_obs, np.float32))
+    lp_obs = np.asarray(
+        flow.log_prob(params, x_obs, np.zeros((len(x_obs), 0), np.float32))
+    )
+    return lp_obs < thresh, lp_obs, thresh
+
+
 def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
                        parameter_names=None):
     """Full validation report for a posterior on held-out (x, θ) pairs.

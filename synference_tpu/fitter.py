@@ -49,8 +49,10 @@ class SBIFitter:
         filter_codes,
         supplementary: np.ndarray | None = None,
         supplementary_names=(),
+        spectra: np.ndarray | None = None,
         name: str = "sbi_model",
     ):
+        self.spectra = None if spectra is None else np.asarray(spectra, np.float32)
         self.photometry = np.asarray(photometry, np.float32)
         self.parameters = np.asarray(parameters, np.float32)
         self.parameter_names = list(parameter_names)
@@ -87,6 +89,7 @@ class SBIFitter:
                 else None
             ),
             supplementary_names=lib.get("supplementary_parameter_names", ()),
+            spectra=lib["spectra"].T if "spectra" in lib else None,
             name=name or os.path.basename(path).rsplit(".", 1)[0],
         )
 
@@ -117,6 +120,54 @@ class SBIFitter:
         self.feature_params = res.parameters
         self.feature_flags = res.flags
         return res
+
+    # ------------------------------------------------------------------
+    def create_feature_array_from_raw_spectra(
+        self,
+        noise_model=None,
+        n_scatters: int = 1,
+        crop: tuple | None = None,
+        normalize_pixel: int | None = None,
+        key=None,
+    ):
+        """Spectral features (reference
+        `create_feature_array_from_raw_spectra`, sbi_runner.py:1180-1428).
+
+        Library spectra must already be on a common instrument grid (use
+        `LibraryGenerator(spectral_pipeline=...)`). Steps: optional crop to a
+        pixel window, optional per-pixel noise scattering via a
+        SpectralNoiseModel, optional normalization by one pixel's flux.
+        """
+        import jax as _jax
+
+        if self.spectra is None:
+            raise RuntimeError("library has no spectra")
+        spec = jnp.asarray(self.spectra, jnp.float32)
+        if crop is not None:
+            spec = spec[:, crop[0]: crop[1]]
+        params = jnp.asarray(self.parameters, jnp.float32)
+        if n_scatters > 1 or noise_model is not None:
+            spec = jnp.tile(spec, (max(n_scatters, 1), 1))
+            params = jnp.tile(params, (max(n_scatters, 1), 1))
+        if noise_model is not None:
+            key = key if key is not None else _jax.random.PRNGKey(0)
+            spec, _ = noise_model.apply(key, spec)
+        if normalize_pixel is not None:
+            norm = spec[:, normalize_pixel]
+            norm = jnp.where(norm == 0, 1.0, norm)
+            spec = jnp.concatenate(
+                [spec / norm[:, None],
+                 jnp.log10(jnp.abs(norm))[:, None]], axis=1
+            )
+        feats = np.asarray(spec)
+        good = np.isfinite(feats).all(axis=1)
+        self.features = feats[good]
+        self.feature_params = np.asarray(params)[good]
+        self.feature_flags = {
+            "spectral": True, "crop": crop,
+            "normalize_pixel": normalize_pixel, "n_scatters": n_scatters,
+        }
+        return self.features
 
     # ------------------------------------------------------------------
     def create_priors(self, overrides=None, extend_pct: float = 0.0):
@@ -276,6 +327,7 @@ class SBIFitter:
         fitter._split = None
         fitter.photometry = None
         fitter.parameters = None
+        fitter.spectra = None
         return fitter
 
     # ------------------------------------------------------------------

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 
 import h5py
 import numpy as np
@@ -263,12 +264,16 @@ class LibraryGenerator:
         unlog_keys: list | None = None,
         supplementary: tuple = (),
         engine: str = "lhc",
+        spectral_pipeline=None,
     ):
         self.simulator = simulator
         self.param_ranges = dict(param_ranges)
         self.unlog_keys = list(unlog_keys or [])
         self.supplementary = tuple(supplementary)
         self.engine = engine
+        # optional SpectralFeaturePipeline: stored spectra then live on the
+        # instrument grid instead of the per-galaxy shifted rest grid
+        self.spectral_pipeline = spectral_pipeline
         # the post-unlog key order must match simulator.param_names
         drawn_keys = []
         for key in self.param_ranges:
@@ -304,10 +309,16 @@ class LibraryGenerator:
         out_path: str | None = None,
         want_spectra: bool = False,
         pmapped_fn=None,
+        resume_path: str | None = None,
     ) -> dict:
         """Generate n mock SEDs; returns the library dict, optionally writes
         HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
-        batch function for multi-device meshes."""
+        batch function for multi-device meshes.
+
+        `resume_path`: npz checkpoint updated after each chunk; completed
+        chunks are skipped on restart (the reference's batch-file resume,
+        library.py:2516-2560). Deleted on success.
+        """
         import jax
 
         theta = self.sample_parameters(n, rng=np.random.default_rng(seed))
@@ -327,11 +338,35 @@ class LibraryGenerator:
             )
 
         phot_chunks, spec_chunks, supp_chunks = [], [], []
-        for i in range(0, n_pad, batch_size):
+        start_chunk = 0
+        if resume_path is not None and os.path.exists(resume_path):
+            ck = np.load(resume_path, allow_pickle=True)
+            if (
+                int(ck["n"]) == n
+                and int(ck["batch_size"]) == batch_size
+                and int(ck["seed"]) == seed
+            ):
+                phot_chunks = list(ck["phot"])
+                spec_chunks = list(ck["spec"]) if want_spectra else []
+                supp_chunks = list(ck["supp"]) if self.supplementary else []
+                start_chunk = len(phot_chunks)
+
+        for ci, i in enumerate(range(0, n_pad, batch_size)):
+            if ci < start_chunk:
+                continue
             out = batch_fn(theta_pad[i : i + batch_size])
             phot_chunks.append(np.asarray(out["photometry_njy"]))
             if want_spectra:
-                spec_chunks.append(np.asarray(out["fnu_njy"]))
+                if self.spectral_pipeline is not None:
+                    z_col = list(sim.param_names).index("redshift")
+                    z_batch = theta_pad[i : i + batch_size, z_col]
+                    spec_chunks.append(
+                        np.asarray(
+                            self.spectral_pipeline(out["fnu_njy"], z_batch)
+                        )
+                    )
+                else:
+                    spec_chunks.append(np.asarray(out["fnu_njy"]))
             if self.supplementary:
                 from .supplementary import compute_supplementary
 
@@ -339,6 +374,15 @@ class LibraryGenerator:
                     self.supplementary, sim, theta_pad[i : i + batch_size], out
                 )
                 supp_chunks.append(np.asarray(supp))
+            if resume_path is not None:
+                np.savez(
+                    resume_path, n=n, batch_size=batch_size, seed=seed,
+                    phot=np.asarray(phot_chunks),
+                    spec=np.asarray(spec_chunks),
+                    supp=np.asarray(supp_chunks),
+                )
+        if resume_path is not None and os.path.exists(resume_path):
+            os.remove(resume_path)
 
         photometry = np.concatenate(phot_chunks, axis=0)[:n]
         result = {

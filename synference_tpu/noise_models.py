@@ -38,6 +38,7 @@ __all__ = [
     "save_noise_model_hdf5",
     "load_noise_model_hdf5",
     "fit_binned_error_model",
+    "create_noise_models_from_catalogue",
 ]
 
 
@@ -560,6 +561,47 @@ MODEL_CLASS_REGISTRY = {
     "AsinhEmpiricalUncertaintyModel": AsinhEmpiricalNoiseModel,
     "GeneralEmpiricalUncertaintyModel": GeneralEmpiricalNoiseModel,
 }
+
+
+def create_noise_models_from_catalogue(
+    flux_njy_by_band: dict,
+    err_njy_by_band: dict,
+    model_type: str = "general",
+    **kwargs,
+) -> dict:
+    """Per-band noise models from observed catalogue arrays.
+
+    Reference analogue: `create_uncertainty_models_from_EPOCHS_cat`
+    (`noise_models.py:1159-1330`) builds per-band "general"/"depth"/"asinh"
+    models from a JWST FITS catalogue; this takes plain arrays (no astropy in
+    this environment) — pass {band: fluxes}, {band: errors} in nJy.
+    """
+    models = {}
+    for band, flux in flux_njy_by_band.items():
+        err = err_njy_by_band[band]
+        if model_type == "general":
+            models[band] = GeneralEmpiricalNoiseModel.from_catalogue(
+                np.asarray(flux), np.asarray(err), flux_unit="nJy",
+                interpolation_unit="nJy", **kwargs,
+            )
+        elif model_type == "asinh":
+            models[band] = AsinhEmpiricalNoiseModel.from_catalogue(
+                flux, err, **kwargs
+            )
+        elif model_type == "empirical":
+            models[band] = EmpiricalNoiseModel.from_catalogue(
+                flux, err, **kwargs
+            )
+        elif model_type == "depth":
+            # effective 5σ depth from the median error
+            from . import units as U
+
+            sigma = float(np.nanmedian(err))
+            depth_ab = float(U.njy_to_ab(5.0 * sigma))
+            models[band] = DepthNoiseModel(depth_ab, 5.0, **kwargs)
+        else:
+            raise ValueError(f"unknown model_type {model_type!r}")
+    return models
 
 
 def save_noise_model_hdf5(model: NoiseModel, group) -> None:

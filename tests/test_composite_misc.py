@@ -1,0 +1,181 @@
+"""Composite simulators, grid combinations, noise factory, generation
+resume, runtime utilities, spectral library path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from synference_tpu.composite import CompositeSEDSimulator, grid_combinations
+from synference_tpu.library import LibraryGenerator
+from synference_tpu.noise_models import (
+    SpectralNoiseModel,
+    create_noise_models_from_catalogue,
+)
+from synference_tpu.runtime import MetricsLogger, StepTimer, setup_logger
+from synference_tpu.sed import BatchSEDSimulator, EmissionConfig
+from synference_tpu.spectra import SpectralFeaturePipeline, generate_constant_r_grid
+
+
+@pytest.fixture(scope="module")
+def base_sim(test_grid, nircam_filters):
+    def make(**kw):
+        return BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(), **kw,
+        )
+
+    return make
+
+
+class TestComposite:
+    def test_two_components_sum(self, base_sim, rng):
+        s1, s2 = base_sim(), base_sim()
+        comp = CompositeSEDSimulator({"young": s1, "old": s2})
+        assert comp.param_names[0] == "redshift"
+        assert "young.log10_mass" in comp.param_names
+        n = len(comp.param_names)
+        assert n == 1 + 2 * 5
+
+        theta = np.zeros((4, n), np.float32)
+        idx = {p: i for i, p in enumerate(comp.param_names)}
+        theta[:, idx["redshift"]] = 1.0
+        for c in ("young", "old"):
+            theta[:, idx[f"{c}.log10_mass"]] = 9.0
+            theta[:, idx[f"{c}.peak_age"]] = 3e8
+            theta[:, idx[f"{c}.tau"]] = 0.5
+            theta[:, idx[f"{c}.log10_metallicity"]] = -2.5
+            theta[:, idx[f"{c}.tau_v"]] = 0.3
+
+        p_comp = np.asarray(comp.photometry(theta))
+        # identical components at equal mass = 2x single component
+        single = np.zeros((4, 6), np.float32)
+        single[:, 0] = 9.0
+        single[:, 1] = 1.0
+        single[:, 2] = 3e8
+        single[:, 3] = 0.5
+        single[:, 4] = -2.5
+        single[:, 5] = 0.3
+        p_single = np.asarray(s1.photometry(single))
+        np.testing.assert_allclose(p_comp, 2.0 * p_single, rtol=1e-4)
+
+    def test_filterset_mismatch_raises(self, base_sim, test_grid):
+        from synference_tpu.filters import FilterSet, tophat_filter
+
+        s1 = base_sim()
+        other = FilterSet([tophat_filter("X", 5000.0, 1000.0)])
+        s2 = BatchSEDSimulator(
+            grid=test_grid, filters=other,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+        )
+        with pytest.raises(ValueError, match="share a FilterSet"):
+            CompositeSEDSimulator({"a": s1, "b": s2})
+
+
+class TestGridCombinations:
+    def test_cartesian(self):
+        theta, names = grid_combinations(
+            {"z": [0.5, 1.0, 2.0], "tau_v": [0.0, 0.5]}
+        )
+        assert theta.shape == (6, 2)
+        assert names == ["z", "tau_v"]
+        assert set(map(tuple, theta.tolist())) == {
+            (z, t) for z in (0.5, 1.0, 2.0) for t in (0.0, 0.5)
+        }
+
+
+class TestNoiseFactory:
+    def test_builds_per_band(self, rng):
+        flux = {b: 10.0 ** rng.uniform(1, 4, 5000) for b in ("F090W", "F200W")}
+        errs = {b: 0.05 * flux[b] + 2.0 for b in flux}
+        for mtype in ("general", "asinh", "empirical", "depth"):
+            models = create_noise_models_from_catalogue(flux, errs, mtype)
+            assert set(models) == {"F090W", "F200W"}
+            noisy, sig = models["F200W"].apply(
+                jax.random.PRNGKey(0), np.full(10, 500.0, np.float32)
+            )
+            assert np.isfinite(np.asarray(noisy)).all()
+
+
+class TestGenerationResume:
+    def test_resume_skips_completed_chunks(self, base_sim, tmp_path):
+        gen = LibraryGenerator(base_sim(), {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 4.0),
+            "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        })
+        ck = str(tmp_path / "gen_ck.npz")
+        full = gen.generate(n=96, batch_size=32, seed=5)
+
+        # simulate an interrupted run: checkpoint holding the first chunk
+        chunk0 = full["photometry"].T[:32]
+        np.savez(ck, n=96, batch_size=32, seed=5,
+                 phot=np.asarray([chunk0]),
+                 spec=np.asarray([]), supp=np.asarray([]))
+        resumed = gen.generate(n=96, batch_size=32, seed=5, resume_path=ck)
+        np.testing.assert_allclose(
+            resumed["photometry"], full["photometry"], rtol=1e-5
+        )
+        assert not os.path.exists(ck)  # cleaned up on success
+
+
+class TestSpectralLibrary:
+    def test_generate_with_spectral_pipeline(self, base_sim, test_grid):
+        obs = generate_constant_r_grid(r=100, start=5000, end=50000)
+        pipe = SpectralFeaturePipeline(test_grid.lam, obs, instrument_r=100)
+        gen = LibraryGenerator(base_sim(), {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 4.0),
+            "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, spectral_pipeline=pipe)
+        lib = gen.generate(n=32, batch_size=32, want_spectra=True)
+        assert lib["spectra"].shape == (len(obs), 32)
+        assert np.isfinite(lib["spectra"]).all()
+
+    def test_fitter_spectral_features(self, base_sim, test_grid, tmp_path):
+        from synference_tpu.fitter import SBIFitter
+
+        obs = generate_constant_r_grid(r=50, start=5000, end=50000)
+        pipe = SpectralFeaturePipeline(test_grid.lam, obs, instrument_r=50)
+        gen = LibraryGenerator(base_sim(), {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 4.0),
+            "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, spectral_pipeline=pipe)
+        path = str(tmp_path / "spec_lib.h5")
+        gen.generate(n=64, batch_size=64, want_spectra=True, out_path=path)
+        fitter = SBIFitter.init_from_hdf5(path)
+        assert fitter.spectra.shape == (64, len(obs))
+        kern = np.full(len(obs), 5.0, np.float32)
+        feats = fitter.create_feature_array_from_raw_spectra(
+            noise_model=SpectralNoiseModel(kern), n_scatters=2,
+            normalize_pixel=10,
+        )
+        assert feats.shape[0] <= 128
+        assert feats.shape[1] == len(obs) + 1
+
+
+class TestRuntime:
+    def test_step_timer(self):
+        t = StepTimer(window=5)
+        t.tick()
+        for _ in range(3):
+            t.tick()
+        assert t.steps_per_sec > 0
+        assert t.eta_seconds(10) < np.inf
+
+    def test_metrics_logger(self, tmp_path):
+        m = MetricsLogger(str(tmp_path / "metrics.jsonl"))
+        m.log(step=1, loss=0.5)
+        m.log(step=2, loss=0.4)
+        rows = m.read()
+        assert len(rows) == 2 and rows[1]["loss"] == 0.4
+
+    def test_logger(self):
+        lg = setup_logger("test_logger_xyz")
+        lg.info("hello")
+        assert lg.name == "test_logger_xyz"

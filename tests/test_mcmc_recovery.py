@@ -1,0 +1,167 @@
+"""MCMC cross-check, SED recovery, plotting smoke, C2ST/misspecification."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synference_tpu.diagnostics import (
+    c2st,
+    fit_marginal_flow,
+    misspecification_check,
+)
+from synference_tpu.mcmc import (
+    dirichlet_cumsum_transform,
+    gaussian_loglike,
+    run_ensemble_mcmc,
+)
+from synference_tpu.priors import BoxUniform
+from synference_tpu.recovery import recover_sed
+from synference_tpu.sed import BatchSEDSimulator, EmissionConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestMCMC:
+    def test_samples_gaussian_target(self):
+        """Target: N(mu, sigma) inside a wide box — chain must recover it."""
+        mu = jnp.asarray([1.0, -0.5])
+        sd = jnp.asarray([0.3, 0.6])
+
+        def logp(theta):
+            return -0.5 * jnp.sum(((theta - mu) / sd) ** 2, axis=-1)
+
+        prior = BoxUniform([-5.0, -5.0], [5.0, 5.0])
+        samples, lps, acc = run_ensemble_mcmc(
+            logp, prior, KEY, n_walkers=64, n_steps=800, burn_in=300
+        )
+        assert 0.1 < acc < 0.9
+        np.testing.assert_allclose(samples.mean(0), np.asarray(mu), atol=0.08)
+        np.testing.assert_allclose(samples.std(0), np.asarray(sd), atol=0.1)
+
+    def test_respects_prior_bounds(self):
+        def logp(theta):
+            return jnp.zeros(theta.shape[0])
+
+        prior = BoxUniform([0.0], [1.0])
+        samples, _, _ = run_ensemble_mcmc(
+            logp, prior, KEY, n_walkers=32, n_steps=300, burn_in=100
+        )
+        assert (samples >= 0).all() and (samples <= 1).all()
+        # flat target -> ~uniform
+        assert abs(samples.mean() - 0.5) < 0.06
+
+    def test_gaussian_loglike(self):
+        sim = lambda th: th * 2.0
+        ll = gaussian_loglike(sim, np.array([2.0]), np.array([0.1]))
+        v = np.asarray(ll(jnp.asarray([[1.0], [0.0]])))
+        assert v[0] == pytest.approx(0.0)
+        assert v[1] == pytest.approx(-200.0)
+
+    def test_dirichlet_transform(self, rng):
+        u = jnp.asarray(rng.random((100, 3)), jnp.float32)
+        fr = np.asarray(dirichlet_cumsum_transform(u))
+        assert fr.shape == (100, 4)
+        np.testing.assert_allclose(fr.sum(1), 1.0, atol=1e-5)
+        assert (fr >= 0).all()
+
+
+class TestMCMCThroughSimulator:
+    def test_recovers_injected_parameters(self, test_grid, nircam_filters):
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift"),
+            sfh="constant", zdist="delta",
+            emission=EmissionConfig(),
+            fixed_params={"tau_v": 0.2, "log10_metallicity": -2.5},
+        )
+        true = np.array([[9.5, 2.0]], np.float32)
+        x_obs = np.asarray(sim.photometry(true))[0]
+        sigma = 0.05 * x_obs
+        prior = BoxUniform([8.0, 0.5], [11.0, 5.0],
+                           ("log10_mass", "redshift"))
+        loglike = gaussian_loglike(
+            lambda th: sim.photometry(th), x_obs, sigma
+        )
+        samples, _, acc = run_ensemble_mcmc(
+            loglike, prior, KEY, n_walkers=32, n_steps=600, burn_in=250
+        )
+        med = np.median(samples, axis=0)
+        assert abs(med[0] - 9.5) < 0.3
+        assert abs(med[1] - 2.0) < 0.5
+
+
+class TestRecovery:
+    def test_recover_sed_bands(self, test_grid, nircam_filters, rng):
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+        )
+        samples = np.stack([
+            rng.uniform(9.0, 9.5, 64), rng.uniform(1.0, 1.2, 64),
+            rng.uniform(2e8, 4e8, 64), rng.uniform(0.4, 0.6, 64),
+            rng.uniform(-2.8, -2.4, 64), rng.uniform(0.2, 0.5, 64),
+        ], axis=1).astype(np.float32)
+        rec = recover_sed(sim, samples)
+        assert rec["fnu_quantiles"].shape == (3, test_grid.n_wav)
+        assert rec["photometry_quantiles"].shape == (3, 7)
+        assert rec["sfh_quantiles"].shape[1] == test_grid.n_ages
+        # quantiles ordered
+        assert (rec["fnu_quantiles"][0] <= rec["fnu_quantiles"][2] + 1e-6).all()
+
+
+class TestPlotting:
+    def test_plot_smoke(self, tmp_path, rng):
+        from synference_tpu.plotting import (
+            plot_corner,
+            plot_coverage,
+            plot_loss,
+            plot_posterior_predictions,
+            plot_sed_recovery,
+        )
+
+        samples = rng.standard_normal((40, 100, 3))
+        truths = rng.standard_normal((40, 3))
+        plot_coverage(samples, truths, ["a", "b", "c"],
+                      save=str(tmp_path / "cov.png"))
+        plot_loss(rng.random(20), rng.random(20),
+                  save=str(tmp_path / "loss.png"))
+        plot_corner(samples[0], truths[0], ["a", "b", "c"],
+                    save=str(tmp_path / "corner.png"))
+        plot_posterior_predictions(samples, truths,
+                                   save=str(tmp_path / "pred.png"))
+        rec = {
+            "lam": np.geomspace(1e3, 1e5, 200),
+            "fnu_quantiles": np.abs(rng.random((3, 200))) + 0.1,
+            "sfh_quantiles": np.abs(rng.random((3, 30))) + 0.1,
+            "ages_yr": np.geomspace(1e6, 1e10, 30),
+        }
+        plot_sed_recovery(rec, save=str(tmp_path / "sed.png"))
+        for f in ("cov.png", "loss.png", "corner.png", "pred.png", "sed.png"):
+            assert (tmp_path / f).stat().st_size > 1000
+
+
+class TestC2ST:
+    def test_same_distribution_near_half(self, rng):
+        x = rng.standard_normal((800, 4))
+        y = rng.standard_normal((800, 4))
+        assert abs(c2st(x, y) - 0.5) < 0.07
+
+    def test_different_distribution_high(self, rng):
+        x = rng.standard_normal((800, 4))
+        y = 2.0 + rng.standard_normal((800, 4))
+        assert c2st(x, y) > 0.8
+
+
+class TestMisspecification:
+    def test_flags_shifted_observations(self, rng):
+        x_train = rng.standard_normal((3000, 4)).astype(np.float32)
+        flow, params = fit_marginal_flow(x_train, max_epochs=15)
+        x_ok = rng.standard_normal((20, 4)).astype(np.float32)
+        x_bad = 8.0 + rng.standard_normal((20, 4)).astype(np.float32)
+        flags_ok, _, _ = misspecification_check(flow, params, x_train, x_ok)
+        flags_bad, _, _ = misspecification_check(flow, params, x_train, x_bad)
+        assert flags_ok.mean() < 0.3
+        assert flags_bad.all()
