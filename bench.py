@@ -69,32 +69,25 @@ def bench_generation(batch=8192, iters=10):
     return batch / dt
 
 
-def bench_training(n=50000, batch=1024, iters=30):
+def bench_training(n=100_000, batch=1024, epochs=5):
+    """Steps/sec through the production whole-epoch lax.scan train loop
+    (the reference's tuned NSF config: hidden 69, 15 transforms)."""
+    from synference_tpu.train import TrainConfig, train_ensemble
+
     rng = np.random.default_rng(1)
-    theta = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
-    x = jnp.asarray(rng.standard_normal((n, 14)), jnp.float32)
+    theta = rng.standard_normal((n, 6)).astype(np.float32)
+    x = rng.standard_normal((n, 14)).astype(np.float32)
     flow = build_flow("nsf", 6, 14, hidden_features=69, num_transforms=15)
-    params = flow.init(jax.random.PRNGKey(0), theta, x)
-    tx = optax.adamw(3e-4)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, opt_state, idx):
-        def loss(p):
-            return -flow.log_prob(p, theta[idx], x[idx]).mean()
-
-        l, g = jax.value_and_grad(loss)(params)
-        updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
-
-    idx = jnp.arange(batch)
-    params, opt_state, l = step(params, opt_state, idx)
-    jax.block_until_ready(l)
+    cfg_warm = TrainConfig(max_epochs=1, stop_after_epochs=10**6,
+                           batch_size=batch, validation_fraction=0.05)
+    train_ensemble(flow, theta, x, jax.random.PRNGKey(0), cfg_warm)  # compile
+    cfg = TrainConfig(max_epochs=epochs, stop_after_epochs=10**6,
+                      batch_size=batch, validation_fraction=0.05)
     t0 = time.time()
-    for i in range(iters):
-        params, opt_state, l = step(params, opt_state, (idx + i * batch) % n)
-    jax.block_until_ready(l)
-    return iters / (time.time() - t0)
+    train_ensemble(flow, theta, x, jax.random.PRNGKey(0), cfg)
+    dt = time.time() - t0
+    steps = epochs * (int(n * 0.95) // batch)
+    return steps / dt
 
 
 def bench_sampling(n_objects=256, n_samples=1000):

@@ -36,6 +36,9 @@ __all__ = ["EmissionConfig", "BatchSEDSimulator"]
 
 _FOUR_PI = 4.0 * np.pi
 
+# (filter codes, dlog, max_shift, n_wav, lam0) -> (bank, den) device arrays
+_PALLAS_BANK_CACHE: dict = {}
+
 
 @dataclass(frozen=True)
 class EmissionConfig:
@@ -132,6 +135,7 @@ class BatchSEDSimulator:
         n_age_sub: int = 4,
         compute_dtype=jnp.float32,
         z_max: float = 25.0,
+        photometry_backend: str = "auto",
     ):
         if not grid.is_log_uniform:
             # shift-based photometry needs geometric λ spacing
@@ -178,6 +182,45 @@ class BatchSEDSimulator:
         self._filter_table = jnp.asarray(table)
         self._filter_dlog = float(dlog)
         self._max_shift = int(max_shift)
+
+        # Pallas fast path (TPU): table resident in VMEM, denominators
+        # precomputed per integer shift (see ops/photometry_kernel.py).
+        if photometry_backend == "auto":
+            photometry_backend = (
+                "pallas"
+                if any(d.platform == "tpu" for d in jax.devices())
+                else "xla"
+            )
+        self.photometry_backend = photometry_backend
+        if photometry_backend == "pallas":
+            from .ops.photometry_kernel import (
+                build_den_table,
+                build_shift_tables,
+            )
+
+            # cache banks per (filters, λ grid): the bank is ~90 MB and its
+            # device upload is the dominant construction cost — composite
+            # models and repeated constructions must share it
+            cache_key = (
+                tuple(filters.codes),
+                round(self._filter_dlog, 12),
+                self._max_shift,
+                grid.n_wav,
+                float(grid.lam[0]),
+            )
+            cached = _PALLAS_BANK_CACHE.get(cache_key)
+            if cached is None:
+                bank, _ = build_shift_tables(
+                    filters, grid.lam, self._filter_dlog, self._max_shift,
+                    grid.n_wav,
+                )
+                den = build_den_table(
+                    filters, grid.lam, np.asarray(self._wlam),
+                    self._filter_dlog, self._max_shift,
+                )
+                cached = (jnp.asarray(bank), jnp.asarray(den))
+                _PALLAS_BANK_CACHE[cache_key] = cached
+            self._pallas_bank, self._den_table = cached
 
     # ------------------------------------------------------------------
     # θ plumbing
@@ -328,19 +371,46 @@ class BatchSEDSimulator:
         den = jnp.sum(tw, axis=-1)
         return num / jnp.maximum(den, 1.0e-30)
 
+    def _photometry_batch(self, fnu_njy, z):
+        """(B, L), (B,) -> (B, F): batched filter convolution.
+
+        backend "pallas": VMEM-resident table kernel (ops/photometry_kernel);
+        backend "xla": per-galaxy dynamic-slice pair (works everywhere).
+        """
+        if self.photometry_backend == "pallas":
+            from .ops.photometry_kernel import (
+                pallas_photometry_num,
+                shift_decompose,
+            )
+
+            s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+            s4, tid, off = shift_decompose(s, self._max_shift)
+            fnu_w = fnu_njy * self._wlam
+            b = fnu_w.shape[0]
+            block = 256 if b % 256 == 0 else (128 if b % 128 == 0 else 8)
+            pad = (-b) % block
+            if pad:
+                fnu_w = jnp.pad(fnu_w, ((0, pad), (0, 0)))
+                tid = jnp.pad(tid, (0, pad))
+                off = jnp.pad(off, (0, pad))
+            num = pallas_photometry_num(
+                fnu_w, self._pallas_bank, tid, off, block_b=block
+            )[:b, : len(self.filters)]
+            den = self._den_table[s4]
+            return num / jnp.maximum(den, 1.0e-30)
+        return jax.vmap(self._photometry_one)(fnu_njy, z)
+
     # ------------------------------------------------------------------
     # public batched API
     # ------------------------------------------------------------------
-    def _one(self, theta_row, want_spectra: bool):
+    def _core(self, theta_row, want_spectra: bool):
         params = self.theta_dict(theta_row)
         sfzh_flat, sfh_mass = self._sfzh(params)
         lnu = self._apply_emission(params, sfzh_flat)
         fnu_njy, _ = self._observe(params, lnu)
         z = params.get("redshift", jnp.asarray(0.0))
-        phot = self._photometry_one(fnu_njy, z)
-        out = {"photometry_njy": phot}
+        out = {"fnu_njy": fnu_njy, "_z": z}
         if want_spectra:
-            out["fnu_njy"] = fnu_njy
             out["lnu"] = lnu
             out["lnu_intrinsic"] = self._last_intrinsic
             out["sfh_mass"] = sfh_mass
@@ -351,10 +421,17 @@ class BatchSEDSimulator:
         """Run the batch: θ (B, P) -> dict of (B, ...) outputs.
 
         Not jitted here so callers can wrap it in jit/shard_map with their own
-        sharding (see `parallel/generate.py`).
+        sharding (see `parallel/generate.py`). The filter convolution runs
+        batch-level (outside the vmap) so the Pallas kernel sees the whole
+        batch.
         """
         theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
-        return jax.vmap(lambda row: self._one(row, want_spectra))(theta)
+        res = jax.vmap(lambda row: self._core(row, want_spectra))(theta)
+        z = res.pop("_z")
+        out = {"photometry_njy": self._photometry_batch(res["fnu_njy"], z)}
+        if want_spectra:
+            out.update(res)
+        return out
 
     def photometry(self, theta):
         """θ (B, P) -> (B, F) photometry [nJy]."""
