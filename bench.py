@@ -69,25 +69,44 @@ def bench_generation(batch=8192, iters=10):
     return batch / dt
 
 
-def bench_training(n=100_000, batch=1024, epochs=5):
-    """Steps/sec through the production whole-epoch lax.scan train loop
-    (the reference's tuned NSF config: hidden 69, 15 transforms)."""
-    from synference_tpu.train import TrainConfig, train_ensemble
+def bench_training(n=100_000, batch=1024, epochs=3):
+    """Steady-state steps/sec of the whole-epoch lax.scan train step
+    (the reference's tuned NSF config: hidden 69, 15 transforms). Times a
+    warm jitted epoch directly so remote-compile latency isn't counted."""
+    import optax
 
     rng = np.random.default_rng(1)
-    theta = rng.standard_normal((n, 6)).astype(np.float32)
-    x = rng.standard_normal((n, 14)).astype(np.float32)
+    theta = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, 14)), jnp.float32)
     flow = build_flow("nsf", 6, 14, hidden_features=69, num_transforms=15)
-    cfg_warm = TrainConfig(max_epochs=1, stop_after_epochs=10**6,
-                           batch_size=batch, validation_fraction=0.05)
-    train_ensemble(flow, theta, x, jax.random.PRNGKey(0), cfg_warm)  # compile
-    cfg = TrainConfig(max_epochs=epochs, stop_after_epochs=10**6,
-                      batch_size=batch, validation_fraction=0.05)
+    params = flow.init(jax.random.PRNGKey(0), theta, x)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(3e-4))
+    opt = tx.init(params)
+    steps = n // batch
+    idx_all = jnp.arange(steps * batch).reshape(steps, batch)
+
+    @jax.jit
+    def epoch(params, opt):
+        def step(c, bidx):
+            p, s = c
+
+            def loss(p):
+                return -flow.log_prob(p, theta[bidx], x[bidx]).mean()
+
+            l, g = jax.value_and_grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            return (optax.apply_updates(p, u), s), l
+
+        (p, s), ls = jax.lax.scan(step, (params, opt), idx_all)
+        return p, s, ls.mean()
+
+    params, opt, l = epoch(params, opt)
+    jax.block_until_ready(l)
     t0 = time.time()
-    train_ensemble(flow, theta, x, jax.random.PRNGKey(0), cfg)
-    dt = time.time() - t0
-    steps = epochs * (int(n * 0.95) // batch)
-    return steps / dt
+    for _ in range(epochs):
+        params, opt, l = epoch(params, opt)
+    jax.block_until_ready(l)
+    return epochs * steps / (time.time() - t0)
 
 
 def bench_sampling(n_objects=256, n_samples=1000):

@@ -198,6 +198,40 @@ def misspecification_check(flow, params, x_train, x_obs,
     return lp_obs < thresh, lp_obs, thresh
 
 
+def feature_importance(posterior, xs, truths, key=None, n_repeats: int = 3):
+    """Permutation feature importance: drop in mean posterior log-prob of
+    the truths when one feature column is shuffled (the flow-native analogue
+    of the reference's SHAP-style analysis, utils.py:1478-1955).
+
+    Returns (D,) importance = baseline_logprob − permuted_logprob (higher =
+    more informative feature).
+    """
+    import jax as _jax
+
+    xs = np.asarray(xs, np.float32)
+    truths = np.asarray(truths, np.float32)
+    key = key if key is not None else _jax.random.PRNGKey(0)
+
+    def mean_lp(x_in):
+        lp = np.asarray(
+            posterior.log_prob(jnp.asarray(truths), jnp.asarray(x_in))
+        )
+        finite = np.isfinite(lp)
+        return float(lp[finite].mean()) if finite.any() else -np.inf
+
+    base = mean_lp(xs)
+    rng = np.random.default_rng(0)
+    importance = np.zeros(xs.shape[1])
+    for d in range(xs.shape[1]):
+        drops = []
+        for _ in range(n_repeats):
+            x_perm = xs.copy()
+            x_perm[:, d] = x_perm[rng.permutation(len(xs)), d]
+            drops.append(base - mean_lp(x_perm))
+        importance[d] = np.mean(drops)
+    return importance
+
+
 def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
                        parameter_names=None):
     """Full validation report for a posterior on held-out (x, θ) pairs.
@@ -211,7 +245,12 @@ def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
     samples = np.asarray(posterior.sample_batch(k_samp, xs, n_samples))
     pit = np.asarray(pit_values(samples, truths))
     metrics = point_metrics(samples, truths)
-    lp = np.asarray(posterior.log_prob(jnp.asarray(truths), jnp.asarray(xs)))
+    if hasattr(posterior, "log_prob"):
+        lp = np.asarray(
+            posterior.log_prob(jnp.asarray(truths), jnp.asarray(xs))
+        )
+    else:  # score-based posteriors have no cheap log_prob
+        lp = np.full(len(truths), np.nan)
     finite = np.isfinite(lp)
     report = {
         "point": {k: v.tolist() for k, v in metrics.items()},

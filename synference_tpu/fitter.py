@@ -249,6 +249,84 @@ class SBIFitter:
         return self.train_result
 
     # ------------------------------------------------------------------
+    def run_single_simformer(
+        self,
+        d_model: int = 128,
+        n_heads: int = 4,
+        n_layers: int = 4,
+        attn_mask: str = "full",
+        batch_size: int = 256,
+        learning_rate: float = 1.0e-4,
+        max_epochs: int = 100,
+        n_diffusion_steps: int = 500,
+        key=None,
+    ):
+        """Train a score-based transformer joint posterior on the feature
+        array (reference `Simformer_Fitter.run_single_sbi`,
+        sbi_runner.py:8075-8339; config defaults `:8143-8186`)."""
+        import jax as _jax
+
+        from .simformer import (
+            Simformer,
+            SimformerConfig,
+            SimformerPosterior,
+            block_attn_mask,
+            train_simformer,
+        )
+
+        if self.features is None:
+            self.create_feature_array()
+        if self.prior is None:
+            self.create_priors()
+        theta = self.feature_params
+        x = self.features
+        n_theta, n_x = theta.shape[1], x.shape[1]
+        cfg = SimformerConfig(
+            n_tokens=n_theta + n_x, d_model=d_model, n_heads=n_heads,
+            n_layers=n_layers,
+        )
+        model = Simformer(cfg)
+        mask = (
+            None if attn_mask == "full"
+            else block_attn_mask(n_theta, n_x, attn_mask)
+        )
+        params, std, hist = train_simformer(
+            model, theta, x,
+            key if key is not None else _jax.random.PRNGKey(0),
+            batch_size=batch_size, learning_rate=learning_rate,
+            max_epochs=max_epochs, attn_mask=mask,
+        )
+        self.posterior = SimformerPosterior(
+            model, params, std, attn_mask=mask, n_steps=n_diffusion_steps
+        )
+        return hist
+
+    # ------------------------------------------------------------------
+    def run_online_snpe(self, simulate_fn, x_obs, model_type: str = "nsf",
+                        n_rounds: int = 3, sims_per_round: int = 2000,
+                        train_config=None, key=None, **model_kwargs):
+        """Sequential NPE focused on one observation (reference online
+        learning mode, sbi_runner.py:4710-4803); see `online.run_online_snpe`."""
+        from .online import run_online_snpe as _run
+
+        if self.prior is None:
+            self.create_priors()
+        flow = build_flow(
+            model_type,
+            theta_dim=len(self.parameter_names),
+            context_dim=np.atleast_1d(np.asarray(x_obs)).shape[-1],
+            **model_kwargs,
+        )
+        self.flow = flow
+        posterior, data, hist = _run(
+            simulate_fn, self.prior, flow, x_obs,
+            n_rounds=n_rounds, sims_per_round=sims_per_round,
+            train_config=train_config, key=key,
+        )
+        self.posterior = posterior
+        return posterior, data, hist
+
+    # ------------------------------------------------------------------
     def sample_posterior(self, xs, n_samples: int = 1000, key=None):
         """(M, D_features) -> (M, n_samples, P); fully batched (the
         reference loops per object, sbi_runner.py:6412-6424)."""
@@ -344,3 +422,39 @@ class SBIFitter:
     def save_metrics(self, report: dict, path: str):
         with open(path, "w") as f:
             json.dump(report, f, indent=2)
+
+    # ------------------------------------------------------------------
+    def plot_diagnostics(self, out_dir: str = ".", n_samples: int = 200,
+                         max_objects: int = 200, key=None):
+        """Coverage + loss + prediction figures for the held-out split
+        (reference `plot_diagnostics`/`plot_coverage`,
+        sbi_runner.py:5018-5044, :7209-7345). Returns saved paths."""
+        import os as _os
+
+        from .plotting import (
+            plot_coverage,
+            plot_loss,
+            plot_posterior_predictions,
+        )
+
+        if self._split is None:
+            self.split_dataset()
+        idx = self._split["test"][:max_objects]
+        samples = self.sample_posterior(
+            self.features[idx], n_samples=n_samples, key=key
+        )
+        truths = self.feature_params[idx]
+        paths = {}
+        paths["coverage"] = _os.path.join(out_dir, f"{self.name}_coverage.png")
+        plot_coverage(samples, truths, self.parameter_names,
+                      save=paths["coverage"])
+        if self.train_result is not None:
+            paths["loss"] = _os.path.join(out_dir, f"{self.name}_loss.png")
+            plot_loss(self.train_result.train_losses,
+                      self.train_result.val_losses, save=paths["loss"])
+        paths["predictions"] = _os.path.join(
+            out_dir, f"{self.name}_predictions.png"
+        )
+        plot_posterior_predictions(samples, truths, self.parameter_names,
+                                   save=paths["predictions"])
+        return paths

@@ -146,60 +146,72 @@ def train_ensemble(
         return params, opt_state, losses.mean(), val_loss
 
     @jax.jit
-    def epoch_all(params, opt_state, key):
+    def epoch_all(params, opt_state, key, best_params, best_val, since_best):
+        """One epoch for every member + device-side best-val tracking.
+
+        Best-params selection happens on device: doing it host-side costs
+        one dispatch per parameter leaf per epoch, which dominates wall
+        clock on remote-attached TPUs."""
         keys = jax.random.split(key, n_nets)
-        return jax.vmap(epoch_one_member)(params, opt_state, keys)
+        params, opt_state, tr_loss, va_loss = jax.vmap(epoch_one_member)(
+            params, opt_state, keys
+        )
+        improved = va_loss < best_val
+
+        def pick(new, old):
+            m = improved.reshape((n_nets,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        best_params = jax.tree_util.tree_map(pick, params, best_params)
+        best_val = jnp.where(improved, va_loss, best_val)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return (params, opt_state, tr_loss, va_loss, best_params, best_val,
+                since_best)
 
     # ---- host-side epoch loop with early stopping + checkpointing --------
     start_epoch = 0
-    best_val = np.full(n_nets, np.inf)
+    best_val = jnp.full(n_nets, jnp.inf)
     best_params = params
-    epochs_since_best = np.zeros(n_nets, dtype=int)
+    epochs_since_best = jnp.zeros(n_nets, dtype=jnp.int32)
     train_hist, val_hist = [], []
 
     ckpt = cfg.checkpoint_path
     if ckpt and resume and os.path.exists(ckpt):
         state = load_checkpoint(ckpt)
         params, opt_state = state["params"], state["opt_state"]
-        best_params, best_val = state["best_params"], state["best_val"]
+        best_params = state["best_params"]
+        best_val = jnp.asarray(state["best_val"])
         start_epoch = state["epoch"] + 1
-        epochs_since_best = state["epochs_since_best"]
+        epochs_since_best = jnp.asarray(state["epochs_since_best"])
         train_hist = list(state["train_hist"])
         val_hist = list(state["val_hist"])
         k_loop = state["key"]
 
     for epoch in range(start_epoch, cfg.max_epochs):
         k_loop, k_epoch = jax.random.split(k_loop)
-        params, opt_state, tr_loss, va_loss = epoch_all(
-            params, opt_state, k_epoch
+        (params, opt_state, tr_loss, va_loss, best_params, best_val,
+         epochs_since_best) = epoch_all(
+            params, opt_state, k_epoch, best_params, best_val,
+            epochs_since_best,
         )
-        tr_np, va_np = np.asarray(tr_loss), np.asarray(va_loss)
-        train_hist.append(tr_np)
-        val_hist.append(va_np)
-
-        improved = va_np < best_val
-        if improved.any():
-            mask = jnp.asarray(improved)
-
-            def pick(new, old):
-                m = mask.reshape((n_nets,) + (1,) * (new.ndim - 1))
-                return jnp.where(m, new, old)
-
-            best_params = jax.tree_util.tree_map(pick, params, best_params)
-            best_val = np.where(improved, va_np, best_val)
-        epochs_since_best = np.where(improved, 0, epochs_since_best + 1)
+        train_hist.append(np.asarray(tr_loss))
+        val_hist.append(np.asarray(va_loss))
 
         if ckpt and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(ckpt, {
                 "params": params, "opt_state": opt_state,
-                "best_params": best_params, "best_val": best_val,
-                "epoch": epoch, "epochs_since_best": epochs_since_best,
+                "best_params": best_params,
+                "best_val": np.asarray(best_val),
+                "epoch": epoch,
+                "epochs_since_best": np.asarray(epochs_since_best),
                 "train_hist": train_hist, "val_hist": val_hist,
                 "key": k_loop,
             })
 
-        if (epochs_since_best >= cfg.stop_after_epochs).all():
+        if bool((np.asarray(epochs_since_best)
+                 >= cfg.stop_after_epochs).all()):
             break
+    best_val = np.asarray(best_val)
 
     if ckpt and os.path.exists(ckpt):
         os.remove(ckpt)  # success: drop checkpoint (reference does the same)

@@ -1,0 +1,107 @@
+"""Fitter-level simformer / online / HPO integration tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from synference_tpu.features import FeatureConfig
+from synference_tpu.fitter import SBIFitter
+from synference_tpu.hpo import MedianPruner, optimize_sbi
+from synference_tpu.library import LibraryGenerator
+from synference_tpu.sed import BatchSEDSimulator, EmissionConfig
+from synference_tpu.train import TrainConfig
+
+
+@pytest.fixture(scope="module")
+def small_fitter(test_grid, nircam_filters):
+    sim = BatchSEDSimulator(
+        grid=test_grid, filters=nircam_filters,
+        param_names=("log10_mass", "redshift", "peak_age", "tau",
+                     "log10_metallicity", "tau_v"),
+        sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+    )
+    gen = LibraryGenerator(sim, {
+        "log10_mass": (8.0, 10.5), "redshift": (0.5, 6.0),
+        "peak_age": (1e8, 8e8), "tau": (0.2, 1.0),
+        "log10_metallicity": (-3.5, -1.8), "tau_v": (0.0, 1.5),
+    })
+    lib = gen.generate(n=800, batch_size=512, seed=0)
+    fitter = SBIFitter(
+        photometry=lib["photometry"].T,
+        parameters=lib["parameters"].T,
+        parameter_names=lib["parameter_names"],
+        filter_codes=lib["filter_codes"],
+    )
+    fitter.create_feature_array(FeatureConfig(
+        filter_codes=tuple(fitter.filter_codes), unit="asinh",
+        include_errors=False,
+    ))
+    return fitter
+
+
+@pytest.mark.slow
+def test_fitter_simformer(small_fitter):
+    hist = small_fitter.run_single_simformer(
+        d_model=32, n_heads=2, n_layers=2, batch_size=256,
+        learning_rate=1e-3, max_epochs=10, n_diffusion_steps=100,
+    )
+    assert hist["val"][-1] < hist["val"][0]
+    s = small_fitter.sample_posterior(small_fitter.features[:3], n_samples=50)
+    assert s.shape == (3, 50, 6)
+    assert np.isfinite(s).all()
+    # evaluate_model works without log_prob
+    small_fitter.split_dataset(0.1)
+    report = small_fitter.evaluate_model(n_samples=32, max_objects=32)
+    assert report["mean_log_prob"] is None
+
+
+@pytest.mark.slow
+def test_fitter_hpo_smoke(small_fitter):
+    study, best = optimize_sbi(
+        small_fitter, model_type="mdn",
+        search_space={
+            "hidden_features": ("int", 8, 24),
+            "num_components": ("int", 2, 4),
+            "learning_rate": ("float", 3e-4, 3e-3, "log"),
+            "batch_size": ("categorical", [256]),
+        },
+        n_trials=2, max_epochs=6, verbose=False,
+        pruner=MedianPruner(n_startup_trials=10),
+    )
+    assert len(study.trials) == 2
+    assert "hidden_features" in best
+
+
+def test_fitter_online(small_fitter, test_grid, nircam_filters):
+    """Online TSNPE through the jitted simulator at a fixed observation."""
+    sim = BatchSEDSimulator(
+        grid=test_grid, filters=nircam_filters,
+        param_names=("log10_mass", "redshift"),
+        sfh="constant", zdist="delta",
+        fixed_params={"tau_v": 0.2, "log10_metallicity": -2.5},
+    )
+    import jax.numpy as jnp
+
+    from synference_tpu import units as U
+
+    def simulate(theta):
+        p = sim.photometry(theta)
+        return np.asarray(U.convert_flux(jnp.maximum(p, 1e-3), "nJy", "asinh"))
+
+    true = np.array([[9.5, 2.0]], np.float32)
+    x_obs = simulate(true)[0]
+    small_fitter.prior = None
+    small_fitter.parameter_names = ["log10_mass", "redshift"]
+    small_fitter.create_priors(overrides={"log10_mass": (8.0, 11.0),
+                                          "redshift": (0.5, 5.0)})
+    post, data, hist = small_fitter.run_online_snpe(
+        simulate, x_obs, model_type="mdn", hidden_features=24,
+        num_components=3, n_rounds=2, sims_per_round=800,
+        train_config=TrainConfig(max_epochs=15, stop_after_epochs=6,
+                                 batch_size=256, learning_rate=1e-3),
+        key=jax.random.PRNGKey(0),
+    )
+    s = np.asarray(post.sample(jax.random.PRNGKey(1), x_obs, 400))
+    med = np.median(s, axis=0)
+    assert abs(med[0] - 9.5) < 0.6
+    assert abs(med[1] - 2.0) < 1.0

@@ -203,3 +203,26 @@ class TestPriors:
         assert (np.asarray(s) >= 0).all() and (np.asarray(s) <= 2).all()
         lp = np.asarray(prior.log_prob(np.array([[1.0]])))
         np.testing.assert_allclose(lp, -np.log(2.0), rtol=1e-5)
+
+
+class TestFeatureImportance:
+    def test_informative_feature_ranks_highest(self):
+        from synference_tpu.diagnostics import feature_importance
+
+        rng = np.random.default_rng(0)
+        n = 3000
+        x_info = rng.uniform(-1, 1, (n, 1)).astype(np.float32)
+        x_noise = rng.standard_normal((n, 2)).astype(np.float32)
+        x = np.concatenate([x_info, x_noise], axis=1)
+        theta = (2 * x_info + 0.1 * rng.standard_normal((n, 1))).astype(
+            np.float32
+        )
+        flow = build_flow("mdn", 1, 3, hidden_features=24, num_components=3)
+        res = train_npe(flow, theta, x, KEY,
+                        TrainConfig(max_epochs=20, batch_size=256,
+                                    learning_rate=1e-3))
+        prior = BoxUniform([-5.0], [5.0])
+        post = DirectPosterior(flow, res.params, prior)
+        imp = feature_importance(post, x[:400], theta[:400])
+        assert imp[0] > imp[1] and imp[0] > imp[2]
+        assert imp[0] > 0.5
