@@ -1,0 +1,112 @@
+"""North-star benchmark (BASELINE.json): generate a 10^6-SED JWST/NIRCam
+mock library and train an NSF NPE to calibrated posteriors, end to end,
+timing every phase. Target: < 10 min on v5e-8; this script runs on however
+many chips are attached (single chip here).
+
+Run from anywhere: python examples/north_star.py [--n 1000000]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+import synference_tpu as st
+from synference_tpu.features import FeatureConfig
+from synference_tpu.train import TrainConfig
+
+
+def main(n_library: int, out: str):
+    t_start = time.time()
+    timings = {}
+
+    # -- forward model -------------------------------------------------
+    grid = st.make_synthetic_grid(n_ages=48, n_mets=8, n_wav=2048)
+    centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
+    widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
+    codes = ["F090W", "F115W", "F150W", "F200W", "F277W", "F356W", "F444W"]
+    filters = st.FilterSet([
+        st.tophat_filter(c, ctr, w)
+        for c, ctr, w in zip(codes, centers, widths)
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "redshift", "peak_age", "tau",
+                     "log10_metallicity", "tau_v"),
+        sfh="lognormal", zdist="delta", emission=st.EmissionConfig(),
+    )
+    timings["setup_s"] = round(time.time() - t_start, 1)
+
+    # -- 10^6-SED library ----------------------------------------------
+    t0 = time.time()
+    gen = st.LibraryGenerator(sim, {
+        "log10_mass": (7.5, 11.0), "redshift": (0.1, 8.0),
+        "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
+        "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
+    }, unlog_keys=["log10_peak_age"])
+    lib = gen.generate(n=n_library, batch_size=65536, seed=0)
+    timings["generation_s"] = round(time.time() - t0, 1)
+    print(f"[{timings['generation_s']}s] generated {n_library:,} SEDs "
+          f"({n_library / timings['generation_s']:,.0f}/s incl. compile)",
+          flush=True)
+
+    # -- features + NSF NPE ---------------------------------------------
+    t0 = time.time()
+    fitter = st.SBIFitter(
+        photometry=lib["photometry"].T, parameters=lib["parameters"].T,
+        parameter_names=lib["parameter_names"],
+        filter_codes=lib["filter_codes"],
+    )
+    fitter.create_feature_array(FeatureConfig(
+        filter_codes=tuple(fitter.filter_codes), unit="asinh",
+        depths_ab=(29.5,) * 7, n_scatters=1, include_errors=True,
+    ))
+    timings["features_s"] = round(time.time() - t0, 1)
+    print(f"[{timings['features_s']}s] features {fitter.features.shape}",
+          flush=True)
+
+    t0 = time.time()
+    res = fitter.run_single_sbi(
+        model_type="nsf", hidden_features=69, num_transforms=15,
+        train_config=TrainConfig(max_epochs=30, stop_after_epochs=6,
+                                 batch_size=2048, learning_rate=7e-4),
+    )
+    timings["training_s"] = round(time.time() - t0, 1)
+    n_epochs = len(res.val_losses)
+    print(f"[{timings['training_s']}s] trained NSF 69x15: {n_epochs} epochs, "
+          f"best val {float(np.min(res.val_losses)):.3f}", flush=True)
+
+    # -- calibration ------------------------------------------------------
+    t0 = time.time()
+    report = fitter.evaluate_model(n_samples=256, max_objects=512)
+    timings["evaluation_s"] = round(time.time() - t0, 1)
+    timings["total_s"] = round(time.time() - t_start, 1)
+
+    result = {
+        "n_library": n_library,
+        "timings": timings,
+        "tarp_deviation": report["tarp_deviation"],
+        "pit_ks": [round(v, 4) for v in report["pit_ks"]],
+        "mean_log_prob": report["mean_log_prob"],
+        "r2": [round(v, 3) for v in report["point"]["r2"]],
+        "n_devices": 1,
+    }
+    print(json.dumps(result, indent=2), flush=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"total {timings['total_s']}s "
+          f"({'PASS' if result['tarp_deviation'] < 0.05 else 'check'} "
+          "TARP within ~1 sigma)", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--out", type=str, default="north_star_result.json")
+    args = ap.parse_args()
+    main(args.n, args.out)
