@@ -10,6 +10,7 @@ Public API mirrors the reference's flat namespace
 (`/root/reference/src/synference/__init__.py:49-115`).
 """
 
+from .agn import AGNSimulator, agn_fraction
 from .catalogue import (
     MissingPhotometryHandler,
     fit_catalogue,
@@ -22,6 +23,7 @@ from .diagnostics import (
     c2st,
     evaluate_posterior,
     expected_coverage,
+    feature_importance,
     fit_marginal_flow,
     misspecification_check,
     pit_ks_statistic,
@@ -141,5 +143,7 @@ __all__ = [
     "match_resolution_constant_r",
     # misc diagnostics
     "c2st", "fit_marginal_flow", "misspecification_check",
-    "create_noise_models_from_catalogue",
+    "create_noise_models_from_catalogue", "feature_importance",
+    # agn
+    "AGNSimulator", "agn_fraction",
 ]

@@ -28,6 +28,7 @@ __all__ = [
     "generate_constant_r_grid",
     "resample_spectrum",
     "match_resolution_constant_r",
+    "match_resolution_curve",
     "SpectralFeaturePipeline",
 ]
 
@@ -80,6 +81,62 @@ def match_resolution_constant_r(flux, r_in: float, r_out: float,
         return jnp.convolve(flux, kern, mode="same")
     conv = jax.vmap(lambda f: jnp.convolve(f, kern, mode="same"))
     return conv(flux)
+
+
+def match_resolution_curve(flux, lam, r_in: float, r_curve_lam, r_curve_r,
+                           grid_r: float, n_kernels: int = 8,
+                           trunc: float = 4.0):
+    """Degrade to a wavelength-dependent resolution curve R(λ).
+
+    The reference handles variable R with a per-pixel variable-width numba
+    kernel (utils.py:129-182). Here: a bank of `n_kernels` fixed-width
+    Gaussians spanning the needed σ range; each output pixel linearly mixes
+    the two bank members bracketing its target σ — static shapes, one
+    convolution per bank member, batched over spectra.
+
+    Args:
+        flux: (..., L) on a constant-`grid_r` log-λ grid.
+        lam: (L,) the grid wavelengths [Å].
+        r_in: intrinsic model resolution.
+        r_curve_lam / r_curve_r: the instrument resolution curve samples.
+    """
+    lam = np.asarray(lam)
+    r_out = np.interp(lam, np.asarray(r_curve_lam), np.asarray(r_curve_r))
+    r_out = np.minimum(r_out, r_in * 0.999)
+    dv = np.sqrt(1.0 / r_out**2 - 1.0 / r_in**2) * _FWHM_TO_SIGMA
+    pixel = np.log(1.0 + 0.5 / grid_r)
+    sigma_pix = dv / pixel  # (L,) target kernel widths
+    s_lo, s_hi = float(sigma_pix.min()), float(sigma_pix.max())
+    bank_sigmas = np.linspace(max(s_lo, 1e-3), max(s_hi, 2e-3), n_kernels)
+
+    flux = jnp.asarray(flux, jnp.float32)
+    squeeze = flux.ndim == 1
+    flux2 = jnp.atleast_2d(flux)
+    convs = []
+    for s in bank_sigmas:
+        kern = jnp.asarray(_gaussian_kernel(s, trunc), jnp.float32)
+        convs.append(
+            jax.vmap(lambda f, k=kern: jnp.convolve(f, k, mode="same"))(flux2)
+        )
+    convs = jnp.stack(convs)  # (K, B, L)
+    # per-pixel mixing weights between bracketing bank members
+    idx = np.clip(
+        np.searchsorted(bank_sigmas, sigma_pix) - 1, 0, n_kernels - 2
+    )
+    frac = (sigma_pix - bank_sigmas[idx]) / np.maximum(
+        bank_sigmas[idx + 1] - bank_sigmas[idx], 1e-12
+    )
+    frac = np.clip(frac, 0.0, 1.0)
+    idx_j = jnp.asarray(idx)
+    frac_j = jnp.asarray(frac, jnp.float32)
+    lo = jnp.take_along_axis(
+        convs, idx_j[None, None, :].repeat(flux2.shape[0], 1), axis=0
+    )[0]
+    hi = jnp.take_along_axis(
+        convs, (idx_j + 1)[None, None, :].repeat(flux2.shape[0], 1), axis=0
+    )[0]
+    out = lo * (1.0 - frac_j) + hi * frac_j
+    return out[0] if squeeze else out
 
 
 class SpectralFeaturePipeline:

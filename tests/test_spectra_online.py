@@ -110,3 +110,47 @@ def test_online_tsnpe_recovers_parameters():
     # round-2 proposals concentrate near truth vs prior
     r2 = data["theta"][1]
     assert np.abs(r2.mean(0) - true_theta).max() < 0.5
+
+
+class TestVariableResolution:
+    def test_matches_constant_r_when_curve_flat(self):
+        from synference_tpu.spectra import (
+            match_resolution_constant_r,
+            match_resolution_curve,
+        )
+
+        r_grid = 5000.0
+        lam = generate_constant_r_grid(r=r_grid, start=4000, end=9000)
+        rng = np.random.default_rng(0)
+        flux = rng.random(len(lam)).astype(np.float32)
+        const = np.asarray(
+            match_resolution_constant_r(jnp.asarray(flux), 1e5, 300.0, r_grid)
+        )
+        curve = np.asarray(match_resolution_curve(
+            jnp.asarray(flux), lam, 1e5,
+            np.array([3000.0, 10000.0]), np.array([300.0, 300.0]), r_grid,
+        ))
+        np.testing.assert_allclose(curve, const, atol=0.02 * flux.max())
+
+    def test_variable_curve_broadens_differently(self):
+        from synference_tpu.spectra import match_resolution_curve
+
+        r_grid = 10000.0
+        lam = generate_constant_r_grid(r=r_grid, start=4000, end=9000)
+        flux = (np.exp(-0.5 * ((lam - 5000.0) / 0.5) ** 2)
+                + np.exp(-0.5 * ((lam - 8000.0) / 0.8) ** 2)).astype(np.float32)
+        out = np.asarray(match_resolution_curve(
+            jnp.asarray(flux), lam, 1e5,
+            np.array([4000.0, 9000.0]), np.array([2000.0, 200.0]), r_grid,
+        ))
+
+        def fwhm(center):
+            m = np.abs(lam - center) < center * 0.02
+            seg, lseg = out[m], lam[m]
+            half = seg.max() / 2
+            above = lseg[seg > half]
+            return above.max() - above.min()
+
+        # interpolated curve: R(5000)=1640 -> FWHM ~3 A; R(8000)=560 -> ~14 A
+        assert fwhm(5000.0) < 6.0
+        assert 10.0 < fwhm(8000.0) < 20.0
