@@ -8,7 +8,7 @@ rng = np.random.default_rng(1)
 theta = jnp.asarray(rng.standard_normal((n, d_theta)), jnp.float32)
 x = jnp.asarray(rng.standard_normal((n, d_x)), jnp.float32)
 
-for model, kw in [("nsf", dict(hidden_features=69, num_transforms=15)),
+for model, kw in [("nsf", dict(hidden_features=69, num_transforms=15)),] or [
                   ("maf", dict(hidden_features=69, num_transforms=8))]:
     for bs in (1024, 8192):
         flow = build_flow(model, d_theta, d_x, **kw)

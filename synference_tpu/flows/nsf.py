@@ -49,17 +49,25 @@ def _spline_params(raw, n_bins, tail_bound):
     return cumw, cumh, derivs, 2.0 * tail_bound * widths, 2.0 * tail_bound * heights
 
 
-def _searchsorted(cum, x):
-    """Locate bin index of x in cumulative knots (...,K+1) -> (...,) int."""
-    return jnp.clip(
-        jnp.sum((x[..., None] >= cum[..., :-1]).astype(jnp.int32), axis=-1) - 1,
-        0,
-        cum.shape[-1] - 2,
-    )
+def _bin_onehot(cum, x):
+    """One-hot of the bin containing x over knots (...,K+1) -> (...,K).
+
+    TPU-friendly: bin membership as a product of comparisons instead of
+    searchsorted+gather (gathers serialize poorly on the VPU)."""
+    ge_lo = x[..., None] >= cum[..., :-1]
+    lt_hi = x[..., None] < cum[..., 1:]
+    oh = (ge_lo & lt_hi).astype(x.dtype)
+    # clamp outside-range points into the edge bins
+    none_hot = 1.0 - jnp.sum(oh, axis=-1, keepdims=True)
+    below = (x[..., None] < cum[..., :1]).astype(x.dtype)
+    first = jnp.zeros_like(oh).at[..., 0].set(1.0)
+    last = jnp.zeros_like(oh).at[..., -1].set(1.0)
+    return oh + none_hot * jnp.where(below > 0, first, last)
 
 
-def _gather(a, idx):
-    return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+def _sel(a, oh):
+    """Select per-bin values: (...,K) coefficients × one-hot -> (...,)."""
+    return jnp.sum(a * oh, axis=-1)
 
 
 def rqs_forward(x, raw, n_bins, tail_bound):
@@ -67,13 +75,13 @@ def rqs_forward(x, raw, n_bins, tail_bound):
     cumw, cumh, derivs, widths, heights = _spline_params(raw, n_bins, tail_bound)
     inside = (x > -tail_bound) & (x < tail_bound)
     xc = jnp.clip(x, -tail_bound, tail_bound)
-    k = _searchsorted(cumw, xc)
-    xk = _gather(cumw, k)
-    wk = _gather(widths, k)
-    hk = _gather(heights, k)
-    yk = _gather(cumh, k)
-    dk = _gather(derivs, k)
-    dk1 = _gather(derivs, k + 1)
+    oh = _bin_onehot(cumw, xc)
+    xk = _sel(cumw[..., :-1], oh)
+    wk = _sel(widths, oh)
+    hk = _sel(heights, oh)
+    yk = _sel(cumh[..., :-1], oh)
+    dk = _sel(derivs[..., :-1], oh)
+    dk1 = _sel(derivs[..., 1:], oh)
     sk = hk / wk
     xi = jnp.clip((xc - xk) / wk, 0.0, 1.0)
     xi1m = 1.0 - xi
@@ -94,13 +102,13 @@ def rqs_inverse(y, raw, n_bins, tail_bound):
     cumw, cumh, derivs, widths, heights = _spline_params(raw, n_bins, tail_bound)
     inside = (y > -tail_bound) & (y < tail_bound)
     yc = jnp.clip(y, -tail_bound, tail_bound)
-    k = _searchsorted(cumh, yc)
-    xk = _gather(cumw, k)
-    wk = _gather(widths, k)
-    hk = _gather(heights, k)
-    yk = _gather(cumh, k)
-    dk = _gather(derivs, k)
-    dk1 = _gather(derivs, k + 1)
+    oh = _bin_onehot(cumh, yc)
+    xk = _sel(cumw[..., :-1], oh)
+    wk = _sel(widths, oh)
+    hk = _sel(heights, oh)
+    yk = _sel(cumh[..., :-1], oh)
+    dk = _sel(derivs[..., :-1], oh)
+    dk1 = _sel(derivs[..., 1:], oh)
     sk = hk / wk
     dy = yc - yk
     # solve a xi^2 + b xi + c = 0 (Durkan et al. eq. 6-8)
