@@ -265,3 +265,36 @@ def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
     if parameter_names is not None:
         report["parameter_names"] = list(parameter_names)
     return report
+
+
+def format_report(report: dict) -> str:
+    """Human-readable metric table (the reference prints a formatted table
+    from evaluate_model, sbi_runner.py:6484-6735)."""
+    names = report.get(
+        "parameter_names",
+        [f"θ{i}" for i in range(len(report["pit_ks"]))],
+    )
+    point = report["point"]
+    lines = [
+        f"{'parameter':>20} {'rmse':>10} {'bias':>10} {'r2':>8} "
+        f"{'pit_ks':>8}",
+    ]
+    for i, n in enumerate(names):
+        lines.append(
+            f"{n:>20} {point['rmse'][i]:>10.4g} {point['bias'][i]:>10.3g} "
+            f"{point['r2'][i]:>8.3f} {report['pit_ks'][i]:>8.3f}"
+        )
+    lines.append(
+        f"TARP deviation: {report['tarp_deviation']:.4f}   "
+        f"mean log-prob: "
+        f"{report['mean_log_prob'] if report['mean_log_prob'] is not None else 'n/a'}"
+    )
+    cov = np.asarray(report["coverage"])
+    levels = report["coverage_levels"]
+    lines.append(
+        "coverage (mean over params): "
+        + "  ".join(
+            f"{lvl:.0%}->{cov[j].mean():.2f}" for j, lvl in enumerate(levels)
+        )
+    )
+    return "\n".join(lines)

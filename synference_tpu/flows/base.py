@@ -36,18 +36,29 @@ class ConditionalFlow:
     def __post_init__(self):
         from .maf import make_maf
         from .mdn import make_mdn
-        from .nsf import make_nsf
+        from .nsf import make_affine_coupling, make_nsf
 
         cfg = dict(self.config)
+        # optional embedding net for high-dim contexts (e.g. spectra):
+        # reference exposes ili/sbi embedding_net support
+        self._embed_dim = cfg.pop("embedding_dim", None)
+        self._embed_hidden = cfg.pop("embedding_hidden", 128)
+        self._embed_layers = cfg.pop("embedding_layers", 2)
+        flow_ctx = self._embed_dim or self.context_dim
         if self.model == "maf":
-            fns = make_maf(self.theta_dim, self.context_dim, **cfg)
+            fns = make_maf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "made":
+            cfg.setdefault("num_transforms", 1)
+            fns = make_maf(self.theta_dim, flow_ctx, **cfg)
         elif self.model == "nsf":
-            fns = make_nsf(self.theta_dim, self.context_dim, **cfg)
+            fns = make_nsf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model in ("realnvp", "affine_coupling"):
+            fns = make_affine_coupling(self.theta_dim, flow_ctx, **cfg)
         elif self.model == "mdn":
-            fns = make_mdn(self.theta_dim, self.context_dim, **cfg)
+            fns = make_mdn(self.theta_dim, flow_ctx, **cfg)
         elif self.model == "gaussian":
             cfg.setdefault("num_components", 1)
-            fns = make_mdn(self.theta_dim, self.context_dim, **cfg)
+            fns = make_mdn(self.theta_dim, flow_ctx, **cfg)
         else:
             raise ValueError(f"unknown flow model {self.model!r}")
         self._init, self._log_prob, self._sample = fns
@@ -55,7 +66,8 @@ class ConditionalFlow:
     # ------------------------------------------------------------------
     def init(self, key, theta_data=None, x_data=None):
         """Initialize params; standardization stats from training data."""
-        flow_params = self._init(key)
+        k_flow, k_embed = jax.random.split(key)
+        flow_params = self._init(k_flow)
 
         def stats(data, dim):
             if data is None:
@@ -65,13 +77,40 @@ class ConditionalFlow:
 
         tm, ts = stats(theta_data, self.theta_dim)
         xm, xs = stats(x_data, self.context_dim)
-        return {
+        params = {
             "flow": flow_params,
             "theta_mean": tm,
             "theta_std": ts,
             "x_mean": xm,
             "x_std": xs,
         }
+        if self._embed_dim is not None:
+            sizes = (
+                [self.context_dim]
+                + [self._embed_hidden] * self._embed_layers
+                + [self._embed_dim]
+            )
+            layers = []
+            keys = jax.random.split(k_embed, len(sizes) - 1)
+            for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
+                scale = np.sqrt(2.0 / a)
+                layers.append({
+                    "w": scale * jax.random.normal(keys[i], (b, a)),
+                    "b": jnp.zeros(b),
+                })
+            params["embed"] = layers
+        return params
+
+    def _apply_embedding(self, params, xs):
+        if self._embed_dim is None:
+            return xs
+        h = xs
+        layers = params["embed"]
+        for i, layer in enumerate(layers):
+            h = h @ layer["w"].T + layer["b"]
+            if i < len(layers) - 1:
+                h = jax.nn.relu(h)
+        return h
 
     def _std_theta(self, params, theta):
         return (theta - params["theta_mean"]) / params["theta_std"]
@@ -84,13 +123,15 @@ class ConditionalFlow:
         theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         z = self._std_theta(params, theta)
-        xs = self._std_x(params, x)
+        xs = self._apply_embedding(params, self._std_x(params, x))
         lp = self._log_prob(params["flow"], z, xs)
         return lp - jnp.sum(jnp.log(params["theta_std"]))
 
     def sample(self, params, key, x, n):
         """Sample n draws conditioned on a single x (C,) -> (n, D) raw units."""
-        xs = self._std_x(params, jnp.asarray(x, jnp.float32))
+        xs = self._apply_embedding(
+            params, self._std_x(params, jnp.asarray(x, jnp.float32))
+        )
         z = self._sample(params["flow"], key, xs, n)
         return z * params["theta_std"] + params["theta_mean"]
 

@@ -153,6 +153,80 @@ def _mlp_apply(params, x):
     return h
 
 
+def make_affine_coupling(dim: int, context_dim: int,
+                         hidden_features: int = 50,
+                         num_transforms: int = 5, n_layers: int = 2,
+                         clamp_log_scale: float = 4.0):
+    """RealNVP-style affine coupling flow (reference zoo's simpler coupling
+    models). Same permutation/conditioner machinery as make_nsf with an
+    affine (scale+shift) transform instead of splines."""
+    half_a = dim // 2 if dim > 1 else 0
+    half_b = dim - half_a
+    rng = np.random.default_rng(11)
+    perms = []
+    for t in range(num_transforms):
+        if t % 2 == 0:
+            perms.append(rng.permutation(dim))
+        else:
+            perms.append(perms[-1][::-1].copy())
+    inv_perms = [np.argsort(p) for p in perms]
+
+    def init(key):
+        keys = jax.random.split(key, num_transforms)
+        blocks = [
+            _mlp_init(keys[t], max(half_a + context_dim, 1), 2 * half_b,
+                      hidden_features, n_layers)
+            for t in range(num_transforms)
+        ]
+        return {"blocks": blocks}
+
+    def _cond(ta, x):
+        parts = ([ta] if half_a > 0 else []) + ([x] if context_dim > 0 else [])
+        if not parts:
+            parts = [jnp.ones(x.shape[:-1] + (1,))]
+        return jnp.concatenate(parts, axis=-1)
+
+    def _fwd(bp, theta, x):
+        ta, tb = theta[..., :half_a], theta[..., half_a:]
+        raw = _mlp_apply(bp, _cond(ta, x))
+        s, t = raw[..., :half_b], raw[..., half_b:]
+        s = jnp.clip(s, -clamp_log_scale, clamp_log_scale)
+        yb = tb * jnp.exp(s) + t
+        return jnp.concatenate([ta, yb], -1), jnp.sum(s, axis=-1)
+
+    def _inv(bp, y, x):
+        ya, yb = y[..., :half_a], y[..., half_a:]
+        raw = _mlp_apply(bp, _cond(ya, x))
+        s, t = raw[..., :half_b], raw[..., half_b:]
+        s = jnp.clip(s, -clamp_log_scale, clamp_log_scale)
+        tb = (yb - t) * jnp.exp(-s)
+        return jnp.concatenate([ya, tb], -1), -jnp.sum(s, axis=-1)
+
+    _log_2pi = float(np.log(2.0 * np.pi))
+
+    def log_prob(params, theta, x):
+        theta = jnp.atleast_2d(theta)
+        x = jnp.atleast_2d(x)
+        total = jnp.zeros(theta.shape[0])
+        h = theta
+        for t in range(num_transforms):
+            h = h[..., perms[t]]
+            h, ld = _fwd(params["blocks"][t], h, x)
+            total = total + ld
+        return total - 0.5 * jnp.sum(h**2, -1) - 0.5 * dim * _log_2pi
+
+    def sample(params, key, x, n):
+        x = jnp.atleast_1d(x)
+        xb = jnp.broadcast_to(x, (n,) + x.shape) if x.ndim == 1 else x
+        h = jax.random.normal(key, (n, dim))
+        for t in reversed(range(num_transforms)):
+            h, _ = _inv(params["blocks"][t], h, xb)
+            h = h[..., inv_perms[t]]
+        return h
+
+    return init, log_prob, sample
+
+
 def make_nsf(dim: int, context_dim: int, hidden_features: int = 50,
              num_transforms: int = 5, num_bins: int = 8,
              tail_bound: float = 3.5, n_layers: int = 2):

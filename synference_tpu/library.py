@@ -191,6 +191,8 @@ def load_library_hdf5(path: str) -> dict:
             out["photometry"] = f["Grid/Photometry"][:]
         if "Grid/Spectra" in f:
             out["spectra"] = f["Grid/Spectra"][:]
+        if "Grid/Wavelengths" in f:
+            out["wavelengths"] = f["Grid/Wavelengths"][:]
         if "Grid/SupplementaryParameters" in f:
             out["supplementary_parameters"] = f["Grid/SupplementaryParameters"][:]
             out["supplementary_parameter_names"] = list(
@@ -394,6 +396,13 @@ class LibraryGenerator:
         }
         if want_spectra:
             result["spectra"] = np.concatenate(spec_chunks, axis=0)[:n].T
+            # wavelength grid of the stored spectra (reference stores a
+            # Wavelengths dataset alongside, library.py:2653-2684)
+            result["wavelengths"] = (
+                np.asarray(self.spectral_pipeline.obs_lam)
+                if self.spectral_pipeline is not None
+                else np.asarray(sim.grid.lam)
+            )
         if self.supplementary:
             result["supplementary_parameters"] = np.concatenate(
                 supp_chunks, axis=0
@@ -411,6 +420,11 @@ class LibraryGenerator:
                 supplementary_parameters=result.get("supplementary_parameters"),
                 supplementary_parameter_names=result.get(
                     "supplementary_parameter_names"
+                ),
+                extra_datasets=(
+                    {"Wavelengths": result["wavelengths"]}
+                    if "wavelengths" in result
+                    else None
                 ),
                 model_group_writer=lambda grp: _write_model_group(
                     grp, sim, self.param_ranges, self.unlog_keys

@@ -122,3 +122,49 @@ def test_learns_conditional_gaussian(model):
     s = np.asarray(flow.sample(params, jax.random.PRNGKey(5), x_test, 4000))
     np.testing.assert_allclose(s.mean(0), [1.0, -1.0], atol=0.12)
     np.testing.assert_allclose(s.std(0), 0.3, atol=0.12)
+
+
+@pytest.mark.parametrize("model", ["made", "realnvp"])
+def test_zoo_aliases(model):
+    flow = build_flow(model, theta_dim=3, context_dim=4, hidden_features=16)
+    rng = np.random.default_rng(2)
+    theta = rng.normal(0, 1, (32, 3)).astype(np.float32)
+    x = rng.normal(0, 1, (32, 4)).astype(np.float32)
+    params = flow.init(KEY, theta, x)
+    lp = flow.log_prob(params, theta, x)
+    assert np.isfinite(np.asarray(lp)).all()
+    s = flow.sample(params, KEY, x[0], 50)
+    assert s.shape == (50, 3)
+
+
+def test_embedding_network():
+    """High-dim context through an embedding MLP: still learns."""
+    rng = np.random.default_rng(0)
+    n, d_x = 3000, 64
+    # context: only the mean of the first 32 dims is informative
+    x = rng.standard_normal((n, d_x)).astype(np.float32)
+    signal = x[:, :32].mean(1, keepdims=True)
+    theta = (3.0 * signal + 0.1 * rng.standard_normal((n, 1))).astype(
+        np.float32
+    )
+    flow = build_flow("mdn", 1, d_x, hidden_features=32, num_components=2,
+                      embedding_dim=8, embedding_hidden=32)
+    params = flow.init(KEY, theta, x)
+    assert "embed" in params
+    import optax
+
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, tb, xb):
+        l, g = jax.value_and_grad(lambda p: -flow.log_prob(p, tb, xb).mean())(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    for i in range(300):
+        idx = rng.integers(0, n, 256)
+        params, state, l = step(params, state, theta[idx], x[idx])
+    samp = np.asarray(flow.sample(params, jax.random.PRNGKey(3), x[0], 1000))
+    true_mean = 3.0 * float(signal[0])
+    assert abs(samp.mean() - true_mean) < 0.4
