@@ -69,7 +69,12 @@ from .noise_models import (
 )
 from .online import run_online_snpe
 from .posterior import DirectPosterior, EnsemblePosterior
-from .priors import BoxUniform, priors_from_library
+from .priors import (
+    BoxUniform,
+    RestrictedPrior,
+    priors_from_library,
+    restricted_prior_from_simulations,
+)
 from .recovery import recover_sed
 from .simformer import (
     Simformer,
@@ -146,4 +151,6 @@ __all__ = [
     "create_noise_models_from_catalogue", "feature_importance",
     # agn
     "AGNSimulator", "agn_fraction",
+    # restricted priors
+    "RestrictedPrior", "restricted_prior_from_simulations",
 ]

@@ -18,6 +18,7 @@ __all__ = [
     "plot_corner",
     "plot_sed_recovery",
     "plot_posterior_predictions",
+    "plot_snr_binned_deviation",
 ]
 
 
@@ -172,6 +173,48 @@ def plot_sed_recovery(recovery: dict, obs_phot_njy=None, obs_err_njy=None,
         ax.set_yscale("log")
         ax.set_xlabel("lookback age [yr]")
         ax.set_ylabel("mass formed / bin [M☉]")
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120)
+    return fig
+
+
+def plot_snr_binned_deviation(samples, truths, snr, parameter_names=None,
+                              n_bins: int = 6, save: str | None = None):
+    """Median deviation (pred − true) vs feature SNR, binned (the reference's
+    SNR-binned deviation plots, sbi_runner.py:2221-2472)."""
+    plt = _mpl()
+    samples = np.asarray(samples)
+    truths = np.asarray(truths)
+    snr = np.asarray(snr)
+    med = np.median(samples, axis=1)
+    dev = med - truths
+    p = truths.shape[1]
+    names = list(parameter_names or [f"θ{i}" for i in range(p)])
+    edges = np.quantile(snr, np.linspace(0, 1, n_bins + 1))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    fig, axes = plt.subplots(1, p, figsize=(3 * p, 3))
+    if p == 1:
+        axes = [axes]
+    for i in range(p):
+        med_dev, lo_dev, hi_dev = [], [], []
+        for b in range(n_bins):
+            m = (snr >= edges[b]) & (snr <= edges[b + 1])
+            if m.sum() < 3:
+                med_dev.append(np.nan)
+                lo_dev.append(np.nan)
+                hi_dev.append(np.nan)
+                continue
+            med_dev.append(np.median(dev[m, i]))
+            lo_dev.append(np.quantile(dev[m, i], 0.16))
+            hi_dev.append(np.quantile(dev[m, i], 0.84))
+        ax = axes[i]
+        ax.fill_between(centers, lo_dev, hi_dev, alpha=0.3, color="C0")
+        ax.plot(centers, med_dev, "C0o-", ms=4)
+        ax.axhline(0, color="k", ls="--", lw=1)
+        ax.set_xscale("log")
+        ax.set_xlabel("SNR")
+        ax.set_ylabel(f"Δ{names[i]}", fontsize=8)
     fig.tight_layout()
     if save:
         fig.savefig(save, dpi=120)

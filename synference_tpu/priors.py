@@ -10,11 +10,12 @@ everything the TPU posterior machinery needs.
 
 from __future__ import annotations
 
-import jax
+import jax  # noqa: F401  (used by RestrictedPrior.sample)
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BoxUniform", "priors_from_library"]
+__all__ = ["BoxUniform", "RestrictedPrior", "priors_from_library",
+           "restricted_prior_from_simulations"]
 
 
 class BoxUniform:
@@ -57,6 +58,84 @@ class BoxUniform:
     @classmethod
     def from_dict(cls, d: dict) -> "BoxUniform":
         return cls(d["low"], d["high"], tuple(d.get("names", ())))
+
+
+class RestrictedPrior:
+    """Base prior restricted to the region where simulations are valid.
+
+    Reference analogue: `create_restricted_priors` via sbi's
+    RestrictionEstimator (`sbi_runner.py:3571-3599`): a classifier learns
+    p(valid | θ) from (θ, valid) pairs; sampling rejects θ the classifier
+    deems invalid. log_prob keeps the base density on the accepted region
+    (unnormalized, as sbi does).
+    """
+
+    def __init__(self, base: BoxUniform, classifier, threshold: float = 0.5):
+        self.base = base
+        self.classifier = classifier  # sklearn-style .predict_proba
+        self.threshold = threshold
+        self.names = base.names
+
+    @property
+    def dim(self):
+        return self.base.dim
+
+    def _valid(self, theta):
+        proba = self.classifier.predict_proba(np.asarray(theta))[:, 1]
+        return proba >= self.threshold
+
+    def sample(self, key, n: int, max_tries: int = 50):
+        import jax
+
+        out = np.empty((0, self.dim), np.float32)
+        for _ in range(max_tries):
+            key, k = jax.random.split(key)
+            cand = np.asarray(self.base.sample(k, max(2 * n, 256)))
+            out = np.concatenate([out, cand[self._valid(cand)]])
+            if len(out) >= n:
+                return jnp.asarray(out[:n])
+        raise RuntimeError("restricted prior acceptance too low")
+
+    def log_prob(self, theta):
+        lp = self.base.log_prob(theta)
+        valid = jnp.asarray(self._valid(np.atleast_2d(np.asarray(theta))))
+        return jnp.where(valid, lp, -jnp.inf)
+
+    def support_mask(self, theta):
+        base_ok = self.base.support_mask(theta)
+        valid = jnp.asarray(self._valid(np.atleast_2d(np.asarray(theta))))
+        return base_ok & valid
+
+
+def restricted_prior_from_simulations(base: BoxUniform, theta, x,
+                                      threshold: float = 0.5,
+                                      random_state: int = 0):
+    """Fit the validity classifier from simulation outputs: a θ is invalid
+    when its simulation contains non-finite values (the reference's
+    RestrictionEstimator use case)."""
+    from sklearn.neural_network import MLPClassifier
+
+    theta = np.asarray(theta)
+    valid = np.isfinite(np.asarray(x)).all(axis=1)
+    if valid.all() or (~valid).all():
+        # degenerate labels: nothing to restrict
+        class _Always:
+            def predict_proba(self, t):
+                p = np.full((len(t), 2), 0.0)
+                p[:, 1] = 1.0 if valid.all() else 0.0
+                return p
+
+        return RestrictedPrior(base, _Always(), threshold)
+    clf = MLPClassifier(hidden_layer_sizes=(64,), max_iter=300,
+                        random_state=random_state)
+    mu, sd = theta.mean(0), np.maximum(theta.std(0), 1e-8)
+    clf.fit((theta - mu) / sd, valid.astype(int))
+
+    class _Scaled:
+        def predict_proba(self, t):
+            return clf.predict_proba((np.asarray(t) - mu) / sd)
+
+    return RestrictedPrior(base, _Scaled(), threshold)
 
 
 def priors_from_library(

@@ -136,6 +136,8 @@ class BatchSEDSimulator:
         compute_dtype=jnp.float32,
         z_max: float = 25.0,
         photometry_backend: str = "auto",
+        n_particles: int | None = None,
+        particle_seed: int = 0,
     ):
         if not grid.is_log_uniform:
             # shift-based photometry needs geometric λ spacing
@@ -149,6 +151,11 @@ class BatchSEDSimulator:
         self.cosmology = cosmology
         self.fixed_params = dict(fixed_params or {})
         self.compute_dtype = compute_dtype
+        # stochastic IMF sampling: draw n_particles star particles from the
+        # parametric SFZH instead of using it directly (Synthesizer's
+        # `sample_sfzh` particle mode, reference library.py:1340-1424)
+        self.n_particles = n_particles
+        self._particle_key = jax.random.PRNGKey(particle_seed)
 
         self._sampling = make_age_sampling(grid.age_bin_edges_yr, n_age_sub)
         self._log10_mets = jnp.asarray(grid.log10_metallicities, jnp.float32)
@@ -232,6 +239,7 @@ class BatchSEDSimulator:
         registry-based replacement for the reference's stored-source
         parameter transforms, library.py:5515-5534)."""
         d = {n: theta_row[i] for i, n in enumerate(self.param_names)}
+        d["_theta_row"] = theta_row  # per-row entropy for particle sampling
         for k, v in self.fixed_params.items():
             d.setdefault(k, jnp.asarray(v, jnp.float32))
         for k in list(d.keys()):
@@ -260,8 +268,25 @@ class BatchSEDSimulator:
         w_age = sfh_weights(self.sfh_name, sfh_params, self._sampling)  # (A,)
         w_met = zdist_weights(self.zdist_name, params, self._log10_mets)  # (Z,)
         mass = 10.0 ** params.get("log10_mass", jnp.asarray(8.0))
-        sfzh = jnp.outer(w_age, w_met) * mass
-        return sfzh.reshape(-1), w_age * mass
+        sfzh = jnp.outer(w_age, w_met)
+        if self.n_particles is not None:
+            # multinomial particle realization: categorical draws over the
+            # (A·Z) cells, fold per-row randomness from θ so each galaxy in
+            # a batch gets an independent (but reproducible) realization
+            flat = sfzh.reshape(-1)
+            row_key = jax.random.fold_in(
+                self._particle_key,
+                jnp.sum((params["_theta_row"] * 1.0e4).astype(jnp.int32)),
+            )
+            cells = jax.random.categorical(
+                row_key,
+                jnp.log(jnp.maximum(flat, 1.0e-30)),
+                shape=(self.n_particles,),
+            )
+            counts = jnp.zeros_like(flat).at[cells].add(1.0)
+            sfzh = (counts / self.n_particles).reshape(sfzh.shape)
+        sfzh = sfzh * mass
+        return sfzh.reshape(-1), sfzh.sum(axis=1)
 
     def _intrinsic_lnu(self, sfzh_flat):
         """Contract SFZH against grid spectra -> (lnu_escaped, lnu_reproc).

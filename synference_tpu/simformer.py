@@ -387,6 +387,32 @@ class SimformerPosterior:
         )(keys, xs)
 
 
+def train_noise_model_simformer(mags, log_errs, key=None, **train_kwargs):
+    """Learn p(log σ | mag) as a simformer task (reference
+    `UncertainityModelTask`, simformer.py:266-339): θ tokens are the
+    per-band log-errors, x tokens the magnitudes. Full attention so the
+    diffused error tokens can read the conditioning magnitudes (a causal
+    x-mask in the reference's convention orders x before θ).
+
+    Returns (model, posterior) — posterior.sample(key, mags, n) draws error
+    vectors conditioned on a magnitude vector."""
+    import jax as _jax
+
+    mags = np.atleast_2d(np.asarray(mags, np.float32))
+    log_errs = np.atleast_2d(np.asarray(log_errs, np.float32))
+    n_theta, n_x = log_errs.shape[1], mags.shape[1]
+    cfg = SimformerConfig(n_tokens=n_theta + n_x, d_model=64, n_heads=4,
+                          n_layers=2)
+    model = Simformer(cfg)
+    params, std, hist = train_simformer(
+        model, log_errs, mags,
+        key if key is not None else _jax.random.PRNGKey(0),
+        **train_kwargs,
+    )
+    posterior = SimformerPosterior(model, params, std, n_steps=300)
+    return model, posterior
+
+
 def block_attn_mask(n_theta: int, n_x: int, kind: str = "full"):
     """Attention masks over [θ | x] tokens (reference `get_base_mask_fn`,
     simformer.py:209-263): "full" or "causal" (x tokens attend to θ and

@@ -165,3 +165,46 @@ class TestMisspecification:
         flags_bad, _, _ = misspecification_check(flow, params, x_train, x_bad)
         assert flags_ok.mean() < 0.3
         assert flags_bad.all()
+
+
+class TestRestrictedPrior:
+    def test_restricts_invalid_region(self, rng):
+        from synference_tpu.priors import (
+            BoxUniform,
+            restricted_prior_from_simulations,
+        )
+
+        base = BoxUniform([-1.0, -1.0], [1.0, 1.0], ("a", "b"))
+        theta = rng.uniform(-1, 1, (3000, 2)).astype(np.float32)
+        # simulations blow up when a > 0.5
+        x = np.ones((3000, 3), np.float32)
+        x[theta[:, 0] > 0.5] = np.nan
+        rp = restricted_prior_from_simulations(base, theta, x)
+        s = np.asarray(rp.sample(jax.random.PRNGKey(0), 500))
+        assert (s[:, 0] < 0.6).mean() > 0.95
+        lp = np.asarray(rp.log_prob(np.array([[0.9, 0.0], [0.0, 0.0]])))
+        assert lp[0] == -np.inf and np.isfinite(lp[1])
+
+    def test_degenerate_all_valid(self, rng):
+        from synference_tpu.priors import (
+            BoxUniform,
+            restricted_prior_from_simulations,
+        )
+
+        base = BoxUniform([0.0], [1.0])
+        theta = rng.random((100, 1)).astype(np.float32)
+        x = np.ones((100, 2), np.float32)
+        rp = restricted_prior_from_simulations(base, theta, x)
+        s = np.asarray(rp.sample(jax.random.PRNGKey(0), 50))
+        assert s.shape == (50, 1)
+
+
+def test_snr_binned_plot(tmp_path, rng):
+    from synference_tpu.plotting import plot_snr_binned_deviation
+
+    samples = rng.standard_normal((200, 50, 2))
+    truths = rng.standard_normal((200, 2))
+    snr = 10.0 ** rng.uniform(0, 2, 200)
+    plot_snr_binned_deviation(samples, truths, snr, ["a", "b"],
+                              save=str(tmp_path / "snr.png"))
+    assert (tmp_path / "snr.png").stat().st_size > 1000

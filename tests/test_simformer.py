@@ -89,3 +89,27 @@ def test_simformer_recovers_conditional():
     )
     assert s2[:, 1].std() > 0.6  # close to prior width
     assert abs(s2[:, 0].mean() - 1.0) < 0.35
+
+
+@pytest.mark.slow
+def test_noise_model_task():
+    """p(log sigma | mag): errors correlate with magnitude; the learned task
+    should reproduce the trend."""
+    from synference_tpu.simformer import train_noise_model_simformer
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    mags = rng.uniform(22.0, 30.0, (n, 2)).astype(np.float32)
+    # log error grows with magnitude
+    log_errs = (0.3 * (mags - 26.0) + 0.1 * rng.standard_normal((n, 2))
+                ).astype(np.float32)
+    model, post = train_noise_model_simformer(
+        mags, log_errs, jax.random.PRNGKey(0),
+        batch_size=256, learning_rate=1e-3, max_epochs=40,
+        stop_after_epochs=40,
+    )
+    bright = np.asarray(post.sample(jax.random.PRNGKey(1),
+                                    np.array([23.0, 23.0], np.float32), 400))
+    faint = np.asarray(post.sample(jax.random.PRNGKey(2),
+                                   np.array([29.0, 29.0], np.float32), 400))
+    assert bright.mean() < faint.mean() - 0.5
