@@ -38,7 +38,7 @@ from synference_tpu.flows import build_flow  # noqa: E402
 REF_SEDS_PER_SEC = 13.9  # see module docstring
 
 
-def bench_generation(batch=8192, iters=10):
+def bench_generation(batch=65536, iters=8):
     grid = st.make_synthetic_grid(n_ages=48, n_mets=8, n_wav=2048)
     centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
     widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
@@ -140,7 +140,7 @@ def main():
     out = {
         "metric": "mock_seds_per_sec",
         "value": round(seds_per_sec, 1),
-        "unit": "SEDs/s (1 chip, fp32, 7 bands)",
+        "unit": "SEDs/s (1 chip, fp32, 7 bands, batch 65536)",
         "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),
         "npe_train_steps_per_sec": round(train_steps, 1),
         "posterior_samples_per_sec": round(samples_per_sec, 1),
