@@ -182,3 +182,23 @@ class TestIGM:
         lam_obs = jnp.asarray([1100.0 * (1 + z)])  # in the forest
         t = float(igm_transmission(lam_obs, z)[0])
         assert 0.0 < t < 1.0
+
+
+class TestWideFilterSet:
+    def test_63_filters_paper_scale(self, test_grid, rng):
+        """The reference's paper-scale config uses 63 filters
+        (BASELINE.md); exercise a wide filter set end to end."""
+        from synference_tpu.filters import FilterSet, tophat_filter
+
+        centers = np.geomspace(4000.0, 80000.0, 63)
+        fs = FilterSet([
+            tophat_filter(f"B{i}", c, 0.15 * c)
+            for i, c in enumerate(centers)
+        ])
+        sim = BatchSEDSimulator(
+            test_grid, fs, PARAM_NAMES, sfh="lognormal", zdist="delta",
+        )
+        theta = _theta(16, rng)
+        p = np.asarray(sim.photometry(theta))
+        assert p.shape == (16, 63)
+        assert np.isfinite(p).all() and (p >= 0).all()
