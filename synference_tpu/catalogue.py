@@ -141,8 +141,12 @@ class MissingPhotometryHandler:
 
         def one(k, f, e, m):
             valid = 1.0 - m
-            # chi2 distance to every library SED over valid bands
-            diff = (lib - f) / e
+            # chi2 over valid bands only; zero out missing entries BEFORE
+            # the arithmetic — NaN placeholders in masked flux/err would
+            # otherwise poison the sum (0 * NaN = NaN)
+            f_safe = jnp.where(m == 1.0, 0.0, f)
+            e_safe = jnp.where(m == 1.0, 1.0, jnp.maximum(e, 1.0e-30))
+            diff = (lib - f_safe) / e_safe
             chi2 = jnp.sum(valid * diff**2, axis=1)  # (N,)
             neg_top, idx = jax.lax.top_k(-chi2, self.k)
             w = jax.nn.softmax(0.5 * neg_top)  # ∝ exp(-chi2/2), normalized
@@ -178,9 +182,17 @@ class MissingPhotometryHandler:
         imputed = self.impute(k_imp, flux_njy, err_njy, missing_mask)
         m, nmc, f = imputed.shape
         flat_flux = imputed.reshape(m * nmc, f)
+        # errors for missing bands: the observed error may be a NaN
+        # placeholder; give the imputed flux a nominal 10% error instead
         flat_err = jnp.repeat(jnp.asarray(err_njy, jnp.float32), nmc, axis=0)
+        miss_rep = jnp.repeat(
+            jnp.asarray(missing_mask, jnp.float32), nmc, axis=0
+        )
+        flat_err = jnp.where(
+            miss_rep == 1.0, 0.1 * jnp.abs(flat_flux) + 1.0, flat_err
+        )
         feats = feature_fn(flat_flux, flat_err)  # (M*nmc, D)
-        per = max(n_samples // nmc, 1)
+        per = -(-n_samples // nmc)  # ceil: never return fewer than requested
         samples = posterior.sample_batch(k_samp, feats, per)  # (M*nmc, per, P)
         p = samples.shape[-1]
         pooled = samples.reshape(m, nmc * per, p)

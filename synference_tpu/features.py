@@ -130,6 +130,9 @@ class FeatureResult:
     feature_names: list
     parameters: np.ndarray | None  # (N', P) scatter-repeated, NaN-pruned
     flags: dict = field(default_factory=dict)
+    # source-galaxy index per row: scatter copies of the same library galaxy
+    # share an index — train/test splits must group on it to avoid leakage
+    source_index: np.ndarray | None = None
 
 
 class FeaturePipeline:
@@ -310,6 +313,11 @@ class FeaturePipeline:
             feature_names += [f"unc_{c}" for c in self.kept_codes
                               if c != cfg.normalize_method]
 
+        # extra features are computed from the PRE-missing-injection fluxes
+        # (matching the reference, whose parser evaluates normed_photometry
+        # before injection, and matching transform_observations)
+        x_pre_missing = x
+
         # --- missing-band simulation -------------------------------------
         n_phot = x.shape[1]
         if cfg.missing_flux_options:
@@ -346,7 +354,7 @@ class FeaturePipeline:
             parser = FilterArithmeticParser()
             cols = dict(zip(
                 [c for c in self.kept_codes if c != cfg.normalize_method],
-                [x[:, i] for i in range(x.shape[1])],
+                [x_pre_missing[:, i] for i in range(x_pre_missing.shape[1])],
             ))
             for expr in cfg.extra_features:
                 if expr in tuple(parameter_names):
@@ -381,9 +389,11 @@ class FeaturePipeline:
 
         features = np.asarray(features)
         params_np = None if params_out is None else np.asarray(params_out)
+        source_index = np.tile(np.arange(n), s)
         if remove_nan:
             good = np.isfinite(features).all(axis=1)
             features = features[good]
+            source_index = source_index[good]
             if params_np is not None:
                 params_np = params_np[good]
 
@@ -395,6 +405,7 @@ class FeaturePipeline:
             feature_names=feature_names,
             parameters=params_np,
             flags=flags,
+            source_index=source_index,
         )
 
     # ------------------------------------------------------------------
@@ -404,6 +415,7 @@ class FeaturePipeline:
         flux_err=None,
         flux_unit="nJy",
         missing_mask=None,
+        extra_values: dict | None = None,
     ) -> np.ndarray:
         """Replay the training transform on real observations (no
         scattering; reference `create_features_from_observations`,
@@ -415,6 +427,12 @@ class FeaturePipeline:
                 features include errors).
             flux_unit: unit of the provided values.
             missing_mask: optional (M, F) bool/0-1 array, 1 = missing.
+            extra_values: (M,) catalogue columns for any `extra_features`
+                entries that named a parameter/supplementary quantity at
+                training time (e.g. a spectroscopic redshift) — those cannot
+                be derived from photometry and must be supplied here (the
+                reference's `provided_feature_parameters` contract,
+                sbi_runner.py:2034-2081).
         """
         cfg = self.config
         flux = jnp.asarray(flux, jnp.float32)
@@ -479,9 +497,19 @@ class FeaturePipeline:
                 [x[:, i] for i in range(x.shape[1])],
             ))
             for expr in cfg.extra_features:
-                blocks.append(
-                    parser.parse_and_evaluate(expr, cols)[:, None]
-                )
+                if extra_values is not None and expr in extra_values:
+                    col = jnp.asarray(extra_values[expr], jnp.float32)
+                else:
+                    try:
+                        col = parser.parse_and_evaluate(expr, cols)
+                    except KeyError as e:
+                        raise ValueError(
+                            f"extra feature {expr!r} was a parameter/"
+                            "supplementary column at training time; supply "
+                            "it via extra_values={...} when transforming "
+                            "observations"
+                        ) from e
+                blocks.append(col[:, None])
 
         if norm_appended is not None:
             blocks.append(norm_appended[:, None])

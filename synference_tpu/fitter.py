@@ -66,6 +66,7 @@ class SBIFitter:
         self.feature_pipeline: FeaturePipeline | None = None
         self.features: np.ndarray | None = None
         self.feature_params: np.ndarray | None = None
+        self.feature_source: np.ndarray | None = None
         self.prior: BoxUniform | None = None
         self.flow: ConditionalFlow | None = None
         self.train_result = None
@@ -119,6 +120,7 @@ class SBIFitter:
         self.features = res.features
         self.feature_params = res.parameters
         self.feature_flags = res.flags
+        self.feature_source = res.source_index
         return res
 
     # ------------------------------------------------------------------
@@ -161,8 +163,12 @@ class SBIFitter:
             )
         feats = np.asarray(spec)
         good = np.isfinite(feats).all(axis=1)
+        n_raw = self.spectra.shape[0]
+        s_rep = max(n_scatters, 1) if (n_scatters > 1 or noise_model is not None) else 1
+        source = np.tile(np.arange(n_raw), s_rep)
         self.features = feats[good]
         self.feature_params = np.asarray(params)[good]
+        self.feature_source = source[good]
         self.feature_flags = {
             "spectral": True, "crop": crop,
             "normalize_pixel": normalize_pixel, "n_scatters": n_scatters,
@@ -183,13 +189,25 @@ class SBIFitter:
 
     # ------------------------------------------------------------------
     def split_dataset(self, test_fraction: float = 0.1, seed: int = 0):
+        """Held-out split grouped by source galaxy: with n_scatters > 1 the
+        feature rows contain noise-realization copies of each galaxy, and a
+        row-level split would leak θ into the test set."""
         n = self.features.shape[0]
         rng = np.random.default_rng(seed)
-        perm = rng.permutation(n)
-        n_test = max(int(n * test_fraction), 1)
+        source = getattr(self, "feature_source", None)
+        if source is None:
+            perm = rng.permutation(n)
+            n_test = max(int(n * test_fraction), 1)
+            self._split = {"test": perm[:n_test], "train": perm[n_test:]}
+            return self._split
+        uniq = np.unique(source)
+        perm_g = rng.permutation(len(uniq))
+        n_test_g = max(int(len(uniq) * test_fraction), 1)
+        test_groups = uniq[perm_g[:n_test_g]]
+        is_test = np.isin(source, test_groups)
         self._split = {
-            "test": perm[:n_test],
-            "train": perm[n_test:],
+            "test": np.where(is_test)[0],
+            "train": np.where(~is_test)[0],
         }
         return self._split
 
@@ -229,6 +247,7 @@ class SBIFitter:
         )
         tr_idx = self._split["train"]
         key = key if key is not None else jax.random.PRNGKey(42)
+        source = getattr(self, "feature_source", None)
         self.train_result = train_ensemble(
             self.flow,
             self.feature_params[tr_idx],
@@ -236,6 +255,7 @@ class SBIFitter:
             key=key,
             config=train_config or TrainConfig(),
             n_nets=n_nets,
+            groups=None if source is None else source[tr_idx],
         )
         if n_nets == 1:
             params = jax.tree_util.tree_map(
@@ -399,6 +419,7 @@ class SBIFitter:
         )
         fitter.features = None
         fitter.feature_params = None
+        fitter.feature_source = None
         fitter.supplementary = None
         fitter.supplementary_names = []
         fitter.train_result = None

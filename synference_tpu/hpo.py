@@ -198,7 +198,7 @@ class Study:
         if self.storage:
             self._load()  # pick up other workers' results
         trial = {
-            "number": len(self.trials),
+            "number": self._allocate_number(),
             "params": self._suggest(),
             "state": "RUNNING",
             "value": None,
@@ -207,6 +207,26 @@ class Study:
         self.trials.append(trial)
         self._persist(trial)
         return trial
+
+    def _allocate_number(self) -> int:
+        """Atomically reserve the next trial number. With shared sqlite
+        storage two workers would otherwise both take len(trials) and
+        INSERT OR REPLACE each other's trials."""
+        if not self._is_sql():
+            return len(self.trials)
+        for attempt in range(10):
+            try:
+                with self._conn() as con:
+                    cur = con.execute(
+                        "INSERT INTO trials (number, payload) VALUES ("
+                        "(SELECT COALESCE(MAX(number), -1) + 1 FROM trials),"
+                        " ?) RETURNING number",
+                        (json.dumps({"state": "ALLOCATED"}),),
+                    )
+                    return int(cur.fetchone()[0])
+            except sqlite3.OperationalError:
+                time.sleep(0.1 * (attempt + 1))
+        raise RuntimeError("could not allocate trial number")
 
     def report_intermediate(self, trial: dict, step: int, value: float):
         trial["intermediate"][str(step)] = float(value)

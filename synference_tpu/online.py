@@ -6,8 +6,9 @@ The reference's online path (`run_single_sbi(learning_type="online")`,
 its slowest configuration (SURVEY §3.4). Here the simulator is a jitted
 batch function, so sequential rounds are cheap: this implements TSNPE
 (truncated sequential NPE, Deistler et al. 2022) — each round's proposal is
-the current posterior restricted to the prior box, which keeps the plain NPE
-loss valid (no importance reweighting or atomic corrections needed).
+UNIFORM over the current posterior's (1−ε) highest-density region (the prior
+restricted to a subset), which keeps the plain NPE loss valid with no
+importance reweighting or atomic corrections.
 """
 
 from __future__ import annotations
@@ -21,6 +22,40 @@ from .priors import BoxUniform
 from .train import TrainConfig, train_npe
 
 __all__ = ["run_online_snpe"]
+
+
+def _truncated_prior_sample(key, prior, posterior, x_obs, n,
+                            epsilon: float = 1.0e-3, max_tries: int = 200):
+    """Uniform draws from the prior restricted to the posterior's (1−ε)
+    highest-density region (TSNPE, Deistler et al. 2022): estimate the HPR
+    log-prob threshold from posterior samples, then rejection-sample the
+    prior against it. Falls back to prior draws if acceptance collapses.
+    """
+    import jax as _jax
+
+    key, k_thresh = _jax.random.split(key)
+    ref = posterior.sample(k_thresh, x_obs, 512)
+    x_rep = jnp.tile(jnp.asarray(x_obs)[None], (ref.shape[0], 1))
+    lp_ref = np.asarray(posterior.log_prob(ref, x_rep))
+    lp_ref = lp_ref[np.isfinite(lp_ref)]
+    if lp_ref.size == 0:
+        return prior.sample(key, n)
+    threshold = float(np.quantile(lp_ref, epsilon))
+
+    out = np.empty((0, prior.dim), np.float32)
+    for _ in range(max_tries):
+        key, k = _jax.random.split(key)
+        cand = prior.sample(k, max(2 * n, 512))
+        x_rep = jnp.tile(jnp.asarray(x_obs)[None], (cand.shape[0], 1))
+        lp = np.asarray(posterior.log_prob(cand, x_rep))
+        out = np.concatenate([out, np.asarray(cand)[lp >= threshold]])
+        if len(out) >= n:
+            return jnp.asarray(out[:n])
+    # acceptance too low: pad with prior draws (still a valid NPE proposal
+    # mixture of uniform restrictions)
+    key, k = _jax.random.split(key)
+    pad = np.asarray(prior.sample(k, n - len(out)))
+    return jnp.asarray(np.concatenate([out, pad]))
 
 
 def run_online_snpe(
@@ -57,9 +92,13 @@ def run_online_snpe(
         if posterior is None:
             theta = prior.sample(k_prop, sims_per_round)
         else:
-            # truncated-posterior proposal (rejection inside the prior box)
-            theta = posterior.sample(
-                k_prop, x_obs, sims_per_round, oversample=2.0
+            # TSNPE proposal: UNIFORM over the (1−ε) highest-posterior
+            # region. The plain NPE loss stays unbiased only when the
+            # proposal is the prior restricted to a subset (uniform on it),
+            # NOT the posterior itself — sampling θ ~ q(θ|x_obs) and training
+            # with -E[log q] would converge to p(x|θ)q(θ), overconcentrating.
+            theta = _truncated_prior_sample(
+                k_prop, prior, posterior, x_obs, sims_per_round
             )
         x = simulate_fn(theta)
         all_theta.append(np.asarray(theta))

@@ -138,18 +138,15 @@ class EnsemblePosterior:
         return DirectPosterior(self.flow, p, self.prior)
 
     def log_prob(self, theta, x, **kw):
-        lps = jnp.stack(
-            [
-                self.flow.log_prob(
-                    jax.tree_util.tree_map(lambda a: a[i], self.params),
-                    theta,
-                    x,
-                )
-                for i in range(self.n_members)
-            ]
-        )  # (K, B)
+        # one vmapped program over the stacked member axis (a Python loop
+        # would cost n_members separate dispatches per call)
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        lps = jax.vmap(
+            lambda p: self.flow.log_prob(p, theta, x)
+        )(self.params)  # (K, B)
         lp = jax.scipy.special.logsumexp(lps, axis=0) - jnp.log(self.n_members)
-        inside = self.prior.support_mask(jnp.atleast_2d(jnp.asarray(theta)))
+        inside = self.prior.support_mask(theta)
         return jnp.where(inside, lp, -jnp.inf)
 
     def sample(self, key, x, n: int, **kw):
@@ -166,15 +163,18 @@ class EnsemblePosterior:
         out = jnp.concatenate(chunks)
         return jax.random.permutation(k_draw, out)
 
-    def sample_batch(self, key, xs, n: int, **kw):
-        """(M, C) -> (M, n, D), members interleaved deterministically."""
+    def sample_batch(self, key, xs, n: int, batched_rounds: int = 4):
+        """(M, C) -> (M, n, D): every member draws per = ceil(n/K) samples in
+        ONE vmapped program over the stacked member axis, then the member
+        axis is folded into the sample axis."""
         xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
-        per = [n // self.n_members] * self.n_members
-        for i in range(n - sum(per)):
-            per[i] += 1
-        chunks = []
-        for i, c in enumerate(per):
-            if c > 0:
-                key, k = jax.random.split(key)
-                chunks.append(self._member(i).sample_batch(k, xs, c, **kw))
-        return jnp.concatenate(chunks, axis=1)
+        per = -(-n // self.n_members)
+        keys = jax.random.split(key, self.n_members)
+
+        def member(p, k):
+            post = DirectPosterior(self.flow, p, self.prior)
+            return post.sample_batch(k, xs, per, batched_rounds)
+
+        s = jax.vmap(member)(self.params, keys)  # (K, M, per, D)
+        s = jnp.moveaxis(s, 0, 1).reshape(xs.shape[0], -1, s.shape[-1])
+        return s[:, :n]

@@ -64,11 +64,27 @@ def _make_optimizer(cfg: TrainConfig):
     return tx
 
 
-def _split_data(theta, x, cfg, key):
+def _split_data(theta, x, cfg, key, groups=None):
+    """Train/val split; with `groups` (per-row source-galaxy ids, e.g. from
+    FeatureResult.source_index) all copies of a galaxy land on one side —
+    scatter-duplicated rows otherwise leak θ across the split."""
     n = theta.shape[0]
-    perm = jax.random.permutation(key, n)
-    n_val = max(int(n * cfg.validation_fraction), 1)
-    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    if groups is None:
+        perm = jax.random.permutation(key, n)
+        n_val = max(int(n * cfg.validation_fraction), 1)
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+    else:
+        groups = np.asarray(groups)
+        uniq = np.unique(groups)
+        rng = np.random.default_rng(
+            int(jax.random.randint(key, (), 0, 2**31 - 1))
+        )
+        perm_g = rng.permutation(len(uniq))
+        n_val_g = max(int(len(uniq) * cfg.validation_fraction), 1)
+        val_groups = set(uniq[perm_g[:n_val_g]].tolist())
+        is_val = np.isin(groups, list(val_groups))
+        val_idx = jnp.asarray(np.where(is_val)[0])
+        train_idx = jnp.asarray(np.where(~is_val)[0])
     return (theta[train_idx], x[train_idx]), (theta[val_idx], x[val_idx])
 
 
@@ -79,10 +95,11 @@ def train_npe(
     key=None,
     config: TrainConfig | None = None,
     resume: bool = True,
+    groups=None,
 ) -> TrainResult:
     """Train a single NPE flow with -E[log q(θ|x)] loss."""
     result = train_ensemble(flow, theta, x, key=key, config=config,
-                            n_nets=1, resume=resume)
+                            n_nets=1, resume=resume, groups=groups)
     # unstack the singleton member axis
     result.params = jax.tree_util.tree_map(lambda a: a[0], result.params)
     result.train_losses = result.train_losses[:, 0]
@@ -98,6 +115,7 @@ def train_ensemble(
     config: TrainConfig | None = None,
     n_nets: int = 1,
     resume: bool = True,
+    groups=None,
 ) -> TrainResult:
     """Train n_nets flows simultaneously (vmapped over the member axis).
 
@@ -113,7 +131,7 @@ def train_ensemble(
         theta = theta[:, None]
 
     k_split, k_init, k_loop = jax.random.split(key, 3)
-    (t_tr, x_tr), (t_va, x_va) = _split_data(theta, x, cfg, k_split)
+    (t_tr, x_tr), (t_va, x_va) = _split_data(theta, x, cfg, k_split, groups)
     n_train = t_tr.shape[0]
     bs = min(cfg.batch_size, n_train)
     steps_per_epoch = max(n_train // bs, 1)

@@ -224,3 +224,86 @@ class TestParser:
             p.parse_and_evaluate("NOPE + 1", {"a": np.array([1.0])})
         with pytest.raises(ValueError):
             p.parse_and_evaluate("(a + 1", {"a": np.array([1.0])})
+
+
+class TestGroupedSplit:
+    def test_no_scatter_twin_leakage(self, phot, params):
+        """With n_scatters>1, copies of a galaxy must not straddle the
+        train/test split (theta leakage would inflate held-out metrics)."""
+        from synference_tpu.fitter import SBIFitter
+
+        fitter = SBIFitter(
+            photometry=np.asarray(phot),
+            parameters=np.asarray(params),
+            parameter_names=["a", "b", "c"],
+            filter_codes=list(CODES),
+        )
+        fitter.create_feature_array(FeatureConfig(
+            filter_codes=CODES, unit="AB", depths_ab=(28.0,) * 7,
+            n_scatters=3, include_errors=False,
+        ))
+        split = fitter.split_dataset(test_fraction=0.2, seed=1)
+        src = fitter.feature_source
+        test_groups = set(src[split["test"]].tolist())
+        train_groups = set(src[split["train"]].tolist())
+        assert not (test_groups & train_groups)
+        # all three copies of each test galaxy are in the test set
+        assert len(split["test"]) == 3 * len(test_groups)
+
+    def test_source_index_tracks_pruning(self, phot, params):
+        from synference_tpu.features import FeaturePipeline
+
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="asinh", n_scatters=2,
+            include_errors=False,
+        ))
+        res = fp.build(KEY, phot, params, ("a", "b", "c"))
+        assert res.source_index.shape[0] == res.features.shape[0]
+        # copies share theta
+        src = res.source_index
+        for g in np.unique(src)[:5]:
+            rows = np.where(src == g)[0]
+            t = res.parameters[rows]
+            assert np.allclose(t, t[0])
+
+
+class TestExtraFeatureConsistency:
+    def test_extras_from_pre_missing_fluxes(self, phot, params):
+        """Extra-feature colors must be identical whether or not missing
+        injection happened (train/inference consistency)."""
+        from synference_tpu.features import FeaturePipeline
+
+        cfg_missing = FeatureConfig(
+            filter_codes=CODES, unit="AB", missing_fraction=0.5,
+            include_errors=False, include_flags=False,
+            extra_features=("F200W - F090W",),
+        )
+        cfg_clean = FeatureConfig(
+            filter_codes=CODES, unit="AB",
+            include_errors=False, extra_features=("F200W - F090W",),
+        )
+        r_miss = FeaturePipeline(cfg_missing).build(
+            KEY, phot, params, ("a", "b", "c"), remove_nan=False
+        )
+        r_clean = FeaturePipeline(cfg_clean).build(
+            KEY, phot, params, ("a", "b", "c"), remove_nan=False
+        )
+        np.testing.assert_allclose(
+            r_miss.features[:, -1], r_clean.features[:, -1], rtol=1e-5
+        )
+
+    def test_param_extra_requires_extra_values_on_replay(self, phot, params):
+        from synference_tpu.features import FeaturePipeline
+
+        fp = FeaturePipeline(FeatureConfig(
+            filter_codes=CODES, unit="asinh", include_errors=False,
+            extra_features=("b",),
+        ))
+        fp.build(KEY, phot, params, ("a", "b", "c"))
+        with pytest.raises(ValueError, match="extra_values"):
+            fp.transform_observations(phot, 0.05 * phot, "nJy")
+        out = fp.transform_observations(
+            phot, 0.05 * phot, "nJy",
+            extra_values={"b": params[:, 1]},
+        )
+        np.testing.assert_allclose(out[:, -1], params[:, 1], rtol=1e-5)
