@@ -227,19 +227,24 @@ class TestParser:
 
 
 class TestGroupedSplit:
-    def test_no_scatter_twin_leakage(self, phot, params):
+    def test_no_scatter_twin_leakage(self):
         """With n_scatters>1, copies of a galaxy must not straddle the
         train/test split (theta leakage would inflate held-out metrics)."""
         from synference_tpu.fitter import SBIFitter
 
+        local = np.random.default_rng(77)
+        phot = 10.0 ** local.uniform(1.0, 4.0, (200, 7))
+        params = local.random((200, 3)).astype(np.float32)
         fitter = SBIFitter(
             photometry=np.asarray(phot),
             parameters=np.asarray(params),
             parameter_names=["a", "b", "c"],
             filter_codes=list(CODES),
         )
+        # asinh unit: scattered negative fluxes stay finite, so no rows are
+        # NaN-pruned and every galaxy keeps exactly 3 copies
         fitter.create_feature_array(FeatureConfig(
-            filter_codes=CODES, unit="AB", depths_ab=(28.0,) * 7,
+            filter_codes=CODES, unit="asinh", depths_ab=(28.0,) * 7,
             n_scatters=3, include_errors=False,
         ))
         split = fitter.split_dataset(test_fraction=0.2, seed=1)
