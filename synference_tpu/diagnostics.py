@@ -242,7 +242,15 @@ def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     k_samp, k_tarp = jax.random.split(key)
-    samples = np.asarray(posterior.sample_batch(k_samp, xs, n_samples))
+    acceptance = None
+    if hasattr(posterior, "sample_batch_with_acceptance"):
+        samples, acceptance = posterior.sample_batch_with_acceptance(
+            k_samp, xs, n_samples
+        )
+        samples = np.asarray(samples)
+        acceptance = np.asarray(acceptance)
+    else:
+        samples = np.asarray(posterior.sample_batch(k_samp, xs, n_samples))
     pit = np.asarray(pit_values(samples, truths))
     metrics = point_metrics(samples, truths)
     if hasattr(posterior, "log_prob"):
@@ -262,6 +270,22 @@ def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
         "coverage_levels": [0.5, 0.68, 0.9, 0.95],
         "n_samples": int(n_samples),
     }
+    if acceptance is not None:
+        # fraction of raw flow draws inside the prior support; low values
+        # mean returned samples were clipped onto the box faces (leakage
+        # that coverage stats cannot see)
+        report["sampling_acceptance_mean"] = float(acceptance.mean())
+        report["sampling_acceptance_min"] = float(acceptance.min())
+        report["frac_clipped"] = float(1.0 - acceptance.mean())
+        if acceptance.min() < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"posterior leakage: min in-support acceptance "
+                f"{acceptance.min():.2f} (< 0.5); clipped samples pile "
+                f"mass on the prior faces",
+                stacklevel=2,
+            )
     if parameter_names is not None:
         report["parameter_names"] = list(parameter_names)
     return report

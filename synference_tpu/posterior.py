@@ -89,8 +89,22 @@ class DirectPosterior:
         Each round draws n per object; invalid draws are replaced by valid
         ones via masked selection across rounds (fixed compute, no host
         sync per object — the TPU answer to the reference's per-object
-        loop).
+        loop). Out-of-support leakage is silently clipped here; use
+        `sample_batch_with_acceptance` to monitor it (sbi's DirectPosterior
+        tracks leakage, reference custom_runner.py:278-283).
         """
+        samples, _ = self.sample_batch_with_acceptance(
+            key, xs, n, batched_rounds
+        )
+        return samples
+
+    def sample_batch_with_acceptance(self, key, xs, n: int,
+                                     batched_rounds: int = 4):
+        """Like `sample_batch` but also returns the per-object in-support
+        fraction of the *raw* flow draws (M,). Values well below 1 mean the
+        flow leaks outside the prior box and some returned samples are
+        clipped onto the box faces — coverage diagnostics alone cannot see
+        this, so callers should surface it (`evaluate_posterior` does)."""
         xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
         m = xs.shape[0]
 
@@ -103,7 +117,10 @@ class DirectPosterior:
             # order: valid draws first, then clipped invalid ones
             order = jnp.argsort(~valid)  # stable: valids first
             picked = draws[order[:n]]
-            return jnp.clip(picked, self.prior.low, self.prior.high)
+            return (
+                jnp.clip(picked, self.prior.low, self.prior.high),
+                valid.mean(),
+            )
 
         keys = jax.random.split(key, m)
         return jax.vmap(one)(keys, xs)
@@ -167,14 +184,27 @@ class EnsemblePosterior:
         """(M, C) -> (M, n, D): every member draws per = ceil(n/K) samples in
         ONE vmapped program over the stacked member axis, then the member
         axis is folded into the sample axis."""
+        samples, _ = self.sample_batch_with_acceptance(
+            key, xs, n, batched_rounds
+        )
+        return samples
+
+    def sample_batch_with_acceptance(self, key, xs, n: int,
+                                     batched_rounds: int = 4):
+        """Like `sample_batch` but also returns the per-object in-support
+        fraction of the raw draws, averaged over members (M,)."""
         xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
         per = -(-n // self.n_members)
         keys = jax.random.split(key, self.n_members)
 
         def member(p, k):
             post = DirectPosterior(self.flow, p, self.prior)
-            return post.sample_batch(k, xs, per, batched_rounds)
+            return post.sample_batch_with_acceptance(k, xs, per,
+                                                     batched_rounds)
 
-        s = jax.vmap(member)(self.params, keys)  # (K, M, per, D)
-        s = jnp.moveaxis(s, 0, 1).reshape(xs.shape[0], -1, s.shape[-1])
-        return s[:, :n]
+        s, acc = jax.vmap(member)(self.params, keys)  # (K, M, per, D), (K, M)
+        # interleave per-major so truncation to n drops at most one sample
+        # per member (member-major truncation would underrepresent or drop
+        # trailing members whenever K does not divide n)
+        s = jnp.moveaxis(s, 0, 2).reshape(xs.shape[0], -1, s.shape[-1])
+        return s[:, :n], acc.mean(axis=0)

@@ -124,6 +124,57 @@ class TestPosterior:
         lp = np.asarray(post.log_prob(theta[:10], x[:10]))
         assert np.isfinite(lp).all()
 
+    def test_leaky_flow_acceptance_reported(self):
+        """A flow whose mass mostly lies OUTSIDE the prior box must report
+        low in-support acceptance (the silent-clipping regression:
+        coverage diagnostics alone cannot see clipped samples)."""
+        post, theta, x = self._trained()
+        tight = BoxUniform([-0.05, -0.05], [0.05, 0.05], ("a", "b"))
+        leaky = DirectPosterior(post.flow, post.params, tight)
+        s, acc = leaky.sample_batch_with_acceptance(KEY, x[:8], 64)
+        s, acc = np.asarray(s), np.asarray(acc)
+        assert s.shape == (8, 64, 2)
+        assert (s >= -0.05).all() and (s <= 0.05).all()
+        assert acc.shape == (8,)
+        assert acc.mean() < 0.9  # most draws leak outside the tiny box
+        # evaluate_posterior surfaces the statistic (and warns)
+        import warnings
+
+        from synference_tpu.diagnostics import evaluate_posterior
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            report = evaluate_posterior(leaky, x[:8], theta[:8], key=KEY,
+                                        n_samples=64)
+        assert report["frac_clipped"] > 0.1
+        assert report["sampling_acceptance_min"] <= report[
+            "sampling_acceptance_mean"
+        ]
+        assert any("leakage" in str(wi.message) for wi in w)
+
+    def test_ensemble_sample_batch_interleaves_members(self):
+        """Truncating to n must drop at most one sample per member (the
+        member-major reshape bug dropped trailing members when K ∤ n)."""
+
+        class _ConstFlow:
+            def sample(self, params, key, xi, n):
+                return jnp.full((n, 2), params["c"])
+
+        k_members = 5
+        params = {"c": jnp.arange(float(k_members))}
+        prior = BoxUniform([-1.0, -1.0], [10.0, 10.0], ("a", "b"))
+        post = EnsemblePosterior(_ConstFlow(), params, prior, k_members)
+        s, acc = post.sample_batch_with_acceptance(
+            KEY, jnp.zeros((3, 4)), n=12
+        )
+        s = np.asarray(s)
+        assert s.shape == (3, 12, 2)
+        assert np.allclose(np.asarray(acc), 1.0)
+        for m in range(3):
+            ids, counts = np.unique(s[m, :, 0], return_counts=True)
+            assert set(ids) == set(range(k_members))  # every member present
+            assert counts.min() >= 2 and counts.max() <= 3
+
 
 class TestDiagnostics:
     def test_pit_uniform_for_calibrated(self, rng):
