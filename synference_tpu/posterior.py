@@ -18,7 +18,12 @@ import numpy as np
 from .flows.base import ConditionalFlow
 from .priors import BoxUniform
 
-__all__ = ["DirectPosterior", "EnsemblePosterior"]
+__all__ = [
+    "DirectPosterior",
+    "EnsemblePosterior",
+    "LikelihoodPosterior",
+    "RatioPosterior",
+]
 
 
 class DirectPosterior:
@@ -208,3 +213,106 @@ class EnsemblePosterior:
         # trailing members whenever K does not divide n)
         s = jnp.moveaxis(s, 0, 2).reshape(xs.shape[0], -1, s.shape[-1])
         return s[:, :n], acc.mean(axis=0)
+
+
+class _MCMCPosterior:
+    """Shared machinery for likelihood/ratio posteriors: an unnormalized
+    log-density term is combined with the prior and sampled by the batched
+    stretch-move MCMC (`mcmc.run_batched_mcmc`) — the reference samples
+    NLE/NRE posteriors through sbi's per-object MCMC
+    (`/root/reference/src/synference/sbi_runner.py:4713-4715`); here all M
+    objects advance in one fused program.
+    """
+
+    def __init__(self, prior: BoxUniform, n_walkers: int = 64,
+                 burn_in: int = 256, thin: int = 2):
+        self.prior = prior
+        self.n_walkers = n_walkers + (n_walkers % 2)
+        self.burn_in = burn_in
+        self.thin = thin
+        self.last_acceptance: float | None = None
+
+    # subclasses implement: _loglike(theta (B,P), x (B,C)) -> (B,)
+
+    def log_prob(self, theta, x):
+        """Unnormalized log posterior (log-likelihood/ratio + log prior);
+        -inf outside the prior support. NOT comparable across different x
+        (the evidence term is not subtracted)."""
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        lp = self.prior.log_prob(theta)
+        ll = jnp.where(jnp.isfinite(lp), self._loglike(theta, x), 0.0)
+        return jnp.where(jnp.isfinite(lp), ll + lp, -jnp.inf)
+
+    def sample_batch(self, key, xs, n: int):
+        """(M, C) -> (M, n, D) via batched MCMC; keeps the freshest n
+        post-burn-in states per object. Sets `self.last_acceptance`."""
+        from .mcmc import run_batched_mcmc
+
+        keep_steps = -(-n // self.n_walkers)
+        n_steps = self.burn_in + keep_steps * self.thin
+        kept, acc = run_batched_mcmc(
+            self._loglike, self.prior, xs, key=key,
+            n_walkers=self.n_walkers, n_steps=n_steps,
+            burn_in=self.burn_in, thin=self.thin,
+        )
+        self.last_acceptance = float(acc)
+        return kept[:, -n:]
+
+    def sample(self, key, x, n: int, **kw):
+        x = jnp.asarray(x, jnp.float32)
+        return self.sample_batch(key, x[None], n)[0]
+
+
+class LikelihoodPosterior(_MCMCPosterior):
+    """NLE posterior: flow likelihood q(x|θ) × prior, MCMC-sampled.
+
+    `params` may carry a leading member axis (stacked ensemble); the
+    ensemble likelihood is the uniform mixture of member likelihoods.
+    The flow is trained with roles swapped — its "theta" slot holds the
+    features x and its context slot holds θ.
+    """
+
+    def __init__(self, flow: ConditionalFlow, params, prior: BoxUniform,
+                 n_members: int = 1, **mcmc_kw):
+        super().__init__(prior, **mcmc_kw)
+        self.flow = flow
+        self.params = params
+        self.n_members = n_members
+
+    def _loglike(self, theta, x):
+        if self.n_members == 1:
+            return self.flow.log_prob(self.params, x, theta)
+        lps = jax.vmap(
+            lambda p: self.flow.log_prob(p, x, theta)
+        )(self.params)  # (K, B)
+        return (
+            jax.scipy.special.logsumexp(lps, axis=0)
+            - jnp.log(self.n_members)
+        )
+
+
+class RatioPosterior(_MCMCPosterior):
+    """NRE posterior: classifier logit log r(θ, x) + log prior, MCMC-sampled.
+
+    Ensemble members' ratios are averaged in ratio space
+    (logsumexp of logits − log K).
+    """
+
+    def __init__(self, estimator, params, prior: BoxUniform,
+                 n_members: int = 1, **mcmc_kw):
+        super().__init__(prior, **mcmc_kw)
+        self.estimator = estimator
+        self.params = params
+        self.n_members = n_members
+
+    def _loglike(self, theta, x):
+        if self.n_members == 1:
+            return self.estimator.logit(self.params, theta, x)
+        logits = jax.vmap(
+            lambda p: self.estimator.logit(p, theta, x)
+        )(self.params)  # (K, B)
+        return (
+            jax.scipy.special.logsumexp(logits, axis=0)
+            - jnp.log(self.n_members)
+        )
