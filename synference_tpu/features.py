@@ -30,7 +30,21 @@ from . import units as U
 from .filter_arithmetic import FilterArithmeticParser
 from .noise_models import DepthNoiseModel, NoiseModel
 
-__all__ = ["FeatureConfig", "FeaturePipeline", "FeatureResult"]
+__all__ = ["FeatureConfig", "FeaturePipeline", "FeatureResult",
+           "PARAMETER_TRANSFORMS"]
+
+# Named registry of θ-column transforms (the reference passes raw callables
+# to `update_parameter_array`, sbi_runner.py:476-578; a name registry keeps
+# the replay contract serializable — same pattern as library.py's parameter
+# transforms vs the reference's stored-`exec` source).
+PARAMETER_TRANSFORMS = {
+    "log10": jnp.log10,
+    "log": jnp.log,
+    "sqrt": jnp.sqrt,
+    "exp": jnp.exp,
+    "pow10": lambda v: 10.0 ** v,
+    "arcsinh": jnp.arcsinh,
+}
 
 
 @dataclass(frozen=True)
@@ -61,6 +75,14 @@ class FeatureConfig:
         missing_value: value injected for missing flux/err entries.
         extra_features: filter-arithmetic expressions and/or parameter or
             supplementary names appended as features.
+        remove_parameters: θ columns dropped from the fitted parameter array
+            (reference `update_parameter_array`, sbi_runner.py:476-578 —
+            e.g. a redshift that is supplied as a feature instead).
+        add_parameters: supplementary-parameter names appended as θ columns.
+        parameter_transforms: ((param_name, transform_name), ...) pairs;
+            transform_name keys `PARAMETER_TRANSFORMS` and the column is
+            renamed f"{transform_name}_{param_name}" (e.g. train in
+            log10-mass while the library stores linear mass).
     """
 
     filter_codes: tuple
@@ -79,6 +101,9 @@ class FeatureConfig:
     missing_flux_options: tuple = ()
     missing_value: float = 99.0
     extra_features: tuple = ()
+    remove_parameters: tuple = ()
+    add_parameters: tuple = ()
+    parameter_transforms: tuple = ()
 
     def to_flags(self) -> dict:
         """The serializable provenance record (feature_array_flags)."""
@@ -103,6 +128,11 @@ class FeatureConfig:
             "missing_flux_options": [list(m) for m in self.missing_flux_options],
             "missing_value": self.missing_value,
             "extra_features": list(self.extra_features),
+            "remove_parameters": list(self.remove_parameters),
+            "add_parameters": list(self.add_parameters),
+            "parameter_transforms": [
+                list(t) for t in self.parameter_transforms
+            ],
         }
         return d
 
@@ -121,6 +151,11 @@ class FeatureConfig:
             tuple(m) for m in d.get("missing_flux_options", ())
         )
         d["extra_features"] = tuple(d.get("extra_features", ()))
+        d["remove_parameters"] = tuple(d.get("remove_parameters", ()))
+        d["add_parameters"] = tuple(d.get("add_parameters", ()))
+        d["parameter_transforms"] = tuple(
+            tuple(t) for t in d.get("parameter_transforms", ())
+        )
         return cls(**d)
 
 
@@ -128,11 +163,13 @@ class FeatureConfig:
 class FeatureResult:
     features: np.ndarray  # (N', D)
     feature_names: list
-    parameters: np.ndarray | None  # (N', P) scatter-repeated, NaN-pruned
+    parameters: np.ndarray | None  # (N', P') scatter-repeated, NaN-pruned
     flags: dict = field(default_factory=dict)
     # source-galaxy index per row: scatter copies of the same library galaxy
     # share an index — train/test splits must group on it to avoid leakage
     source_index: np.ndarray | None = None
+    # fitted θ column names after remove/add/transform (None = unchanged)
+    parameter_names: list | None = None
 
 
 class FeaturePipeline:
@@ -295,6 +332,20 @@ class FeaturePipeline:
                     ]
                 col_t = jnp.tile(col, (s,))
                 if self._norm_is_mag():
+                    # the named column is interpreted as a FLUX IN nJy
+                    # (e.g. a model reference-band flux stored as a
+                    # supplementary quantity) — normalizing magnitudes by a
+                    # non-flux parameter is meaningless, so guard on
+                    # positivity rather than silently converting garbage
+                    col_np = np.asarray(col)
+                    if not (np.isfinite(col_np).all() and (col_np > 0).all()):
+                        raise ValueError(
+                            f"normalize_method={method!r}: magnitude-space "
+                            "normalization treats the column as a flux in "
+                            "nJy, but it contains non-positive or "
+                            "non-finite values; use a flux-like quantity "
+                            "or a linear feature unit"
+                        )
                     factor = U.convert_flux(col_t, "nJy", cfg.unit,
                                             f_b_njy=float(np.mean(self._softening)))
                     x = x - factor[:, None]
@@ -381,17 +432,54 @@ class FeaturePipeline:
             )
 
         features = jnp.concatenate(blocks, axis=1)
-        params_out = (
-            jnp.tile(jnp.asarray(parameters, jnp.float32), (s, 1))
-            if parameters is not None
-            else None
-        )
+
+        # --- fitted parameter array: remove / add / transform --------------
+        # (reference `update_parameter_array`, sbi_runner.py:476-578)
+        param_names_out = None
+        params_out = None
+        if parameters is not None:
+            P = jnp.asarray(parameters, jnp.float32)
+            param_names_out = list(parameter_names)
+            if cfg.remove_parameters:
+                keep = [i for i, p in enumerate(param_names_out)
+                        if p not in cfg.remove_parameters]
+                P = P[:, keep]
+                param_names_out = [param_names_out[i] for i in keep]
+            for name in cfg.add_parameters:
+                if name not in tuple(supplementary_names):
+                    raise ValueError(
+                        f"add_parameters entry {name!r} not in "
+                        f"supplementary names {tuple(supplementary_names)}"
+                    )
+                j = list(supplementary_names).index(name)
+                P = jnp.concatenate(
+                    [P, jnp.asarray(supplementary, jnp.float32)[:, j:j + 1]],
+                    axis=1,
+                )
+                param_names_out.append(name)
+            for pname, tname in cfg.parameter_transforms:
+                if tname not in PARAMETER_TRANSFORMS:
+                    raise ValueError(
+                        f"unknown parameter transform {tname!r}; "
+                        f"known: {sorted(PARAMETER_TRANSFORMS)}"
+                    )
+                if pname not in param_names_out:
+                    raise ValueError(
+                        f"parameter {pname!r} not found for transform"
+                    )
+                j = param_names_out.index(pname)
+                P = P.at[:, j].set(PARAMETER_TRANSFORMS[tname](P[:, j]))
+                param_names_out[j] = f"{tname}_{pname}"
+            params_out = jnp.tile(P, (s, 1))
 
         features = np.asarray(features)
         params_np = None if params_out is None else np.asarray(params_out)
         source_index = np.tile(np.arange(n), s)
         if remove_nan:
             good = np.isfinite(features).all(axis=1)
+            if params_np is not None and cfg.parameter_transforms:
+                # transforms can create non-finite θ (e.g. log10 of <= 0)
+                good &= np.isfinite(params_np).all(axis=1)
             features = features[good]
             source_index = source_index[good]
             if params_np is not None:
@@ -406,6 +494,7 @@ class FeaturePipeline:
             parameters=params_np,
             flags=flags,
             source_index=source_index,
+            parameter_names=param_names_out,
         )
 
     # ------------------------------------------------------------------

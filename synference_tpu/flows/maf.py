@@ -41,12 +41,9 @@ def make_maf(dim: int, context_dim: int, hidden_features: int = 50,
     def init(key):
         keys = jax.random.split(key, num_transforms)
         blocks = []
-        masks_all = []
         for k in keys:
-            params, masks = MADE_init(k, dim, context_dim, hidden, 2)
+            params, _ = MADE_init(k, dim, context_dim, hidden, 2)
             blocks.append(params)
-            masks_all.append(masks)
-        init.masks = masks_all  # static closure
         return {"blocks": blocks}
 
     # masks are deterministic given (dim, hidden): build once statically

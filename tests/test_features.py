@@ -312,3 +312,95 @@ class TestExtraFeatureConsistency:
             extra_values={"b": params[:, 1]},
         )
         np.testing.assert_allclose(out[:, -1], params[:, 1], rtol=1e-5)
+
+
+class TestParameterTransforms:
+    """Fitted-parameter remove/add/transform steps (reference
+    `update_parameter_array`, sbi_runner.py:476-578)."""
+
+    def test_log10_transform_and_rename(self, phot, params):
+        linear_mass = 10.0 ** (8.0 + 3.0 * params[:, 0])
+        p = np.column_stack([linear_mass, params[:, 1:]]).astype(np.float32)
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="AB", include_errors=False,
+            parameter_transforms=(("mass", "log10"),),
+        )
+        res = FeaturePipeline(cfg).build(
+            KEY, phot, p, ("mass", "b", "c")
+        )
+        assert res.parameter_names == ["log10_mass", "b", "c"]
+        np.testing.assert_allclose(
+            res.parameters[:, 0], np.log10(linear_mass), rtol=1e-5
+        )
+
+    def test_remove_and_add_from_supplementary(self, phot, params, rng):
+        supp = rng.random((200, 2)).astype(np.float32)
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="AB", include_errors=False,
+            remove_parameters=("c",), add_parameters=("sfr",),
+        )
+        res = FeaturePipeline(cfg).build(
+            KEY, phot, params, ("a", "b", "c"),
+            supplementary=supp, supplementary_names=("sfr", "age"),
+        )
+        assert res.parameter_names == ["a", "b", "sfr"]
+        np.testing.assert_allclose(res.parameters[:, 2], supp[:, 0],
+                                   rtol=1e-6)
+
+    def test_flags_roundtrip(self):
+        cfg = FeatureConfig(
+            filter_codes=CODES, remove_parameters=("z",),
+            add_parameters=("sfr",),
+            parameter_transforms=(("mass", "log10"), ("tau", "sqrt")),
+        )
+        cfg2 = FeatureConfig.from_flags(cfg.to_flags())
+        assert cfg2 == cfg
+
+    def test_nonfinite_transformed_rows_pruned(self, phot):
+        p = np.column_stack([
+            np.linspace(-1.0, 1.0, 200),  # log10 of negatives -> NaN
+            np.ones(200),
+        ]).astype(np.float32)
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="AB", include_errors=False,
+            parameter_transforms=(("m", "log10"),),
+        )
+        res = FeaturePipeline(cfg).build(KEY, phot, p, ("m", "x"))
+        assert np.isfinite(res.parameters).all()
+        assert res.parameters.shape[0] < 200
+
+    def test_fitter_trains_on_transformed_theta(self, phot):
+        """End-to-end: fitter trains in log10-mass while the library stores
+        linear mass; posterior samples live in log10 space."""
+        from synference_tpu.fitter import SBIFitter
+        from synference_tpu.train import TrainConfig
+
+        rng = np.random.default_rng(0)
+        n = 1200
+        logm = rng.uniform(8, 11, n).astype(np.float32)
+        other = rng.uniform(0, 1, n).astype(np.float32)
+        # photometry strongly informative of log-mass
+        ph = np.stack(
+            [10.0 ** (logm - 7 + 0.1 * k) * (1 + 0.2 * other)
+             for k in range(7)], axis=1
+        ).astype(np.float32)
+        fitter = SBIFitter(
+            photometry=ph, parameters=np.stack([10.0 ** logm, other], 1),
+            parameter_names=("mass", "other"), filter_codes=CODES,
+        )
+        fitter.create_feature_array(FeatureConfig(
+            filter_codes=CODES, unit="log10_nJy", include_errors=False,
+            parameter_transforms=(("mass", "log10"),),
+        ))
+        assert fitter.parameter_names == ["log10_mass", "other"]
+        fitter.create_priors()
+        assert fitter.prior.low[0] >= 7.9 and fitter.prior.high[0] <= 11.1
+        fitter.run_single_sbi(
+            model_type="mdn", hidden_features=24,
+            train_config=TrainConfig(max_epochs=15, batch_size=256,
+                                     learning_rate=1e-3),
+        )
+        s = fitter.sample_posterior(fitter.features[:16], n_samples=64)
+        med = np.median(s[:, :, 0], axis=1)
+        truth = fitter.feature_params[:16, 0]
+        assert np.abs(med - truth).mean() < 0.4  # log10-mass units
