@@ -17,6 +17,7 @@ from .catalogue import (
     mahalanobis_ood,
     ood_vote,
 )
+from .combine import combine_libraries, combine_libraries_matched
 from .composite import CompositeSEDSimulator, grid_combinations
 from .cosmology import PLANCK18, Cosmology
 from .diagnostics import (
@@ -54,7 +55,10 @@ from .mcmc import (
     dirichlet_cumsum_transform,
     fit_observation_mcmc,
     gaussian_loglike,
+    model_comparison,
+    run_batched_mcmc,
     run_ensemble_mcmc,
+    run_smc,
 )
 from .noise_models import (
     AsinhEmpiricalNoiseModel,
@@ -68,7 +72,13 @@ from .noise_models import (
     save_noise_model_hdf5,
 )
 from .online import run_online_snpe
-from .posterior import DirectPosterior, EnsemblePosterior
+from .posterior import (
+    DirectPosterior,
+    EnsemblePosterior,
+    LikelihoodPosterior,
+    RatioPosterior,
+)
+from .ratio import RatioEstimator, build_ratio_estimator
 from .priors import (
     BoxUniform,
     RestrictedPrior,
@@ -122,7 +132,8 @@ __all__ = [
     # inference
     "SBIFitter", "ConditionalFlow", "build_flow",
     "TrainConfig", "train_npe", "train_ensemble",
-    "DirectPosterior", "EnsemblePosterior",
+    "DirectPosterior", "EnsemblePosterior", "LikelihoodPosterior",
+    "RatioPosterior", "RatioEstimator", "build_ratio_estimator",
     "BoxUniform", "priors_from_library",
     # diagnostics
     "evaluate_posterior", "pit_values", "sbc_ranks", "tarp_coverage",
@@ -135,6 +146,7 @@ __all__ = [
     "ood_vote",
     # composite
     "CompositeSEDSimulator", "grid_combinations",
+    "combine_libraries", "combine_libraries_matched",
     # simformer
     "Simformer", "SimformerConfig", "SimformerPosterior", "VPSDE",
     "train_simformer",
@@ -142,6 +154,7 @@ __all__ = [
     "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
     # mcmc / online / recovery
     "run_ensemble_mcmc", "fit_observation_mcmc", "gaussian_loglike",
+    "run_batched_mcmc", "run_smc", "model_comparison",
     "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",
     # spectra
     "SpectralFeaturePipeline", "generate_constant_r_grid",

@@ -56,6 +56,9 @@ class SBIFitter:
         self.photometry = np.asarray(photometry, np.float32)
         self.parameters = np.asarray(parameters, np.float32)
         self.parameter_names = list(parameter_names)
+        # library-native names; parameter_names may be rewritten by feature
+        # configs with remove/add/transform parameter steps
+        self._raw_parameter_names = list(parameter_names)
         self.filter_codes = list(filter_codes)
         self.supplementary = (
             None if supplementary is None else np.asarray(supplementary)
@@ -113,7 +116,7 @@ class SBIFitter:
             key if key is not None else jax.random.PRNGKey(0),
             self.photometry,
             self.parameters,
-            self.parameter_names,
+            getattr(self, "_raw_parameter_names", self.parameter_names),
             supplementary=self.supplementary,
             supplementary_names=self.supplementary_names,
         )
@@ -121,6 +124,10 @@ class SBIFitter:
         self.feature_params = res.parameters
         self.feature_flags = res.flags
         self.feature_source = res.source_index
+        if res.parameter_names is not None:
+            # fitted θ columns after remove/add/transform steps (reference
+            # fitted_parameter_names, sbi_runner.py:476-578)
+            self.parameter_names = list(res.parameter_names)
         return res
 
     # ------------------------------------------------------------------
@@ -215,16 +222,29 @@ class SBIFitter:
     def run_single_sbi(
         self,
         model_type: str = "nsf",
+        engine: str = "npe",
         n_nets: int = 1,
         hidden_features: int = 50,
         num_transforms: int = 5,
         train_config: TrainConfig | None = None,
         test_fraction: float = 0.1,
         key=None,
+        epoch_callback=None,
         **model_kwargs,
     ):
         """Train the estimator (reference `run_single_sbi`,
-        sbi_runner.py:4392-5067, defaults `:4404-4409`)."""
+        sbi_runner.py:4392-5067, defaults `:4404-4409`).
+
+        Engines (reference trains NPE/NLE/NRE via sbi,
+        sbi_runner.py:4447, :4713-4715, :5019):
+          - "npe": q(θ|x) flow, direct posterior sampling.
+          - "nle": q(x|θ) flow likelihood; posterior via batched MCMC.
+          - "nre": classifier log-ratio; posterior via batched MCMC
+            (`model_type` is ignored; pass hidden_features/num_layers).
+        """
+        engine = engine.lower()
+        if engine not in ("npe", "nle", "nre"):
+            raise ValueError(f"unknown engine {engine!r}")
         if self.features is None:
             self.create_feature_array()
         if self.prior is None:
@@ -232,39 +252,71 @@ class SBIFitter:
         if self._split is None:
             self.split_dataset(test_fraction)
 
+        theta_dim = len(self.parameter_names)
+        x_dim = self.features.shape[1]
         cfg = dict(model_kwargs)
-        if model_type in ("maf", "nsf"):
-            cfg.update(hidden_features=hidden_features,
-                       num_transforms=num_transforms)
-        elif model_type == "mdn":
-            cfg.setdefault("hidden_features", hidden_features)
+        loss_fn = None
+        if engine == "nre":
+            from .ratio import build_ratio_estimator, nre_loss
 
-        self.flow = build_flow(
-            model_type,
-            theta_dim=len(self.parameter_names),
-            context_dim=self.features.shape[1],
-            **cfg,
-        )
+            cfg.setdefault("hidden_features", max(hidden_features, 64))
+            self.flow = build_ratio_estimator(theta_dim, x_dim, **cfg)
+            loss_fn = nre_loss(self.flow)
+        else:
+            if model_type in ("maf", "nsf"):
+                cfg.update(hidden_features=hidden_features,
+                           num_transforms=num_transforms)
+            elif model_type == "mdn":
+                cfg.setdefault("hidden_features", hidden_features)
+            if engine == "nle":
+                # roles swap: the flow models q(x|θ)
+                self.flow = build_flow(model_type, theta_dim=x_dim,
+                                       context_dim=theta_dim, **cfg)
+            else:
+                self.flow = build_flow(model_type, theta_dim=theta_dim,
+                                       context_dim=x_dim, **cfg)
+
         tr_idx = self._split["train"]
         key = key if key is not None else jax.random.PRNGKey(42)
         source = getattr(self, "feature_source", None)
+        theta_tr = self.feature_params[tr_idx]
+        x_tr = self.features[tr_idx]
+        if engine == "nle":
+            # the trainer's "theta" slot carries the modeled quantity (x)
+            theta_tr, x_tr = x_tr, theta_tr
         self.train_result = train_ensemble(
             self.flow,
-            self.feature_params[tr_idx],
-            self.features[tr_idx],
+            theta_tr,
+            x_tr,
             key=key,
             config=train_config or TrainConfig(),
             n_nets=n_nets,
             groups=None if source is None else source[tr_idx],
+            loss_fn=loss_fn,
+            epoch_callback=epoch_callback,
         )
+        self.engine = engine
+        params = self.train_result.params
         if n_nets == 1:
-            params = jax.tree_util.tree_map(
-                lambda a: a[0], self.train_result.params
+            params = jax.tree_util.tree_map(lambda a: a[0], params)
+        if engine == "npe":
+            if n_nets == 1:
+                self.posterior = DirectPosterior(self.flow, params, self.prior)
+            else:
+                self.posterior = EnsemblePosterior(
+                    self.flow, params, self.prior, n_nets
+                )
+        elif engine == "nle":
+            from .posterior import LikelihoodPosterior
+
+            self.posterior = LikelihoodPosterior(
+                self.flow, params, self.prior, n_members=n_nets
             )
-            self.posterior = DirectPosterior(self.flow, params, self.prior)
         else:
-            self.posterior = EnsemblePosterior(
-                self.flow, self.train_result.params, self.prior, n_nets
+            from .posterior import RatioPosterior
+
+            self.posterior = RatioPosterior(
+                self.flow, params, self.prior, n_members=n_nets
             )
         return self.train_result
 
@@ -319,6 +371,9 @@ class SBIFitter:
         self.posterior = SimformerPosterior(
             model, params, std, attn_mask=mask, n_steps=n_diffusion_steps
         )
+        self.engine = "simformer"
+        self.flow = None
+        self.train_result = None
         return hist
 
     # ------------------------------------------------------------------
@@ -372,23 +427,31 @@ class SBIFitter:
     # ------------------------------------------------------------------
     def save_state(self, path: str):
         """Persist flow spec + params + prior + feature flags (reference
-        `save_state`, sbi_runner.py:693-811)."""
+        `save_state`, sbi_runner.py:693-811; simformer persistence mirrors
+        `save_model_to_pkl`, sbi_runner.py:8341-8504)."""
+        engine = getattr(self, "engine", "npe")
         state = {
             "name": self.name,
-            "flow_spec": self.flow.spec(),
-            "params": jax.tree_util.tree_map(
-                np.asarray, self.train_result.params
-            ),
-            "n_members": self.train_result.n_members,
+            "engine": engine,
             "prior": self.prior.to_dict(),
             "parameter_names": self.parameter_names,
             "filter_codes": self.filter_codes,
             "feature_flags": getattr(self, "feature_flags", None),
-            "train_history": {
-                "train_losses": np.asarray(self.train_result.train_losses),
-                "val_losses": np.asarray(self.train_result.val_losses),
-            },
         }
+        if engine == "simformer":
+            state["simformer"] = self.posterior.state_dict()
+        else:
+            state.update({
+                "flow_spec": self.flow.spec(),
+                "params": jax.tree_util.tree_map(
+                    np.asarray, self.train_result.params
+                ),
+                "n_members": self.train_result.n_members,
+                "train_history": {
+                    "train_losses": np.asarray(self.train_result.train_losses),
+                    "val_losses": np.asarray(self.train_result.val_losses),
+                },
+            })
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
@@ -402,12 +465,54 @@ class SBIFitter:
         fitter.name = state["name"]
         fitter.parameter_names = list(state["parameter_names"])
         fitter.filter_codes = list(state["filter_codes"])
-        fitter.flow = ConditionalFlow.from_spec(state["flow_spec"])
+        fitter.engine = state.get("engine", "npe")
+        if fitter.engine == "simformer":
+            from .simformer import SimformerPosterior
+
+            fitter.flow = None
+            fitter.prior = BoxUniform.from_dict(state["prior"])
+            fitter.posterior = SimformerPosterior.from_state_dict(
+                state["simformer"]
+            )
+            flags = state.get("feature_flags")
+            fitter.feature_pipeline = (
+                FeaturePipeline.from_flags(flags) if flags else None
+            )
+            for attr in ("features", "feature_params", "feature_source",
+                         "supplementary", "train_result", "_split",
+                         "photometry", "parameters", "spectra"):
+                setattr(fitter, attr, None)
+            fitter.supplementary_names = []
+            return fitter
+        spec = state["flow_spec"]
+        if spec.get("model") == "nre":
+            from .ratio import RatioEstimator
+
+            fitter.flow = RatioEstimator.from_spec(spec)
+        else:
+            fitter.flow = ConditionalFlow.from_spec(spec)
         fitter.prior = BoxUniform.from_dict(state["prior"])
         params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         n_members = state.get("n_members", 1)
-        if n_members == 1:
-            single = jax.tree_util.tree_map(lambda a: a[0], params)
+        single = (
+            jax.tree_util.tree_map(lambda a: a[0], params)
+            if n_members == 1 else None
+        )
+        if fitter.engine == "nle":
+            from .posterior import LikelihoodPosterior
+
+            fitter.posterior = LikelihoodPosterior(
+                fitter.flow, single if n_members == 1 else params,
+                fitter.prior, n_members=n_members,
+            )
+        elif fitter.engine == "nre":
+            from .posterior import RatioPosterior
+
+            fitter.posterior = RatioPosterior(
+                fitter.flow, single if n_members == 1 else params,
+                fitter.prior, n_members=n_members,
+            )
+        elif n_members == 1:
             fitter.posterior = DirectPosterior(fitter.flow, single, fitter.prior)
         else:
             fitter.posterior = EnsemblePosterior(

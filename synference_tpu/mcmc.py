@@ -21,6 +21,9 @@ from .priors import BoxUniform
 
 __all__ = [
     "run_ensemble_mcmc",
+    "run_batched_mcmc",
+    "run_smc",
+    "model_comparison",
     "gaussian_loglike",
     "dirichlet_cumsum_transform",
     "fit_observation_mcmc",
@@ -120,6 +123,283 @@ def run_ensemble_mcmc(
     kept = chain[burn_in::thin].reshape(-1, dim)
     kept_lp = chain_lp[burn_in::thin].reshape(-1)
     return np.asarray(kept), np.asarray(kept_lp), float(acc.mean())
+
+
+def run_batched_mcmc(
+    loglike_fn,
+    prior: BoxUniform,
+    xs,
+    key=None,
+    n_walkers: int = 64,
+    n_steps: int = 600,
+    burn_in: int = 300,
+    thin: int = 2,
+    stretch_a: float = 2.0,
+):
+    """Stretch-move MCMC for M conditions AT ONCE: the NLE/NRE posterior
+    sampler (the reference samples each object's MCMC posterior serially
+    through sbi; here every object's walker ensemble advances in lockstep
+    inside one jitted `lax.scan`, so each likelihood call is a single
+    (M*W, ·) batched network evaluation).
+
+    Args:
+        loglike_fn: (theta (B, P), x (B, C)) -> (B,) log-likelihood
+            (or any unnormalized log-density term to add to the prior's).
+        xs: (M, C) conditions.
+    Returns:
+        samples (M, n_kept, P), acceptance fraction (scalar).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+    m = xs.shape[0]
+    dim = prior.dim
+    if n_walkers % 2:
+        n_walkers += 1
+    half = n_walkers // 2
+
+    def full_lp(theta, x):
+        """theta (W, P), x (C,) -> (W,) log prior × likelihood."""
+        lp = prior.log_prob(theta)
+        xt = jnp.broadcast_to(x, (theta.shape[0],) + x.shape)
+        ll = jnp.where(jnp.isfinite(lp), loglike_fn(theta, xt), 0.0)
+        return jnp.where(jnp.isfinite(lp), ll + lp, -jnp.inf)
+
+    k_init, k_run = jax.random.split(key)
+    walkers = prior.sample(k_init, m * n_walkers).reshape(m, n_walkers, dim)
+    lp = jax.vmap(full_lp)(walkers, xs)  # (M, W)
+
+    def half_step(walkers, lp, k, first_half):
+        """walkers (M, W, P), lp (M, W): move one half against the other."""
+        if first_half:
+            movers, fixed = walkers[:, :half], walkers[:, half:]
+            lp_m = lp[:, :half]
+        else:
+            movers, fixed = walkers[:, half:], walkers[:, :half]
+            lp_m = lp[:, half:]
+        k1, k2, k3 = jax.random.split(k, 3)
+        u = jax.random.uniform(k1, (m, half))
+        z = ((stretch_a - 1.0) * u + 1.0) ** 2 / stretch_a
+        partner = jax.random.randint(k2, (m, half), 0, half)
+        anchor = jnp.take_along_axis(fixed, partner[..., None], axis=1)
+        proposal = anchor + z[..., None] * (movers - anchor)
+        lp_p = jax.vmap(full_lp)(proposal, xs)
+        log_accept = (dim - 1) * jnp.log(z) + lp_p - lp_m
+        accept = jnp.log(jax.random.uniform(k3, (m, half))) < log_accept
+        movers_new = jnp.where(accept[..., None], proposal, movers)
+        lp_new = jnp.where(accept, lp_p, lp_m)
+        if first_half:
+            walkers = jnp.concatenate([movers_new, fixed], axis=1)
+            lp = jnp.concatenate([lp_new, lp[:, half:]], axis=1)
+        else:
+            walkers = jnp.concatenate([fixed, movers_new], axis=1)
+            lp = jnp.concatenate([lp[:, :half], lp_new], axis=1)
+        return walkers, lp, accept.mean()
+
+    def step(carry, k):
+        walkers, lp = carry
+        ka, kb = jax.random.split(k)
+        walkers, lp, a1 = half_step(walkers, lp, ka, True)
+        walkers, lp, a2 = half_step(walkers, lp, kb, False)
+        return (walkers, lp), (walkers, 0.5 * (a1 + a2))
+
+    keys = jax.random.split(k_run, n_steps)
+    (_, _), (chain, acc) = jax.lax.scan(step, (walkers, lp), keys)
+    # chain (n_steps, M, W, P) -> kept (M, n_kept, P)
+    kept = chain[burn_in::thin]
+    kept = jnp.moveaxis(kept, 1, 0).reshape(m, -1, dim)
+    return kept, acc.mean()
+
+
+def run_smc(
+    loglike_fn,
+    prior: BoxUniform,
+    key=None,
+    n_particles: int = 1024,
+    ess_target: float = 0.5,
+    n_moves: int = 3,
+    stretch_a: float = 2.0,
+    max_stages: int = 100,
+):
+    """Tempered Sequential Monte Carlo: posterior samples AND log-evidence.
+
+    The reference's nested-sampling cross-check returns evidences
+    (dynesty/nautilus logZ, `/root/reference/src/synference/
+    sbi_runner.py:5148-5578`); those samplers are inherently sequential.
+    SMC is the TPU-shaped equivalent: N particles anneal from the prior to
+    the posterior through likelihood tempering p_β ∝ prior × L^β, every
+    stage advancing ALL particles at once (reweight → systematic resample →
+    K jitted stretch-move sweeps), and log Z accumulates from the
+    incremental weights: log Z = Σ_stages log E[exp(Δβ ll)].
+
+    Args:
+        loglike_fn: batched θ (B, P) -> (B,) log-likelihood.
+        ess_target: next β chosen by bisection so the incremental-weight
+            effective sample size stays at this fraction of N.
+    Returns:
+        (samples (N, P), log_z, info) with info = {betas, acceptance, ess}.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n = n_particles + (n_particles % 2)
+    half = n // 2
+    dim = prior.dim
+
+    @jax.jit
+    def eval_both(theta):
+        plp = prior.log_prob(theta)
+        ll = jnp.where(jnp.isfinite(plp), loglike_fn(theta), -jnp.inf)
+        return plp, ll
+
+    @jax.jit
+    def move(particles, plp, ll, beta, key):
+        """n_moves red-black stretch sweeps targeting prior × L^beta."""
+
+        def half_step(carry, inp):
+            particles, plp, ll = carry
+            k, first = inp
+            movers = jnp.where(first, 0, half)
+            k1, k2, k3 = jax.random.split(k, 3)
+            u = jax.random.uniform(k1, (half,))
+            z = ((stretch_a - 1.0) * u + 1.0) ** 2 / stretch_a
+            partner = jax.random.randint(k2, (half,), 0, half)
+            mov = jax.lax.dynamic_slice(particles, (movers, 0), (half, dim))
+            fixed_start = jnp.where(first, half, 0)
+            fix = jax.lax.dynamic_slice(particles, (fixed_start, 0),
+                                        (half, dim))
+            anchor = fix[partner]
+            prop = anchor + z[:, None] * (mov - anchor)
+            p_plp, p_ll = eval_both(prop)
+            cur_plp = jax.lax.dynamic_slice(plp, (movers,), (half,))
+            cur_ll = jax.lax.dynamic_slice(ll, (movers,), (half,))
+            log_acc = (
+                (dim - 1) * jnp.log(z)
+                + (p_plp + beta * p_ll)
+                - (cur_plp + beta * cur_ll)
+            )
+            acc = jnp.log(jax.random.uniform(k3, (half,))) < log_acc
+            mov_new = jnp.where(acc[:, None], prop, mov)
+            plp_new = jnp.where(acc, p_plp, cur_plp)
+            ll_new = jnp.where(acc, p_ll, cur_ll)
+            particles = jax.lax.dynamic_update_slice(
+                particles, mov_new, (movers, 0)
+            )
+            plp = jax.lax.dynamic_update_slice(plp, plp_new, (movers,))
+            ll = jax.lax.dynamic_update_slice(ll, ll_new, (movers,))
+            return (particles, plp, ll), acc.mean()
+
+        keys = jax.random.split(key, 2 * n_moves)
+        firsts = jnp.tile(jnp.asarray([True, False]), n_moves)
+        (particles, plp, ll), accs = jax.lax.scan(
+            half_step, (particles, plp, ll), (keys, firsts)
+        )
+        return particles, plp, ll, accs.mean()
+
+    k_init, k_loop = jax.random.split(key)
+    particles = prior.sample(k_init, n)
+    plp, ll = eval_both(particles)
+
+    beta = 0.0
+    log_z = 0.0
+    betas, ess_hist, acc_hist = [0.0], [], []
+    rng = np.random.default_rng(
+        int(jax.random.randint(k_loop, (), 0, 2**31 - 1))
+    )
+    for _ in range(max_stages):
+        ll_host = np.asarray(ll, np.float64)
+        finite = np.isfinite(ll_host)
+
+        def ess_frac(db):
+            w = db * (ll_host - ll_host[finite].max())
+            w[~finite] = -np.inf
+            w = np.exp(w - w.max())
+            return (w.sum() ** 2 / (w**2).sum()) / n
+
+        # bisect the largest Δβ keeping ESS at the target
+        if ess_frac(1.0 - beta) >= ess_target:
+            dbeta = 1.0 - beta
+        else:
+            lo, hi = 0.0, 1.0 - beta
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                if ess_frac(mid) >= ess_target:
+                    lo = mid
+                else:
+                    hi = mid
+            dbeta = max(lo, 1.0e-6)
+        # evidence increment: log mean exp(Δβ ll) under uniform weights
+        # (weights are uniform after every-stage resampling)
+        shift = ll_host[finite].max()
+        inc = dbeta * (ll_host - shift)
+        inc[~finite] = -np.inf
+        log_z += float(
+            np.log(np.mean(np.exp(inc - inc.max()))) + inc.max()
+            + dbeta * shift
+        )
+        beta += dbeta
+        betas.append(float(beta))
+
+        # systematic resampling
+        w = np.exp(inc - inc.max())
+        w = w / w.sum()
+        cum = np.cumsum(w)
+        pos = (np.arange(n) + rng.random()) / n
+        idx = np.searchsorted(cum, pos)
+        idx = jnp.asarray(np.clip(idx, 0, n - 1))
+        particles = particles[idx]
+        plp, ll = plp[idx], ll[idx]
+
+        k_loop, k_m = jax.random.split(k_loop)
+        particles, plp, ll, acc = move(particles, plp, ll, beta, k_m)
+        ess_hist.append(ess_frac(dbeta))
+        acc_hist.append(float(acc))
+        if beta >= 1.0 - 1.0e-9:
+            break
+
+    info = {
+        "betas": betas,
+        "acceptance": acc_hist,
+        "ess": ess_hist,
+        "n_stages": len(acc_hist),
+    }
+    return np.asarray(particles), float(log_z), info
+
+
+def model_comparison(
+    simulators: dict,
+    x_obs_njy,
+    sigma_njy,
+    priors: dict,
+    key=None,
+    **smc_kwargs,
+):
+    """Bayesian model comparison via SMC evidences (functional replacement
+    for the reference's `ModelComparison` stub, sbi_runner.py:8007-8026).
+
+    Args:
+        simulators: {name: BatchSEDSimulator-like with .photometry}.
+        priors: {name: BoxUniform} matching each simulator's θ.
+    Returns:
+        dict name -> {"log_z", "samples", "info"} plus
+        "log_bayes_factors" relative to the best model.
+    """
+    import jax as _jax
+
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    out = {}
+    for name, sim in simulators.items():
+        key, k = _jax.random.split(key)
+        loglike = gaussian_loglike(
+            lambda th, s=sim: s.photometry(th), x_obs_njy, sigma_njy
+        )
+        samples, log_z, info = run_smc(loglike, priors[name], key=k,
+                                       **smc_kwargs)
+        out[name] = {"log_z": log_z, "samples": samples, "info": info}
+    best = max(out, key=lambda k2: out[k2]["log_z"])
+    out["log_bayes_factors"] = {
+        k2: out[k2]["log_z"] - out[best]["log_z"]
+        for k2 in out if k2 != "log_bayes_factors"
+    }
+    out["best_model"] = best
+    return out
 
 
 def dirichlet_cumsum_transform(u):

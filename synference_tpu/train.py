@@ -116,12 +116,25 @@ def train_ensemble(
     n_nets: int = 1,
     resume: bool = True,
     groups=None,
+    loss_fn=None,
+    epoch_callback=None,
 ) -> TrainResult:
     """Train n_nets flows simultaneously (vmapped over the member axis).
 
     Returns stacked params with leading member axis; `val_losses` has shape
     (epochs, n_nets). Early stopping is per-member best tracking; training
     stops when every member's patience is exhausted.
+
+    Args:
+        loss_fn: optional (params, theta_batch, x_batch) -> scalar replacing
+            the default NPE loss -E[log q(θ|x)] (used by the NRE engine;
+            `flow` then only needs an `init(key, theta, x)` method).
+        epoch_callback: optional (epoch, train_loss (n_nets,), val_loss
+            (n_nets,)) -> bool called after every epoch; returning True
+            aborts training (mid-run HPO pruning, the reference prunes
+            during training via Optuna callbacks, custom_runner.py:662-670).
+            An abort restores best-so-far params and marks
+            `history["pruned"] = True`.
     """
     cfg = config or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -141,8 +154,9 @@ def train_ensemble(
     tx = _make_optimizer(cfg)
     opt_state = jax.vmap(tx.init)(params)
 
-    def loss_fn(p, tb, xb):
-        return -flow.log_prob(p, tb, xb).mean()
+    if loss_fn is None:
+        def loss_fn(p, tb, xb):
+            return -flow.log_prob(p, tb, xb).mean()
 
     def epoch_one_member(params, opt_state, perm_key):
         """One member, one epoch: scan over shuffled minibatches."""
@@ -188,6 +202,7 @@ def train_ensemble(
 
     # ---- host-side epoch loop with early stopping + checkpointing --------
     start_epoch = 0
+    pruned = False
     best_val = jnp.full(n_nets, jnp.inf)
     best_params = params
     epochs_since_best = jnp.zeros(n_nets, dtype=jnp.int32)
@@ -226,6 +241,12 @@ def train_ensemble(
                 "key": k_loop,
             })
 
+        if epoch_callback is not None and bool(
+            epoch_callback(epoch, train_hist[-1], val_hist[-1])
+        ):
+            pruned = True
+            break
+
         if bool((np.asarray(epochs_since_best)
                  >= cfg.stop_after_epochs).all()):
             break
@@ -242,7 +263,7 @@ def train_ensemble(
         val_losses=val_arr,
         best_epoch=int(np.argmin(val_arr.mean(axis=1))) if len(val_arr) else 0,
         n_members=n_nets,
-        history={"best_val": best_val.tolist()},
+        history={"best_val": best_val.tolist(), "pruned": pruned},
     )
 
 
