@@ -386,6 +386,55 @@ class SimformerPosterior:
             lambda k, xi: self.sample(k, xi, n, condition_mask)
         )(keys, xs)
 
+    # -- persistence ------------------------------------------------------
+    # (the reference persists full simformer models via save_model_to_pkl /
+    # load_full_model with z-score rebuild, sbi_runner.py:8341-8504)
+
+    def state_dict(self) -> dict:
+        from dataclasses import asdict
+
+        return {
+            "kind": "simformer",
+            "config": asdict(self.model.cfg),
+            "sde": {"beta_min": self.model.sde.beta_min,
+                    "beta_max": self.model.sde.beta_max},
+            "params": jax.tree_util.tree_map(np.asarray, self.params),
+            "standardizer": {
+                "mu": np.asarray(self.std["mu"]),
+                "sd": np.asarray(self.std["sd"]),
+                "n_theta": int(self.std["n_theta"]),
+                "n_x": int(self.std["n_x"]),
+            },
+            "attn_mask": (
+                None if self.attn_mask is None else np.asarray(self.attn_mask)
+            ),
+            "n_steps": int(self.n_steps),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "SimformerPosterior":
+        cfg = SimformerConfig(**state["config"])
+        sde = VPSDE(**state["sde"])
+        model = Simformer(cfg, sde)
+        params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        return cls(
+            model, params, dict(state["standardizer"]),
+            attn_mask=state["attn_mask"], n_steps=state["n_steps"],
+        )
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.state_dict(), f)
+
+    @classmethod
+    def load(cls, path: str) -> "SimformerPosterior":
+        import pickle
+
+        with open(path, "rb") as f:
+            return cls.from_state_dict(pickle.load(f))
+
 
 def train_noise_model_simformer(mags, log_errs, key=None, **train_kwargs):
     """Learn p(log σ | mag) as a simformer task (reference

@@ -113,3 +113,57 @@ def test_noise_model_task():
     faint = np.asarray(post.sample(jax.random.PRNGKey(2),
                                    np.array([29.0, 29.0], np.float32), 400))
     assert bright.mean() < faint.mean() - 0.5
+
+
+class TestPersistence:
+    def _tiny_posterior(self):
+        rng = np.random.default_rng(0)
+        theta = rng.standard_normal((400, 2)).astype(np.float32)
+        x = theta + 0.1 * rng.standard_normal((400, 2)).astype(np.float32)
+        cfg = SimformerConfig(n_tokens=4, d_model=32, n_heads=2, n_layers=2)
+        model = Simformer(cfg)
+        params, std, _ = train_simformer(model, theta, x, KEY,
+                                         batch_size=128, max_epochs=3)
+        return SimformerPosterior(model, params, std, n_steps=50)
+
+    def test_roundtrip_identical_samples(self, tmp_path):
+        """save -> load must reproduce bit-identical samples from a fixed
+        key (round-1 gap: trained simformers could not be persisted at
+        all; reference save_model_to_pkl, sbi_runner.py:8341-8504)."""
+        post = self._tiny_posterior()
+        p = str(tmp_path / "simformer.pkl")
+        post.save(p)
+        loaded = SimformerPosterior.load(p)
+        x_obs = jnp.asarray([0.5, -0.2])
+        s1 = np.asarray(post.sample(KEY, x_obs, 16))
+        s2 = np.asarray(loaded.sample(KEY, x_obs, 16))
+        np.testing.assert_array_equal(s1, s2)
+        assert loaded.n_steps == post.n_steps
+        assert loaded.attn_mask is None
+
+    def test_fitter_roundtrip(self, tmp_path):
+        """SBIFitter.save_state/load_saved_model must persist a trained
+        simformer (engine dispatch)."""
+        from synference_tpu.fitter import SBIFitter
+
+        rng = np.random.default_rng(1)
+        theta = rng.standard_normal((400, 2)).astype(np.float32)
+        x = theta + 0.1 * rng.standard_normal((400, 2)).astype(np.float32)
+        fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                           parameter_names=("a", "b"),
+                           filter_codes=("F1", "F2"))
+        fitter.features = x
+        fitter.feature_params = theta
+        fitter.feature_source = np.arange(len(x))
+        fitter.feature_flags = None
+        fitter.create_priors()
+        fitter.run_single_simformer(d_model=32, n_heads=2, n_layers=2,
+                                    batch_size=128, max_epochs=2,
+                                    n_diffusion_steps=50)
+        path = str(tmp_path / "fitter_simformer.pkl")
+        fitter.save_state(path)
+        loaded = SBIFitter.load_saved_model(path)
+        assert loaded.engine == "simformer"
+        s1 = fitter.sample_posterior(x[:3], n_samples=8)
+        s2 = loaded.sample_posterior(x[:3], n_samples=8)
+        np.testing.assert_array_equal(s1, s2)
