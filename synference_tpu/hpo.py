@@ -336,23 +336,32 @@ def optimize_sbi(
         lr = p.pop("learning_rate", 1.0e-4)
         bs = p.pop("batch_size", 256)
         try:
+            # prune DURING training: the callback reports each epoch's val
+            # loss and aborts the trial mid-run when the pruner fires —
+            # unlike a post-hoc replay, a pruned trial really does train
+            # fewer epochs (reference prunes via Optuna callbacks,
+            # custom_runner.py:662-670)
+            def epoch_callback(epoch, tr_loss, va_loss,
+                               _trial=trial):
+                v = float(np.asarray(va_loss).mean())
+                study.report_intermediate(_trial, epoch, v)
+                return pruner.should_prune(epoch, v, study)
+
             res = fitter.run_single_sbi(
                 model_type=model_type,
                 train_config=TrainConfig(
                     batch_size=int(bs), learning_rate=float(lr),
                     max_epochs=max_epochs, stop_after_epochs=10,
                 ),
+                epoch_callback=epoch_callback,
                 **p,
             )
             val_losses = np.asarray(res.val_losses).reshape(len(res.val_losses), -1).mean(1)
-            pruned = False
-            for step, v in enumerate(val_losses):
-                study.report_intermediate(trial, step, float(v))
-                if pruner.should_prune(step, float(v), study):
-                    pruned = True
-                    break
-            if pruned:
+            if res.history.get("pruned"):
                 study.tell(trial, float(val_losses.min()), state="PRUNED")
+                if verbose:
+                    print(f"trial {trial['number']}: PRUNED at epoch "
+                          f"{len(val_losses) - 1}", flush=True)
                 continue
             value = float(val_losses.min())
             if objective in ("log_prob-pit", "tarp"):

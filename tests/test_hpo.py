@@ -80,3 +80,49 @@ class TestPruner:
         assert not pruner.should_prune(0, 5.0, study)  # warmup
         assert pruner.should_prune(3, 5.0, study)  # way above median
         assert not pruner.should_prune(3, 0.5, study)  # better than median
+
+    def test_pruning_aborts_training_midrun(self):
+        """A pruned trial must actually train FEWER epochs than max_epochs
+        (the round-1 implementation replayed losses after full training, so
+        'pruned' trials paid full price)."""
+        import jax
+
+        from synference_tpu.fitter import SBIFitter
+        from synference_tpu.hpo import optimize_sbi
+
+        rng = np.random.default_rng(0)
+        theta = rng.uniform(-1, 1, (1500, 2)).astype(np.float32)
+        x = theta @ rng.standard_normal((2, 3)).astype(np.float32)
+        x = x + 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+        fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                           parameter_names=("a", "b"),
+                           filter_codes=("F1", "F2", "F3"))
+        fitter.features = x
+        fitter.feature_params = theta
+        fitter.feature_source = np.arange(len(x))
+        fitter.feature_flags = None
+        fitter.create_priors()
+
+        max_epochs = 12
+        # learning_rate spans a huge range so late (TPE) trials with bad lr
+        # produce val losses far above the median -> pruning fires
+        study, best = optimize_sbi(
+            fitter, model_type="mdn",
+            search_space={
+                "hidden_features": ("int", 8, 24),
+                "num_components": ("int", 2, 4),
+                "learning_rate": ("float", 1e-6, 1e-1, "log"),
+            },
+            n_trials=10, max_epochs=max_epochs, verbose=False,
+            pruner=MedianPruner(n_startup_trials=2, n_warmup_steps=1),
+        )
+        pruned = [t for t in study.trials if t["state"] == "PRUNED"]
+        assert pruned, "no trial was pruned (loosen the space?)"
+        for t in pruned:
+            # intermediate reports stop at the abort epoch
+            assert len(t["intermediate"]) < max_epochs
+        # at least one abort fired BEFORE early stopping ever could
+        # (patience 10 means early stop needs >= 11 epochs), proving the
+        # pruner, not the early stopper, cut the trial short
+        assert min(len(t["intermediate"]) for t in pruned) <= 10
+        assert best is not None
