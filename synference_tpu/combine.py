@@ -1,0 +1,336 @@
+"""Outer-product combination of generated libraries.
+
+Reference analogue: `CombinedBasis.create_library` / `create_full_library`
+(`/root/reference/src/synference/library.py:3644-3974`, `:3982-4072`): bases
+are generated once at a filler mass, then combined into one library by
+renormalizing each base's photometry to a target total stellar mass split
+across bases by combination weights — sampling either every combination of
+(redshift × mass × weights × base rows) or matched (pre-drawn) rows.
+
+The reference fills the combination arrays row by row in a Python loop over
+`np.meshgrid` indices; here every (mass × weight × combo) cell is one
+broadcasted numpy expression per base — the only host loops are over the
+redshift grid and the (few) bases. Photometry scales linearly with stellar
+mass at fixed θ, which is what makes the renormalization
+`scale = w·10^m / m_base` exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .library import save_library_hdf5
+
+__all__ = ["combine_libraries", "combine_libraries_matched"]
+
+
+def _as_rows(arr, n_names):
+    """Accept (D, N) or (N, D) and return (D, N)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("expected a 2-D array")
+    if arr.shape[0] != n_names:
+        arr = arr.T
+    if arr.shape[0] != n_names:
+        raise ValueError("array shape matches neither (D, N) nor (N, D)")
+    return arr
+
+
+def _base_setup(libraries, base_names, redshift_param, mass_params,
+                log_base_masses):
+    """Normalize per-base inputs -> list of dicts with unit-mass photometry."""
+    n_bases = len(libraries)
+    if base_names is None:
+        base_names = [
+            lib.get("model_name", f"base{i}")
+            for i, lib in enumerate(libraries)
+        ]
+    if mass_params is None:
+        mass_params = [None] * n_bases
+    if np.isscalar(log_base_masses):
+        log_base_masses = [float(log_base_masses)] * n_bases
+
+    filter_codes = list(libraries[0]["filter_codes"])
+    bases = []
+    for i, lib in enumerate(libraries):
+        if list(lib["filter_codes"]) != filter_codes:
+            raise ValueError(
+                f"base {i} has different filters to base 0; cannot combine"
+            )
+        names = list(lib["parameter_names"])
+        params = _as_rows(lib["parameters"], len(names))
+        phot = _as_rows(lib["photometry"], len(filter_codes))
+        if redshift_param not in names:
+            raise ValueError(f"base {i} lacks parameter {redshift_param!r}")
+        z_rows = params[names.index(redshift_param)]
+        if mass_params[i] is not None:
+            m_base = 10.0 ** params[names.index(mass_params[i])]
+        else:
+            m_base = np.full(params.shape[1], 10.0 ** log_base_masses[i])
+        # varying params carried through (mass + redshift become grid axes)
+        keep = [
+            j for j, p in enumerate(names)
+            if p not in (redshift_param, mass_params[i])
+        ]
+        prefix = f"{base_names[i]}/" if n_bases > 1 else ""
+        bases.append({
+            "name": base_names[i],
+            "phot_unit": phot / m_base[None, :],  # photometry per Msun
+            "params": params[keep],
+            "param_names": [prefix + names[j] for j in keep],
+            "z": z_rows,
+            "m_base": m_base,
+            # supplementary kept RAW; mass scaling (if requested) divides by
+            # m_base at combination time so scale_supplementary=False
+            # passes values through untouched
+            "supp": (
+                _as_rows(lib["supplementary_parameters"],
+                         len(lib["supplementary_parameter_names"]))
+                if "supplementary_parameters" in lib else None
+            ),
+            "supp_names": list(lib.get("supplementary_parameter_names", [])),
+        })
+    supp_names = bases[0]["supp_names"]
+    for b in bases[1:]:
+        if b["supp_names"] != supp_names:
+            raise ValueError(
+                "all bases must share the same supplementary parameters"
+            )
+    return bases, filter_codes
+
+
+def combine_libraries(
+    libraries: list,
+    log_stellar_masses,
+    redshifts,
+    combination_weights=None,
+    base_names: list | None = None,
+    log_base_masses=9.0,
+    mass_params: list | None = None,
+    redshift_param: str = "redshift",
+    mass_name: str = "log_mass",
+    scale_supplementary: bool = True,
+    out_path: str | None = None,
+    z_atol: float = 1.0e-5,
+) -> dict:
+    """Outer-product combination: every (z × mass × weight × base-row) combo.
+
+    Args:
+        libraries: library dicts (from `load_library_hdf5` /
+            `LibraryGenerator.generate`). Each base must contain rows at
+            every redshift in `redshifts` (generate with zdist="delta" over
+            a z grid, or filter beforehand).
+        log_stellar_masses: (M,) target log10 total stellar masses.
+        redshifts: (Z,) redshift grid; base rows are selected by
+            |z_row − z| <= z_atol.
+        combination_weights: (W, n_bases) rows of per-base mass fractions
+            (None -> single base, weight 1).
+        log_base_masses: scalar or per-base log10 mass the base photometry
+            was generated at; ignored for bases with an entry in
+            `mass_params`.
+        mass_params: optional per-base parameter name holding each row's
+            log10 mass (overrides log_base_masses for that base).
+        scale_supplementary: scale supplementary parameters by the same
+            mass factor (the reference scales flux-like ones,
+            library.py:3865-3881 — pass False if yours are not flux-like).
+
+    Returns the combined library dict ((F, N)/(P, N) convention); parameter
+    columns are [redshift, log_mass, weight_fraction?, base varying params].
+    """
+    libraries = list(libraries)
+    n_bases = len(libraries)
+    if combination_weights is None:
+        if n_bases != 1:
+            raise ValueError("combination_weights required for >1 base")
+        combination_weights = np.ones((1, 1))
+    weights = np.atleast_2d(np.asarray(combination_weights, np.float64))
+    if weights.shape[1] != n_bases:
+        raise ValueError("combination_weights must be (W, n_bases)")
+    log_stellar_masses = np.atleast_1d(
+        np.asarray(log_stellar_masses, np.float64)
+    )
+    redshifts = np.atleast_1d(np.asarray(redshifts, np.float64))
+
+    bases, filter_codes = _base_setup(
+        libraries, base_names, redshift_param, mass_params, log_base_masses
+    )
+    n_filt = len(filter_codes)
+    supp_names = bases[0]["supp_names"]
+
+    param_columns = [redshift_param, mass_name]
+    if n_bases > 1:
+        param_columns.append("weight_fraction")
+    for b in bases:
+        param_columns.extend(b["param_names"])
+
+    # per-(mass, weight) scale for each base: (M*W,) after flattening
+    masses = 10.0 ** log_stellar_masses  # (M,)
+    mw_scale = masses[:, None, None] * weights[None, :, :]  # (M, W, n_bases)
+    n_mw = masses.size * weights.shape[0]
+    mw_scale = mw_scale.reshape(n_mw, n_bases)
+    mw_logmass = np.repeat(log_stellar_masses, weights.shape[0])  # (M*W,)
+    mw_wfrac = np.tile(weights[:, 0], masses.size)  # (M*W,)
+
+    phot_out, par_out, supp_out = [], [], []
+    for z in redshifts:
+        masks = [np.abs(b["z"] - z) <= z_atol for b in bases]
+        counts = [int(m.sum()) for m in masks]
+        if any(c == 0 for c in counts):
+            empty = [bases[i]["name"] for i, c in enumerate(counts) if c == 0]
+            raise ValueError(f"no rows at z={z} in base(s) {empty}")
+        # index outer product (n_combo, n_bases), same ordering the
+        # reference's meshgrid(indexing="ij").T.reshape produces
+        grids = np.meshgrid(*[np.arange(c) for c in counts], indexing="ij")
+        combos = np.stack([g.ravel() for g in grids], axis=1)
+        n_combo = combos.shape[0]
+
+        phot = np.zeros((n_filt, n_mw, n_combo), np.float64)
+        supp = (
+            np.zeros((len(supp_names), n_mw, n_combo), np.float64)
+            if supp_names else None
+        )
+        par_cols = [
+            np.full((n_mw, n_combo), z),
+            np.broadcast_to(mw_logmass[:, None], (n_mw, n_combo)),
+        ]
+        if n_bases > 1:
+            par_cols.append(
+                np.broadcast_to(mw_wfrac[:, None], (n_mw, n_combo))
+            )
+        for i, b in enumerate(bases):
+            rows = np.where(masks[i])[0][combos[:, i]]  # (n_combo,)
+            phot += (
+                b["phot_unit"][:, rows][:, None, :]
+                * mw_scale[None, :, i, None]
+            )
+            if supp is not None:
+                s = b["supp"][:, rows][:, None, :]
+                if scale_supplementary:
+                    s = (s / b["m_base"][rows][None, None, :]) * (
+                        mw_scale[None, :, i, None]
+                    )
+                supp = supp + s
+            for prow in b["params"][:, rows]:
+                par_cols.append(np.broadcast_to(prow[None, :],
+                                                (n_mw, n_combo)))
+        phot_out.append(phot.reshape(n_filt, -1))
+        par_out.append(np.stack([c.reshape(-1) for c in par_cols]))
+        if supp is not None:
+            supp_out.append(supp.reshape(len(supp_names), -1))
+
+    result = {
+        "photometry": np.concatenate(phot_out, axis=1).astype(np.float32),
+        "parameters": np.concatenate(par_out, axis=1).astype(np.float32),
+        "parameter_names": param_columns,
+        "filter_codes": filter_codes,
+        "photometry_units": libraries[0].get("photometry_units", "nJy"),
+    }
+    if supp_names:
+        result["supplementary_parameters"] = np.concatenate(
+            supp_out, axis=1
+        ).astype(np.float32)
+        result["supplementary_parameter_names"] = supp_names
+    if out_path is not None:
+        save_library_hdf5(
+            out_path,
+            parameters=result["parameters"],
+            parameter_names=result["parameter_names"],
+            photometry=result["photometry"],
+            filter_codes=result["filter_codes"],
+            supplementary_parameters=result.get("supplementary_parameters"),
+            supplementary_parameter_names=result.get(
+                "supplementary_parameter_names"
+            ),
+            photometry_units=result["photometry_units"],
+            model_name="+".join(b["name"] for b in bases),
+        )
+    return result
+
+
+def combine_libraries_matched(
+    libraries: list,
+    log_stellar_masses,
+    combination_weights=None,
+    base_names: list | None = None,
+    log_base_masses=9.0,
+    mass_params: list | None = None,
+    redshift_param: str = "redshift",
+    mass_name: str = "log_mass",
+    scale_supplementary: bool = True,
+    out_path: str | None = None,
+) -> dict:
+    """Matched (pre-drawn) combination: row k of every base describes the
+    same galaxy (reference `create_full_library`, library.py:3982-4072) —
+    no outer product; `log_stellar_masses` and `combination_weights` are
+    per-row arrays of length N.
+    """
+    libraries = list(libraries)
+    n_bases = len(libraries)
+    if combination_weights is None:
+        if n_bases != 1:
+            raise ValueError("combination_weights required for >1 base")
+    bases, filter_codes = _base_setup(
+        libraries, base_names, redshift_param, mass_params, log_base_masses
+    )
+    n = bases[0]["phot_unit"].shape[1]
+    for i, b in enumerate(bases):
+        if b["phot_unit"].shape[1] != n:
+            raise ValueError(f"base {i} row count differs; cannot match rows")
+    log_m = np.broadcast_to(
+        np.asarray(log_stellar_masses, np.float64), (n,)
+    )
+    if combination_weights is None:
+        weights = np.ones((n, 1))
+    else:
+        weights = np.broadcast_to(
+            np.asarray(combination_weights, np.float64), (n, n_bases)
+        )
+    scale = (10.0 ** log_m)[:, None] * weights  # (N, n_bases)
+
+    supp_names = bases[0]["supp_names"]
+    phot = np.zeros((len(filter_codes), n), np.float64)
+    supp = (
+        np.zeros((len(supp_names), n), np.float64) if supp_names else None
+    )
+    par_cols = [bases[0]["z"], log_m]
+    param_columns = [redshift_param, mass_name]
+    if n_bases > 1:
+        par_cols.append(weights[:, 0])
+        param_columns.append("weight_fraction")
+    for i, b in enumerate(bases):
+        phot += b["phot_unit"] * scale[None, :, i]
+        if supp is not None:
+            supp += (
+                (b["supp"] / b["m_base"][None, :]) * scale[None, :, i]
+                if scale_supplementary else b["supp"]
+            )
+        par_cols.extend(list(b["params"]))
+        param_columns.extend(b["param_names"])
+
+    result = {
+        "photometry": phot.astype(np.float32),
+        "parameters": np.stack(
+            [np.asarray(c, np.float64) for c in par_cols]
+        ).astype(np.float32),
+        "parameter_names": param_columns,
+        "filter_codes": filter_codes,
+        "photometry_units": libraries[0].get("photometry_units", "nJy"),
+    }
+    if supp_names:
+        result["supplementary_parameters"] = supp.astype(np.float32)
+        result["supplementary_parameter_names"] = supp_names
+    if out_path is not None:
+        save_library_hdf5(
+            out_path,
+            parameters=result["parameters"],
+            parameter_names=result["parameter_names"],
+            photometry=result["photometry"],
+            filter_codes=result["filter_codes"],
+            supplementary_parameters=result.get("supplementary_parameters"),
+            supplementary_parameter_names=result.get(
+                "supplementary_parameter_names"
+            ),
+            photometry_units=result["photometry_units"],
+            model_name="+".join(b["name"] for b in bases),
+        )
+    return result
