@@ -38,8 +38,8 @@ from synference_tpu.flows import build_flow  # noqa: E402
 REF_SEDS_PER_SEC = 13.9  # see module docstring
 
 
-def bench_generation(batch=65536, iters=8):
-    grid = st.make_synthetic_grid(n_ages=48, n_mets=8, n_wav=2048)
+def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048):
+    grid = st.make_synthetic_grid(n_ages=n_ages, n_mets=n_mets, n_wav=n_wav)
     centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
     widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
     filters = st.FilterSet([
@@ -51,7 +51,7 @@ def bench_generation(batch=65536, iters=8):
         param_names=("log10_mass", "redshift", "peak_age", "tau",
                      "log10_metallicity", "tau_v"),
         sfh="lognormal", zdist="delta",
-        emission=st.EmissionConfig(igm="madau95"),
+        emission=st.EmissionConfig(igm="inoue14"),
     )
     rng = np.random.default_rng(0)
     theta = jnp.asarray(np.stack([
@@ -135,13 +135,22 @@ def bench_sampling(n_objects=256, n_samples=1000):
 
 def main():
     seds_per_sec = bench_generation()
+    # realistic grid size: a real BPASS/BC03 grid is ~[50-100] ages x [10+]
+    # metallicities x ~1e4 λ points (VERDICT r1 #3) — bench that too
+    realsize_seds = bench_generation(batch=16384, iters=4,
+                                     n_ages=64, n_mets=12, n_wav=10_000)
     train_steps = bench_training()
     samples_per_sec = bench_sampling()
     out = {
         "metric": "mock_seds_per_sec",
         "value": round(seds_per_sec, 1),
         "unit": "SEDs/s (1 chip, fp32, 7 bands, batch 65536)",
+        # the reference publishes no benchmark numbers; this ratio uses the
+        # ESTIMATED 13.9 SEDs/s cluster rate derived in the module docstring
         "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),
+        "vs_baseline_is_estimated": True,
+        "realsize_seds_per_sec": round(realsize_seds, 1),
+        "realsize_grid": "64x12x10000 lambda, batch 16384",
         "npe_train_steps_per_sec": round(train_steps, 1),
         "posterior_samples_per_sec": round(samples_per_sec, 1),
     }

@@ -317,9 +317,12 @@ class LibraryGenerator:
         HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
         batch function for multi-device meshes.
 
-        `resume_path`: npz checkpoint updated after each chunk; completed
-        chunks are skipped on restart (the reference's batch-file resume,
-        library.py:2516-2560). Deleted on success.
+        `resume_path`: checkpoint PREFIX; each completed chunk is written
+        once to `{resume_path}.chunk{ci:06d}.npz` and skipped on restart
+        (the reference's batch-file resume, library.py:2516-2560). O(1)
+        I/O per chunk — the round-1 single-npz version rewrote every
+        accumulated chunk after each new one, O(n²) total. Chunk files are
+        deleted on success.
         """
         import jax
 
@@ -339,19 +342,30 @@ class LibraryGenerator:
                 )
             )
 
+        def _chunk_file(ci):
+            return f"{resume_path}.chunk{ci:06d}.npz"
+
         phot_chunks, spec_chunks, supp_chunks = [], [], []
         start_chunk = 0
-        if resume_path is not None and os.path.exists(resume_path):
-            ck = np.load(resume_path, allow_pickle=True)
-            if (
-                int(ck["n"]) == n
-                and int(ck["batch_size"]) == batch_size
-                and int(ck["seed"]) == seed
-            ):
-                phot_chunks = list(ck["phot"])
-                spec_chunks = list(ck["spec"]) if want_spectra else []
-                supp_chunks = list(ck["supp"]) if self.supplementary else []
-                start_chunk = len(phot_chunks)
+        chunk_files = []
+        if resume_path is not None:
+            # consume the consecutive run of completed chunk files whose
+            # metadata matches this generation call
+            while os.path.exists(_chunk_file(start_chunk)):
+                ck = np.load(_chunk_file(start_chunk), allow_pickle=True)
+                if not (
+                    int(ck["n"]) == n
+                    and int(ck["batch_size"]) == batch_size
+                    and int(ck["seed"]) == seed
+                ):
+                    break
+                phot_chunks.append(ck["phot"])
+                if want_spectra and "spec" in ck:
+                    spec_chunks.append(ck["spec"])
+                if self.supplementary and "supp" in ck:
+                    supp_chunks.append(ck["supp"])
+                chunk_files.append(_chunk_file(start_chunk))
+                start_chunk += 1
 
         for ci, i in enumerate(range(0, n_pad, batch_size)):
             if ci < start_chunk:
@@ -377,14 +391,24 @@ class LibraryGenerator:
                 )
                 supp_chunks.append(np.asarray(supp))
             if resume_path is not None:
-                np.savez(
-                    resume_path, n=n, batch_size=batch_size, seed=seed,
-                    phot=np.asarray(phot_chunks),
-                    spec=np.asarray(spec_chunks),
-                    supp=np.asarray(supp_chunks),
-                )
-        if resume_path is not None and os.path.exists(resume_path):
-            os.remove(resume_path)
+                payload = {
+                    "n": n, "batch_size": batch_size, "seed": seed,
+                    "phot": phot_chunks[-1],
+                }
+                if want_spectra:
+                    payload["spec"] = spec_chunks[-1]
+                if self.supplementary:
+                    payload["supp"] = supp_chunks[-1]
+                tmp = _chunk_file(ci) + ".tmp.npz"
+                np.savez(tmp, **payload)
+                os.replace(tmp, _chunk_file(ci))
+                chunk_files.append(_chunk_file(ci))
+        if resume_path is not None:
+            for f in chunk_files:
+                if os.path.exists(f):
+                    os.remove(f)
+            if os.path.exists(resume_path):  # legacy single-file checkpoint
+                os.remove(resume_path)
 
         photometry = np.concatenate(phot_chunks, axis=0)[:n]
         result = {

@@ -1,23 +1,29 @@
-"""Pallas kernel: shift-table filter convolution (photometry numerator).
+"""Pallas kernel: sub-shift-table filter convolution (photometry numerator).
 
 The XLA fast path in `sed.py::_photometry_one` materializes two (B, F, L)
 gathered table slices in HBM (~1 GB per 8k batch) before the reduction.
 Mosaic only allows lane-dimension dynamic slices at 128-aligned offsets, so
-this kernel uses a pre-rolled table bank: the real-valued column shift
-s(z) = log10(1+z)/Δ is snapped to 1/8 columns (λ error ≤ Δ/16 ≈ 0.007%,
-band-edge photometry error ≲ 0.1%, far below the photometric noise floor)
-and decomposed
+arbitrary per-galaxy table shifts can't be sliced directly. Instead of
+slicing the TABLE, this kernel rolls the FLUX ROW:
 
-    s ≈ m + rs/8,   m = 128·q + r,   r ∈ [0,128), rs ∈ {0..7}
+    num_f = Σ_l T_f[l + m] · fw[l]  =  Σ_j T_f[j] · roll(fw, m)[j]
 
-`build_shift_tables` precomputes the 1024 (rs, r) pre-rolled copies once
-(host side, ~90 MB in HBM); per galaxy the kernel issues ONE aligned
-(F8, L) DMA from the bank (double-buffered across galaxies) and a fused
-VPU multiply-reduce against the flux row. HBM traffic drops from ~1 GB to
-~0.5 GB per 8k batch with no gather ops.
+with the real-valued column shift s(z) = log10(1+z)/Δ snapped to 1/8
+columns (λ error ≤ Δ/16, band-edge photometry error ≲ 0.1% at production
+grid resolution) and decomposed s ≈ m + rs/8. The table holds only the 8
+sub-column variants — (8, F8, Ltp) ≈ 3 MB — and stays VMEM-RESIDENT; the
+per-galaxy work is one `pltpu.roll` (dynamic lane rotate) plus a fused VPU
+multiply-reduce. No HBM DMA inside the loop at all.
+
+(The round-1 design pre-rolled 128 lane-residual copies of the table into a
+~90 MB HBM bank and DMA'd an (F8, L) slab per galaxy; at realistic grid
+sizes (10⁴ λ) the bank reached 436 MB, blowing the axon tunnel's compile
+request limit and costing B × 320 KB of HBM reads per batch. The roll
+design removes the bank, the DMA traffic, and the compile-size failure in
+one move.)
 
 Denominators Σ_l w_l T_f(λ_l(1+z)) depend only on the snapped shift and are
-precomputed exactly per quarter-column shift (`build_den_table`).
+precomputed exactly per 1/8-column shift (`build_den_table`).
 """
 
 from __future__ import annotations
@@ -31,81 +37,186 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "build_shift_tables",
+    "build_subshift_table",
+    "build_subshift_table_device",
+    "build_shift_bank_device",
     "build_den_table",
     "shift_decompose",
+    "bank_decompose",
+    "bank_nbytes",
     "pallas_photometry_num",
+    "pallas_photometry_num_bank",
+    "pick_block_b",
 ]
 
 N_SUB = 8  # sub-column shift resolution (1/8 column)
-N_ROLL = 128  # lane-alignment residuals
+_LANE = 128
+N_ROLL = _LANE  # lane-alignment residuals pre-rolled into the bank variant
 
 
-def build_shift_tables(filter_set, lam_rest: np.ndarray, dlog: float,
-                       max_shift: int, n_wav: int):
-    """(512, F8, Ltp) bank: bank[r4*128+r, f, j] = T_f(λ0·10^{(j+r+r4/4)Δ}).
+def _table_ltp(n_wav: int, max_shift: int) -> int:
+    """Padded table length: must cover j = l + m for l < n_wav, m <= max_shift,
+    rounded to the 128-lane tile so rolls and reductions stay aligned."""
+    return int(np.ceil((n_wav + max_shift + 1) / _LANE) * _LANE)
 
-    Lookup with lane offset 128·q then column l yields the transmission at
-    total shift l + 128q + r + r4/4.
-    """
+
+def build_subshift_table(filter_set, lam_rest, dlog: float, max_shift: int,
+                         n_wav: int) -> np.ndarray:
+    """(N_SUB, F8, Ltp) host-numpy reference table:
+    table[rs, f, j] = T_f(λ0 · 10^{(j + rs/8) Δ})."""
     f = len(filter_set)
     f8 = int(np.ceil(f / 8) * 8)
-    q_max = (max_shift - 1) // N_ROLL + 1
-    ltp = int(np.ceil((n_wav + N_ROLL * q_max) / N_ROLL) * N_ROLL)
+    ltp = _table_ltp(n_wav, max_shift)
     lam0 = float(lam_rest[0])
-    bank = np.zeros((N_SUB * N_ROLL, f8, ltp), dtype=np.float32)
-    # the r rolls of one sub-shift are windows of a single longer evaluation
-    j_ext = np.arange(ltp + N_ROLL)
+    j = np.arange(ltp)
+    table = np.zeros((N_SUB, f8, ltp), dtype=np.float32)
     for rs in range(N_SUB):
-        lam_eval = lam0 * 10.0 ** ((j_ext + rs / N_SUB) * dlog)
+        lam_eval = lam0 * 10.0 ** ((j + rs / N_SUB) * dlog)
         for fi, filt in enumerate(filter_set.filters):
-            t_ext = np.interp(lam_eval, filt.lam, filt.transmission,
-                              left=0.0, right=0.0).astype(np.float32)
-            windows = np.lib.stride_tricks.sliding_window_view(
-                t_ext, ltp
-            )[:N_ROLL]
-            bank[rs * N_ROLL : (rs + 1) * N_ROLL, fi] = windows
-    return bank, q_max
+            table[rs, fi] = np.interp(
+                lam_eval, filt.lam, filt.transmission, left=0.0, right=0.0
+            ).astype(np.float32)
+    return table
 
 
-def build_den_table(filter_set, lam_rest: np.ndarray, wlam: np.ndarray,
-                    dlog: float, max_shift: int):
-    """(4·max_shift+4, F) exact denominators per quarter-column shift s4:
-    den[s4, f] = Σ_l w_l T_f(λ0·10^{(l + s4/4)Δ})."""
+@functools.partial(jax.jit, static_argnames=("ltp", "f8"))
+def _table_on_device(filt_lam, filt_tr, lam0, dlog, ltp: int, f8: int):
+    """Jitted table construction: only the (F, K) padded filter curves (a
+    few KB) cross the host->device link."""
+    j = jnp.arange(ltp, dtype=jnp.float32)
+
+    def one_rs(rs):
+        lam_eval = lam0 * 10.0 ** ((j + rs / N_SUB) * dlog)
+
+        def one_filter(fl, ft):
+            return jnp.interp(lam_eval, fl, ft, left=0.0, right=0.0)
+
+        return jax.vmap(one_filter)(filt_lam, filt_tr)  # (F, ltp)
+
+    table = jax.vmap(one_rs)(jnp.arange(N_SUB, dtype=jnp.float32))
+    pad_f = f8 - table.shape[1]
+    if pad_f:
+        table = jnp.pad(table, ((0, 0), (0, pad_f), (0, 0)))
+    return table.astype(jnp.float32)
+
+
+def build_subshift_table_device(filter_set, lam_rest, dlog: float,
+                                max_shift: int, n_wav: int):
+    """Device-side `build_subshift_table`. Returns a (N_SUB, F8, Ltp) jnp
+    array (~3 MB at 10⁴ λ — small enough to live in VMEM during the
+    kernel and to embed as a jit constant without bloating compiles)."""
     f = len(filter_set)
-    n_wav = len(lam_rest)
-    n_s4 = N_SUB * max_shift + N_SUB
-    n_m = max_shift + 2  # integer part of the shift
+    f8 = int(np.ceil(f / 8) * 8)
+    ltp = _table_ltp(n_wav, max_shift)
     lam0 = float(lam_rest[0])
-    den = np.zeros((n_s4, f), dtype=np.float32)
-    w = np.asarray(wlam, dtype=np.float64)
-    j_ext = np.arange(n_wav + n_m)
-    for rs in range(N_SUB):
-        lam_eval = lam0 * 10.0 ** ((j_ext + rs / N_SUB) * dlog)
-        for fi, filt in enumerate(filter_set.filters):
-            t_ext = np.interp(lam_eval, filt.lam, filt.transmission,
-                              left=0.0, right=0.0)
-            # den for shift m + rs/N_SUB = sliding dot of t_ext with w
-            wins = np.lib.stride_tricks.sliding_window_view(t_ext, n_wav)
-            vals = wins[: (n_s4 - rs) // N_SUB + 1] @ w
-            den[rs::N_SUB, fi] = vals[: len(den[rs::N_SUB, fi])]
-    return den
-
-
-def shift_decompose(s, max_shift: int):
-    """Real shift -> (s4 snapped index, table id, aligned lane offset)."""
-    s4 = jnp.clip(
-        jnp.round(s * N_SUB).astype(jnp.int32), 0, N_SUB * max_shift - 1
+    # pad filter curves to a common length with strictly increasing λ tails
+    # (transmission 0 there; jnp.interp right=0 keeps them inert)
+    k = max(len(filt.lam) for filt in filter_set.filters)
+    filt_lam = np.zeros((f, k), np.float32)
+    filt_tr = np.zeros((f, k), np.float32)
+    for i, filt in enumerate(filter_set.filters):
+        n = len(filt.lam)
+        filt_lam[i, :n] = filt.lam
+        filt_tr[i, :n] = filt.transmission
+        if n < k:
+            last = float(filt.lam[-1])
+            filt_lam[i, n:] = last * (1.0 + 1.0e-6 * np.arange(1, k - n + 1))
+    return _table_on_device(
+        jnp.asarray(filt_lam), jnp.asarray(filt_tr),
+        jnp.float32(lam0), jnp.float32(dlog), ltp=ltp, f8=f8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bank variant: pre-rolled lane residuals, per-galaxy DMA (fast path)
+# ---------------------------------------------------------------------------
+#
+# The roll kernel above is compact (≈3 MB table) but pays a dynamic lane
+# rotate per galaxy (~19 ms / 65k batch at 2048 λ on v5e). When the full
+# (N_SUB·N_ROLL, F8, Ltp) bank fits comfortably in HBM, the round-1 design
+# is ~4x faster: pre-roll the 128 lane residuals into the bank so each
+# galaxy needs ONE aligned (F8, L) DMA (double-buffered across the loop)
+# and a fused VPU multiply-reduce — HBM-bandwidth-bound instead of
+# rotate-bound. `sed.py` picks the bank variant whenever
+# `bank_nbytes(...)` is small enough to embed in the compile without
+# tripping the remote-compile size limit.
+
+
+def _bank_ltp(n_wav: int, max_shift: int) -> int:
+    q_max = (max_shift - 1) // N_ROLL + 1
+    return int(np.ceil((n_wav + N_ROLL * q_max) / N_ROLL) * N_ROLL)
+
+
+def bank_nbytes(n_filters: int, n_wav: int, max_shift: int) -> int:
+    """HBM footprint of the pre-rolled bank for this configuration."""
+    f8 = int(np.ceil(n_filters / 8) * 8)
+    return N_SUB * N_ROLL * f8 * _bank_ltp(n_wav, max_shift) * 4
+
+
+@functools.partial(jax.jit, static_argnames=("ltp", "f8"))
+def _bank_on_device(filt_lam, filt_tr, lam0, dlog, ltp: int, f8: int):
+    """Jitted bank construction: bank[rs·128+r, f, j] = T_f at
+    λ0·10^{(j+r+rs/8)Δ}; only the filter curves ship host->device."""
+    j_ext = jnp.arange(ltp + N_ROLL, dtype=jnp.float32)
+    roll_idx = (
+        jnp.arange(N_ROLL)[:, None] + jnp.arange(ltp)[None, :]
+    )  # (128, ltp) window gather
+
+    def one_rs(rs):
+        lam_eval = lam0 * 10.0 ** ((j_ext + rs / N_SUB) * dlog)
+
+        def one_filter(fl, ft):
+            t_ext = jnp.interp(lam_eval, fl, ft, left=0.0, right=0.0)
+            return t_ext[roll_idx]  # (N_ROLL, ltp)
+
+        return jax.vmap(one_filter)(filt_lam, filt_tr)  # (F, N_ROLL, ltp)
+
+    banks = jax.vmap(one_rs)(
+        jnp.arange(N_SUB, dtype=jnp.float32)
+    )  # (N_SUB, F, N_ROLL, ltp)
+    banks = jnp.moveaxis(banks, 1, 2).reshape(
+        N_SUB * N_ROLL, banks.shape[1], ltp
+    )
+    pad_f = f8 - banks.shape[1]
+    if pad_f:
+        banks = jnp.pad(banks, ((0, 0), (0, pad_f), (0, 0)))
+    return banks.astype(jnp.float32)
+
+
+def build_shift_bank_device(filter_set, lam_rest, dlog: float,
+                            max_shift: int, n_wav: int):
+    """Device-side pre-rolled bank (N_SUB·N_ROLL, F8, Ltp)."""
+    f = len(filter_set)
+    f8 = int(np.ceil(f / 8) * 8)
+    ltp = _bank_ltp(n_wav, max_shift)
+    lam0 = float(lam_rest[0])
+    k = max(len(filt.lam) for filt in filter_set.filters)
+    filt_lam = np.zeros((f, k), np.float32)
+    filt_tr = np.zeros((f, k), np.float32)
+    for i, filt in enumerate(filter_set.filters):
+        n = len(filt.lam)
+        filt_lam[i, :n] = filt.lam
+        filt_tr[i, :n] = filt.transmission
+        if n < k:
+            last = float(filt.lam[-1])
+            filt_lam[i, n:] = last * (1.0 + 1.0e-6 * np.arange(1, k - n + 1))
+    return _bank_on_device(
+        jnp.asarray(filt_lam), jnp.asarray(filt_tr),
+        jnp.float32(lam0), jnp.float32(dlog), ltp=ltp, f8=f8,
+    )
+
+
+def bank_decompose(s4):
+    """Snapped shift index -> (bank row id, 128-aligned lane offset):
+    m = s4 // 8 = 128·q + r, rs = s4 % 8; tid = rs·128 + r, off = 128·q."""
     m = s4 // N_SUB
-    r4 = s4 % N_SUB
+    rs = s4 % N_SUB
     q, r = m // N_ROLL, m % N_ROLL
-    tid = r4 * N_ROLL + r
-    off = q * N_ROLL
-    return s4, tid, off
+    return rs * N_ROLL + r, q * N_ROLL
 
 
-def _num_kernel(tid_ref, off_ref, fnu_ref, bank_ref, out_ref, scratch, sems):
+def _num_kernel_bank(tid_ref, off_ref, fnu_ref, bank_ref, out_ref, scratch,
+                     sems):
     bb = fnu_ref.shape[0]
     n_l = fnu_ref.shape[1]
     blk = pl.program_id(0)
@@ -139,13 +250,14 @@ def _num_kernel(tid_ref, off_ref, fnu_ref, bank_ref, out_ref, scratch, sems):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def pallas_photometry_num(fnu_w, bank, tids, offs, block_b: int = 256):
-    """Numerators Σ_l fnu_w[b,l] · T_f at each galaxy's snapped shift.
+def pallas_photometry_num_bank(fnu_w, bank, tids, offs, block_b: int = 256):
+    """Bank-variant numerators: one double-buffered (F8, L) DMA per galaxy.
 
     Args:
         fnu_w: (B, L) flux × dλ/λ weights, B a multiple of block_b.
-        bank: (512, F8, Ltp) from build_shift_tables (HBM-resident).
-        tids/offs: (B,) int32 from shift_decompose.
+        bank: (N_SUB·N_ROLL, F8, Ltp) from build_shift_bank_device
+            (HBM-resident).
+        tids/offs: (B,) int32 from bank_decompose.
     Returns:
         (B, F8) numerators.
     """
@@ -153,14 +265,14 @@ def pallas_photometry_num(fnu_w, bank, tids, offs, block_b: int = 256):
     _, f8, _ = bank.shape
     grid = (b // block_b,)
     return pl.pallas_call(
-        _num_kernel,
+        _num_kernel_bank,
         out_shape=jax.ShapeDtypeStruct((b, f8), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # tids, offs
             grid=grid,
             in_specs=[
                 pl.BlockSpec((block_b, n_l), lambda i, *_: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # bank stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # bank stays in HBM
             ],
             out_specs=pl.BlockSpec((block_b, f8), lambda i, *_: (i, 0)),
             scratch_shapes=[
@@ -169,3 +281,93 @@ def pallas_photometry_num(fnu_w, bank, tids, offs, block_b: int = 256):
             ],
         ),
     )(tids, offs, fnu_w, bank)
+
+
+def build_den_table(filter_set, lam_rest: np.ndarray, wlam: np.ndarray,
+                    dlog: float, max_shift: int):
+    """(N_SUB·max_shift + N_SUB, F) exact denominators per 1/8-column shift:
+    den[s4, f] = Σ_l w_l T_f(λ0·10^{(l + s4/8)Δ})."""
+    f = len(filter_set)
+    n_wav = len(lam_rest)
+    n_s4 = N_SUB * max_shift + N_SUB
+    n_m = max_shift + 2  # integer part of the shift
+    lam0 = float(lam_rest[0])
+    den = np.zeros((n_s4, f), dtype=np.float32)
+    w = np.asarray(wlam, dtype=np.float64)
+    j_ext = np.arange(n_wav + n_m)
+    for rs in range(N_SUB):
+        lam_eval = lam0 * 10.0 ** ((j_ext + rs / N_SUB) * dlog)
+        for fi, filt in enumerate(filter_set.filters):
+            t_ext = np.interp(lam_eval, filt.lam, filt.transmission,
+                              left=0.0, right=0.0)
+            # den for shift m + rs/N_SUB = sliding dot of t_ext with w
+            wins = np.lib.stride_tricks.sliding_window_view(t_ext, n_wav)
+            vals = wins[: (n_s4 - rs) // N_SUB + 1] @ w
+            den[rs::N_SUB, fi] = vals[: len(den[rs::N_SUB, fi])]
+    return den
+
+
+def shift_decompose(s, max_shift: int):
+    """Real column shift -> snapped 1/8-column index s4 (int32).
+    m = s4 // N_SUB is the integer roll; rs = s4 % N_SUB the table row."""
+    return jnp.clip(
+        jnp.round(s * N_SUB).astype(jnp.int32), 0, N_SUB * max_shift - 1
+    )
+
+
+def pick_block_b(batch: int, ltp: int, vmem_budget: int = 8 << 20) -> int:
+    """Largest power-of-two galaxy block whose flux slab fits the VMEM
+    budget (the table adds ~N_SUB·F8·ltp·4 on top)."""
+    block = 256
+    while block > 8 and block * ltp * 4 > vmem_budget:
+        block //= 2
+    return max(block, 8)
+
+
+def _num_kernel(s4_ref, fnu_ref, table_ref, out_ref):
+    bb = fnu_ref.shape[0]
+    blk = pl.program_id(0)
+
+    def body(b, _):
+        s4 = s4_ref[blk * bb + b]
+        m = s4 // N_SUB
+        rs = s4 % N_SUB
+        fw = fnu_ref[pl.ds(b, 1), :]  # (1, Ltp)
+        # roll right by m: fw_roll[j] = fw[j - m]; the λ-pad region is zero
+        # and Ltp - n_wav >= max_shift, so wrapped entries are zeros
+        fw_roll = pltpu.roll(fw, m, axis=1)
+        t = table_ref[rs]  # (F8, Ltp) — all VMEM, no DMA
+        out_ref[pl.ds(b, 1), :] = jnp.sum(t * fw_roll, axis=1)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def pallas_photometry_num(fnu_w, table, s4, block_b: int = 256):
+    """Numerators Σ_l fnu_w[b,l] · T_f at each galaxy's snapped shift.
+
+    Args:
+        fnu_w: (B, L) flux × dλ/λ weights, B a multiple of block_b.
+        table: (N_SUB, F8, Ltp) from build_subshift_table[_device].
+        s4: (B,) int32 snapped shifts from shift_decompose.
+    Returns:
+        (B, F8) numerators.
+    """
+    b, n_l = fnu_w.shape
+    n_sub, f8, ltp = table.shape
+    fnu_pad = jnp.pad(fnu_w, ((0, 0), (0, ltp - n_l)))
+    grid = (b // block_b,)
+    return pl.pallas_call(
+        _num_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, f8), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # s4
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, ltp), lambda i, *_: (i, 0)),
+                pl.BlockSpec((n_sub, f8, ltp), lambda i, *_: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((block_b, f8), lambda i, *_: (i, 0)),
+        ),
+    )(s4, fnu_pad, table)

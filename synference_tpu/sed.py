@@ -55,7 +55,7 @@ class EmissionConfig:
         tau_v_bc_param / age_pivot_log10: extra birth-cloud dust applied to
             stars younger than the pivot (None disables the young/old split).
         dust_emission: add energy-balance greybody re-emission.
-        igm: IGM model name ("madau95" | "none").
+        igm: IGM model name ("inoue14" | "madau95" | "none").
     """
 
     incident_type: str = "incident"
@@ -69,7 +69,7 @@ class EmissionConfig:
     dust_emission: bool = False
     dust_temperature: float = 25.0
     dust_emissivity: float = 1.6
-    igm: str = "madau95"
+    igm: str = "inoue14"  # reference default (library.py:29)
 
     def dust_params_dict(self) -> dict:
         return dict(self.dust_params)
@@ -188,6 +188,35 @@ class BatchSEDSimulator:
         table, dlog, max_shift = filters.shifted_table(grid.lam, z_max=z_max)
         self._filter_table = jnp.asarray(table)
         self._filter_dlog = float(dlog)
+
+        # IGM transmission table: T(λ_rest grid, z) tabulated on a
+        # log10(1+z) grid and lerped per galaxy in `_observe`. Evaluating
+        # Inoue14 inline costs ~40 transcendental-heavy terms per (galaxy, λ)
+        # on the VPU — tabulating turns that into two row gathers + a lerp.
+        # τ(z) is smooth at fixed λ_rest, so interp error is second-order
+        # (≲1e-4 in T at this spacing); tested against the direct evaluation
+        # in tests/test_igm.py.
+        if self.emission.igm in (None, "none"):
+            self._igm_table = None
+        else:
+            n_rows = 512
+            self._igm_dlog = float(np.log10(1.0 + z_max) / (n_rows - 2))
+            cache_key = ("igm", self.emission.igm, grid.n_wav,
+                         float(grid.lam[0]), float(grid.lam[-1]),
+                         round(self._igm_dlog, 12))
+            cached = _PALLAS_BANK_CACHE.get(cache_key)
+            if cached is None:
+                lam_dev = self._lam
+                z_grid = 10.0 ** (
+                    self._igm_dlog * jnp.arange(n_rows, dtype=jnp.float32)
+                ) - 1.0
+                model = self.emission.igm
+                cached = jax.jit(jax.vmap(
+                    lambda zz: igm_transmission(lam_dev * (1.0 + zz), zz,
+                                                model)
+                ))(z_grid)  # (n_rows, L)
+                _PALLAS_BANK_CACHE[cache_key] = cached
+            self._igm_table = cached
         self._max_shift = int(max_shift)
 
         # Pallas fast path (TPU): table resident in VMEM, denominators
@@ -201,33 +230,57 @@ class BatchSEDSimulator:
         self.photometry_backend = photometry_backend
         if photometry_backend == "pallas":
             from .ops.photometry_kernel import (
+                bank_nbytes,
                 build_den_table,
-                build_shift_tables,
+                build_shift_bank_device,
+                build_subshift_table_device,
             )
 
-            # cache banks per (filters, λ grid): the bank is ~90 MB and its
-            # device upload is the dominant construction cost — composite
-            # models and repeated constructions must share it
+            # Two kernel variants (see ops/photometry_kernel.py):
+            #  - "bank": pre-rolled lane residuals, per-galaxy DMA —
+            #    HBM-bound fast path, but the bank is N_SUB·N_ROLL ×
+            #    larger than the table and gets embedded in the compile,
+            #    so only usable while it stays modest;
+            #  - "roll": compact VMEM table + dynamic flux rotate — works
+            #    at any grid size (realistic 10⁴-λ grids would need a
+            #    ~440 MB bank that trips the remote-compile size limit).
+            self._pallas_variant = (
+                "bank"
+                if bank_nbytes(len(filters), grid.n_wav, self._max_shift)
+                <= 160 * 1024 * 1024
+                else "roll"
+            )
+            # cache tables per (filters, λ grid) so composite models and
+            # repeated constructions share one device buffer
             cache_key = (
                 tuple(filters.codes),
                 round(self._filter_dlog, 12),
                 self._max_shift,
                 grid.n_wav,
                 float(grid.lam[0]),
+                self._pallas_variant,
             )
             cached = _PALLAS_BANK_CACHE.get(cache_key)
             if cached is None:
-                bank, _ = build_shift_tables(
-                    filters, grid.lam, self._filter_dlog, self._max_shift,
-                    grid.n_wav,
-                )
+                # built ON DEVICE: only the raw filter curves (KBs) cross
+                # the host->device link
+                if self._pallas_variant == "bank":
+                    table = build_shift_bank_device(
+                        filters, grid.lam, self._filter_dlog,
+                        self._max_shift, grid.n_wav,
+                    )
+                else:
+                    table = build_subshift_table_device(
+                        filters, grid.lam, self._filter_dlog,
+                        self._max_shift, grid.n_wav,
+                    )
                 den = build_den_table(
                     filters, grid.lam, np.asarray(self._wlam),
                     self._filter_dlog, self._max_shift,
                 )
-                cached = (jnp.asarray(bank), jnp.asarray(den))
+                cached = (table, jnp.asarray(den))
                 _PALLAS_BANK_CACHE[cache_key] = cached
-            self._pallas_bank, self._den_table = cached
+            self._pallas_table, self._den_table = cached
 
     # ------------------------------------------------------------------
     # θ plumbing
@@ -317,7 +370,11 @@ class BatchSEDSimulator:
         return sfzh_flat * m, sfzh_flat * (1.0 - m)
 
     def _apply_emission(self, params, sfzh_flat):
-        """Full intrinsic+dust rest-frame L_ν for one galaxy: (L,)."""
+        """Full intrinsic+dust rest-frame L_ν for one galaxy.
+
+        Returns (lnu (L,), intrinsic (L,)) — intrinsic is returned
+        explicitly rather than stashed on self (a mid-trace mutable-state
+        stash breaks under jax.grad / re-entrant tracing)."""
         em = self.emission
         fesc = (
             params[em.fesc]
@@ -348,7 +405,6 @@ class BatchSEDSimulator:
             intrinsic = escaped + (1.0 - fesc) * rep
 
         lnu = escaped + attenuated
-        self._last_intrinsic = intrinsic  # stashed for want_spectra outputs
 
         if em.dust_emission:
             # Energy balance: re-emit the absorbed luminosity as a greybody.
@@ -361,7 +417,7 @@ class BatchSEDSimulator:
             # split the 1e45 rescale across both factors: the literal 1e45 is
             # inf in fp32, and absorbed30*1e45 alone would overflow
             lnu = lnu + (jnp.maximum(absorbed30, 0.0) * 1.0e23) * (grey * 1.0e22)
-        return lnu
+        return lnu, intrinsic
 
     def _observe(self, params, lnu):
         """Rest L_ν -> observed f_ν [nJy] on λ_obs = λ_rest (1+z)."""
@@ -372,7 +428,18 @@ class BatchSEDSimulator:
         # nJy = lnu * (1+z) * T_igm / (4π d19²) * 1e-6
         d19 = self.cosmology.luminosity_distance_cm(jnp.maximum(z, 1.0e-4)) * 1.0e-19
         lam_obs = self._lam * zp1
-        t_igm = igm_transmission(lam_obs, z, self.emission.igm)
+        if self._igm_table is None:
+            t_igm = 1.0
+        else:
+            # two-row lerp of the precomputed T(λ_rest, z) table
+            n_l = self._igm_table.shape[1]
+            s = jnp.log10(jnp.maximum(zp1, 1.0)) / self._igm_dlog
+            k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0,
+                         self._igm_table.shape[0] - 2)
+            frac = s - k.astype(s.dtype)
+            r0 = jax.lax.dynamic_slice(self._igm_table, (k, 0), (1, n_l))[0]
+            r1 = jax.lax.dynamic_slice(self._igm_table, (k + 1, 0), (1, n_l))[0]
+            t_igm = r0 * (1.0 - frac) + r1 * frac
         fnu_njy = lnu * t_igm * (zp1 * 1.0e-6 / (_FOUR_PI * d19**2))
         return fnu_njy, lam_obs
 
@@ -404,24 +471,37 @@ class BatchSEDSimulator:
         """
         if self.photometry_backend == "pallas":
             from .ops.photometry_kernel import (
+                bank_decompose,
                 pallas_photometry_num,
+                pallas_photometry_num_bank,
+                pick_block_b,
                 shift_decompose,
             )
 
             s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
-            s4, tid, off = shift_decompose(s, self._max_shift)
+            s4 = shift_decompose(s, self._max_shift)
             fnu_w = fnu_njy * self._wlam
             b = fnu_w.shape[0]
-            block = 256 if b % 256 == 0 else (128 if b % 128 == 0 else 8)
+            if self._pallas_variant == "bank":
+                block = 256 if b % 256 == 0 else (128 if b % 128 == 0 else 8)
+            else:
+                block = pick_block_b(b, self._pallas_table.shape[-1])
+                while b % block and block > 8:
+                    block //= 2
             pad = (-b) % block
             if pad:
                 fnu_w = jnp.pad(fnu_w, ((0, pad), (0, 0)))
-                tid = jnp.pad(tid, (0, pad))
-                off = jnp.pad(off, (0, pad))
-            num = pallas_photometry_num(
-                fnu_w, self._pallas_bank, tid, off, block_b=block
-            )[:b, : len(self.filters)]
-            den = self._den_table[s4]
+                s4 = jnp.pad(s4, (0, pad))
+            if self._pallas_variant == "bank":
+                tid, off = bank_decompose(s4)
+                num = pallas_photometry_num_bank(
+                    fnu_w, self._pallas_table, tid, off, block_b=block
+                )[:b, : len(self.filters)]
+            else:
+                num = pallas_photometry_num(
+                    fnu_w, self._pallas_table, s4, block_b=block
+                )[:b, : len(self.filters)]
+            den = self._den_table[s4[:b]]
             return num / jnp.maximum(den, 1.0e-30)
         return jax.vmap(self._photometry_one)(fnu_njy, z)
 
@@ -431,13 +511,13 @@ class BatchSEDSimulator:
     def _core(self, theta_row, want_spectra: bool):
         params = self.theta_dict(theta_row)
         sfzh_flat, sfh_mass = self._sfzh(params)
-        lnu = self._apply_emission(params, sfzh_flat)
+        lnu, intrinsic = self._apply_emission(params, sfzh_flat)
         fnu_njy, _ = self._observe(params, lnu)
         z = params.get("redshift", jnp.asarray(0.0))
         out = {"fnu_njy": fnu_njy, "_z": z}
         if want_spectra:
             out["lnu"] = lnu
-            out["lnu_intrinsic"] = self._last_intrinsic
+            out["lnu_intrinsic"] = intrinsic
             out["sfh_mass"] = sfh_mass
             out["sfzh"] = sfzh_flat
         return out

@@ -108,19 +108,35 @@ class TestGenerationResume:
             "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
             "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
         })
-        ck = str(tmp_path / "gen_ck.npz")
+        ck = str(tmp_path / "gen_ck")
         full = gen.generate(n=96, batch_size=32, seed=5)
 
-        # simulate an interrupted run: checkpoint holding the first chunk
+        # simulate an interrupted run: one completed per-chunk file
         chunk0 = full["photometry"].T[:32]
-        np.savez(ck, n=96, batch_size=32, seed=5,
-                 phot=np.asarray([chunk0]),
-                 spec=np.asarray([]), supp=np.asarray([]))
+        np.savez(ck + ".chunk000000.npz", n=96, batch_size=32, seed=5,
+                 phot=np.asarray(chunk0))
         resumed = gen.generate(n=96, batch_size=32, seed=5, resume_path=ck)
         np.testing.assert_allclose(
             resumed["photometry"], full["photometry"], rtol=1e-5
         )
-        assert not os.path.exists(ck)  # cleaned up on success
+        assert not os.path.exists(ck + ".chunk000000.npz")  # cleaned up
+
+    def test_stale_chunk_metadata_ignored(self, base_sim, tmp_path):
+        """A chunk file from a different (n, batch, seed) run must not be
+        consumed as progress."""
+        gen = LibraryGenerator(base_sim(), {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 4.0),
+            "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        })
+        ck = str(tmp_path / "stale_ck")
+        np.savez(ck + ".chunk000000.npz", n=999, batch_size=32, seed=5,
+                 phot=np.zeros((32, 7), np.float32))
+        full = gen.generate(n=64, batch_size=32, seed=5)
+        resumed = gen.generate(n=64, batch_size=32, seed=5, resume_path=ck)
+        np.testing.assert_allclose(
+            resumed["photometry"], full["photometry"], rtol=1e-5
+        )
 
 
 class TestSpectralLibrary:

@@ -82,7 +82,9 @@ def test_full_pipeline(library_path, tmp_path):
 
     # evaluation report
     report = fitter.evaluate_model(n_samples=128, max_objects=128)
-    assert report["tarp_deviation"] < 0.25
+    # ~3x the measured value of this config (≈0.03); loose bounds would let
+    # calibration regress 10x while CI stays green
+    assert report["tarp_deviation"] < 0.1
     assert np.isfinite(report["mean_log_prob"])
 
     # save / load round trip preserves the posterior

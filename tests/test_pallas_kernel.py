@@ -1,5 +1,5 @@
 """Pallas photometry kernel: host-side table math + interpret-mode kernel
-equivalence against the XLA path."""
+equivalence against the XLA path and a direct numpy reference."""
 
 import jax
 import jax.numpy as jnp
@@ -8,54 +8,62 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from synference_tpu.ops.photometry_kernel import (
-    N_ROLL,
     N_SUB,
     build_den_table,
-    build_shift_tables,
+    build_subshift_table,
+    build_subshift_table_device,
     pallas_photometry_num,
+    pick_block_b,
     shift_decompose,
 )
 from synference_tpu.sed import BatchSEDSimulator
 
 
 class TestShiftDecompose:
-    def test_roundtrip(self):
+    def test_snapping(self):
         s = jnp.asarray([0.0, 1.3, 57.9, 300.26, 599.0])
-        s4, tid, off = shift_decompose(s, 600)
-        s4, tid, off = np.asarray(s4), np.asarray(tid), np.asarray(off)
-        # recompose: total shift = off + (tid % 128) + (tid // 128)/N_SUB
-        recomposed = off + (tid % N_ROLL) + (tid // N_ROLL) / N_SUB
-        np.testing.assert_allclose(recomposed, np.asarray(s4) / N_SUB,
-                                   atol=1e-6)
-        np.testing.assert_allclose(np.asarray(s4) / N_SUB,
-                                   np.round(np.asarray(s) * N_SUB) / N_SUB)
+        s4 = np.asarray(shift_decompose(s, 600))
+        np.testing.assert_allclose(
+            s4 / N_SUB, np.round(np.asarray(s) * N_SUB) / N_SUB
+        )
 
     def test_clipping(self):
-        s4, tid, off = shift_decompose(jnp.asarray([1e9]), 600)
+        s4 = shift_decompose(jnp.asarray([1e9]), 600)
         assert int(s4[0]) == N_SUB * 600 - 1
 
 
 class TestTables:
-    def test_bank_lookup_equals_direct_interp(self, nircam_filters, test_grid):
-        dlogs = np.diff(np.log10(test_grid.lam))
-        dlog = float(dlogs.mean())
+    def test_table_rows_equal_direct_interp(self, nircam_filters, test_grid):
+        """table[rs, f, j] must equal T_f at λ0·10^{(j + rs/8)Δ} —
+        the snapped shift l + m + rs/8 is then a roll by m into row rs."""
+        dlog = float(np.diff(np.log10(test_grid.lam)).mean())
         max_shift = 100
-        bank, q_max = build_shift_tables(
+        table = build_subshift_table(
             nircam_filters, test_grid.lam, dlog, max_shift, test_grid.n_wav
         )
-        # pick a shift, verify bank windows == direct filter evaluation
-        for s in (0.0, 13.37, 99.0):
-            s4, tid, off = shift_decompose(jnp.asarray([s]), max_shift)
-            tid_i, off_i = int(tid[0]), int(off[0])
-            window = bank[tid_i, :, off_i : off_i + test_grid.n_wav]
-            snapped = float(s4[0]) / N_SUB
+        assert table.shape[0] == N_SUB
+        ltp = table.shape[-1]
+        for rs in (0, 3, 7):
             lam_eval = test_grid.lam[0] * 10.0 ** (
-                (np.arange(test_grid.n_wav) + snapped) * dlog
+                (np.arange(ltp) + rs / N_SUB) * dlog
             )
             for fi, filt in enumerate(nircam_filters.filters):
                 direct = np.interp(lam_eval, filt.lam, filt.transmission,
                                    left=0.0, right=0.0)
-                np.testing.assert_allclose(window[fi], direct, atol=1e-5)
+                np.testing.assert_allclose(table[rs, fi], direct, atol=1e-5)
+
+    def test_device_table_matches_host(self, nircam_filters, test_grid):
+        """The jitted on-device builder must reproduce the host numpy table
+        (only the raw filter curves ship host->device)."""
+        dlog = float(np.diff(np.log10(test_grid.lam)).mean())
+        host = build_subshift_table(
+            nircam_filters, test_grid.lam, dlog, 150, test_grid.n_wav
+        )
+        dev = build_subshift_table_device(
+            nircam_filters, test_grid.lam, dlog, 150, test_grid.n_wav
+        )
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(np.asarray(dev), host, atol=2e-6)
 
     def test_den_table_matches_direct(self, nircam_filters, test_grid):
         dlog = float(np.diff(np.log10(test_grid.lam)).mean())
@@ -72,8 +80,38 @@ class TestTables:
                     den[s4, fi], (t * wlam).sum(), rtol=1e-5
                 )
 
+    def test_pick_block_b_respects_vmem(self):
+        assert pick_block_b(65536, 2816) == 256
+        assert pick_block_b(65536, 13184) == 128  # 256·13184·4 > 8 MB
+        assert pick_block_b(65536, 300000) == 8
+
 
 class TestKernelInterpret:
+    def test_kernel_matches_numpy_reference(self, nircam_filters, test_grid,
+                                            rng):
+        """Interpret-mode kernel vs a direct numpy roll-and-dot."""
+        dlog = float(np.diff(np.log10(test_grid.lam)).mean())
+        max_shift = 200
+        table = build_subshift_table(
+            nircam_filters, test_grid.lam, dlog, max_shift, test_grid.n_wav
+        )
+        b, n_l = 16, test_grid.n_wav
+        fnu_w = rng.random((b, n_l)).astype(np.float32)
+        s = rng.uniform(0, max_shift - 1, b).astype(np.float32)
+        s4 = np.asarray(shift_decompose(jnp.asarray(s), max_shift))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(pallas_photometry_num(
+                jnp.asarray(fnu_w), jnp.asarray(table), jnp.asarray(s4),
+                block_b=8,
+            ))
+        ltp = table.shape[-1]
+        fnu_pad = np.pad(fnu_w, ((0, 0), (0, ltp - n_l)))
+        for bi in range(b):
+            m, rs = s4[bi] // N_SUB, s4[bi] % N_SUB
+            rolled = np.roll(fnu_pad[bi], m)
+            want = (table[rs] * rolled[None, :]).sum(axis=1)
+            np.testing.assert_allclose(got[bi], want, rtol=2e-5, atol=1e-4)
+
     def test_matches_xla_path(self, nircam_filters, test_grid, rng):
         """Run the kernel in interpret mode on CPU; compare the pallas
         photometry path against the XLA path at matched (snapped) shifts."""
@@ -120,3 +158,75 @@ class TestKernelInterpret:
         assert np.all(np.abs(p_pallas - ref) <= 2.5e-2 * scale + 1e-8)
         # xla path lerps the table between whole columns -> looser at edges
         assert np.all(np.abs(p_xla - ref) <= 6e-2 * scale + 1e-8)
+
+
+class TestBankVariant:
+    def test_bank_lookup_equals_direct_interp(self, nircam_filters,
+                                              test_grid):
+        """bank[tid, :, off:off+L] must equal T_f at the snapped shift."""
+        from synference_tpu.ops.photometry_kernel import (
+            bank_decompose,
+            build_shift_bank_device,
+        )
+
+        dlog = float(np.diff(np.log10(test_grid.lam)).mean())
+        max_shift = 300
+        bank = np.asarray(build_shift_bank_device(
+            nircam_filters, test_grid.lam, dlog, max_shift, test_grid.n_wav
+        ))
+        for s in (0.0, 13.37, 299.0):
+            s4 = shift_decompose(jnp.asarray([s]), max_shift)
+            tid, off = bank_decompose(s4)
+            tid_i, off_i = int(tid[0]), int(off[0])
+            window = bank[tid_i, :, off_i: off_i + test_grid.n_wav]
+            snapped = float(s4[0]) / N_SUB
+            lam_eval = test_grid.lam[0] * 10.0 ** (
+                (np.arange(test_grid.n_wav) + snapped) * dlog
+            )
+            for fi, filt in enumerate(nircam_filters.filters):
+                direct = np.interp(lam_eval, filt.lam, filt.transmission,
+                                   left=0.0, right=0.0)
+                np.testing.assert_allclose(window[fi], direct, atol=1e-5)
+
+    def test_bank_kernel_matches_roll_kernel(self, nircam_filters,
+                                             test_grid, rng):
+        """The two pallas variants must agree exactly (same snapped
+        shifts, same table values, different data movement)."""
+        from synference_tpu.ops.photometry_kernel import (
+            bank_decompose,
+            build_shift_bank_device,
+            pallas_photometry_num_bank,
+        )
+
+        dlog = float(np.diff(np.log10(test_grid.lam)).mean())
+        max_shift = 300
+        bank = build_shift_bank_device(
+            nircam_filters, test_grid.lam, dlog, max_shift, test_grid.n_wav
+        )
+        table = build_subshift_table_device(
+            nircam_filters, test_grid.lam, dlog, max_shift, test_grid.n_wav
+        )
+        b, n_l = 16, test_grid.n_wav
+        fnu_w = jnp.asarray(rng.random((b, n_l)), jnp.float32)
+        s = jnp.asarray(rng.uniform(0, max_shift - 1, b), jnp.float32)
+        s4 = shift_decompose(s, max_shift)
+        tid, off = bank_decompose(s4)
+        with pltpu.force_tpu_interpret_mode():
+            out_bank = np.asarray(pallas_photometry_num_bank(
+                fnu_w, bank, tid, off, block_b=8))
+            out_roll = np.asarray(pallas_photometry_num(
+                fnu_w, table, s4, block_b=8))
+        np.testing.assert_allclose(out_bank, out_roll, rtol=2e-5, atol=1e-4)
+
+    def test_variant_selection_by_bank_size(self, nircam_filters, test_grid):
+        from synference_tpu.ops.photometry_kernel import bank_nbytes
+
+        # 512-λ test grid bank is small -> bank variant
+        sim = BatchSEDSimulator(
+            test_grid, nircam_filters,
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            photometry_backend="pallas",
+        )
+        assert sim._pallas_variant == "bank"
+        assert bank_nbytes(7, 10_000, 3200) > 160 * 1024 * 1024
