@@ -263,10 +263,11 @@ class SBIFitter:
             self.flow = build_ratio_estimator(theta_dim, x_dim, **cfg)
             loss_fn = nre_loss(self.flow)
         else:
-            if model_type in ("maf", "nsf"):
+            if model_type in ("maf", "nsf", "ncsf", "realnvp", "nice",
+                              "naf", "unaf", "sospf", "gf"):
                 cfg.update(hidden_features=hidden_features,
                            num_transforms=num_transforms)
-            elif model_type == "mdn":
+            elif model_type in ("mdn", "cnf", "made"):
                 cfg.setdefault("hidden_features", hidden_features)
             if engine == "nle":
                 # roles swap: the flow models q(x|θ)
@@ -398,6 +399,57 @@ class SBIFitter:
             n_rounds=n_rounds, sims_per_round=sims_per_round,
             train_config=train_config, key=key,
         )
+        self.posterior = posterior
+        return posterior, data, hist
+
+    # ------------------------------------------------------------------
+    def run_online_sbi(self, simulate_fn, x_obs, engine: str = "snpe",
+                       model_type: str = "nsf", n_rounds: int = 3,
+                       sims_per_round: int = 2000, train_config=None,
+                       key=None, **model_kwargs):
+        """Sequential SBI focused on one observation — SNPE, SNLE, or SNRE
+        (reference online engines, sbi_runner.py:4710-4715).
+
+        SNPE trains q(θ|x) with truncated proposals; SNLE trains q(x|θ) and
+        samples via batched MCMC; SNRE trains a classifier log-ratio
+        (`model_type` selects the NRE net: "mlp"/"resnet"/"linear").
+        """
+        engine = engine.lower()
+        if engine in ("snpe", "npe"):
+            return self.run_online_snpe(
+                simulate_fn, x_obs, model_type=model_type, n_rounds=n_rounds,
+                sims_per_round=sims_per_round, train_config=train_config,
+                key=key, **model_kwargs)
+        if engine not in ("snle", "nle", "snre", "nre"):
+            raise ValueError(f"unknown online engine {engine!r}")
+        if self.prior is None:
+            self.create_priors()
+        theta_dim = len(self.parameter_names)
+        x_dim = np.atleast_1d(np.asarray(x_obs)).shape[-1]
+        if engine in ("snle", "nle"):
+            from .online import run_online_snle as _run
+
+            flow = build_flow(model_type, theta_dim=x_dim,
+                              context_dim=theta_dim, **model_kwargs)
+            self.flow = flow
+            posterior, data, hist = _run(
+                simulate_fn, self.prior, flow, x_obs, n_rounds=n_rounds,
+                sims_per_round=sims_per_round, train_config=train_config,
+                key=key)
+        else:
+            from .online import run_online_snre as _run
+            from .ratio import build_ratio_estimator
+
+            net = model_type if model_type in ("mlp", "resnet", "linear") \
+                else "mlp"
+            estimator = build_ratio_estimator(theta_dim, x_dim, net=net,
+                                              **model_kwargs)
+            self.flow = estimator
+            posterior, data, hist = _run(
+                simulate_fn, self.prior, estimator, x_obs, n_rounds=n_rounds,
+                sims_per_round=sims_per_round, train_config=train_config,
+                key=key)
+        self.engine = engine
         self.posterior = posterior
         return posterior, data, hist
 

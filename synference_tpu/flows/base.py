@@ -34,9 +34,11 @@ class ConditionalFlow:
     config: dict = field(default_factory=dict)
 
     def __post_init__(self):
+        from .cnf import make_cnf
         from .maf import make_maf
         from .mdn import make_mdn
-        from .nsf import make_affine_coupling, make_nsf
+        from .monotone import make_gf, make_naf, make_sospf, make_unaf
+        from .nsf import make_affine_coupling, make_ncsf, make_nsf
 
         cfg = dict(self.config)
         # optional embedding net for high-dim contexts (e.g. spectra):
@@ -59,6 +61,23 @@ class ConditionalFlow:
         elif self.model == "gaussian":
             cfg.setdefault("num_components", 1)
             fns = make_mdn(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "ncsf":
+            fns = make_ncsf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "naf":
+            fns = make_naf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "unaf":
+            fns = make_unaf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "sospf":
+            fns = make_sospf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "gf":
+            fns = make_gf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "cnf":
+            fns = make_cnf(self.theta_dim, flow_ctx, **cfg)
+        elif self.model == "nice":
+            # NICE = volume-preserving additive coupling: the affine coupling
+            # with its log-scale clamped to zero.
+            cfg["clamp_log_scale"] = 0.0
+            fns = make_affine_coupling(self.theta_dim, flow_ctx, **cfg)
         else:
             raise ValueError(f"unknown flow model {self.model!r}")
         self._init, self._log_prob, self._sample = fns

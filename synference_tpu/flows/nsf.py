@@ -15,18 +15,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_nsf", "rqs_forward", "rqs_inverse"]
+__all__ = ["make_nsf", "make_ncsf", "rqs_forward", "rqs_inverse"]
 
 _MIN_W = 1.0e-3  # min bin width/height fraction
 _MIN_D = 1.0e-3  # min derivative
 _D_OFFSET = float(np.log(np.expm1(1.0 - _MIN_D)))  # softplus^-1(1 - min)
 
 
-def _spline_params(raw, n_bins, tail_bound):
+def _spline_params(raw, n_bins, tail_bound, circular=False):
     """Split conditioner output into normalized widths/heights/derivs.
 
     raw: (..., 3K+1). Returns cumwidths (...,K+1), cumheights (...,K+1),
-    derivs (...,K+1) with linear-tail boundary derivatives = 1.
+    derivs (...,K+1) with linear-tail boundary derivatives = 1; with
+    `circular`, the two boundary derivatives are instead tied to one learned
+    positive value (periodic C¹ continuity, Durkan et al. circular splines).
     """
     w_raw = raw[..., :n_bins]
     h_raw = raw[..., n_bins : 2 * n_bins]
@@ -43,9 +45,14 @@ def _spline_params(raw, n_bins, tail_bound):
     cumh = 2.0 * tail_bound * cumh - tail_bound
     # offset chosen so raw = 0 gives derivative exactly 1 (identity init)
     derivs = _MIN_D + jax.nn.softplus(d_raw + _D_OFFSET)
-    # boundary derivatives pinned to 1 for continuity with linear tails
-    ones = jnp.ones_like(derivs[..., :1])
-    derivs = jnp.concatenate([ones, derivs[..., 1:-1], ones], axis=-1)
+    if circular:
+        # one learned boundary derivative shared by both ends
+        edge = derivs[..., :1]
+        derivs = jnp.concatenate([edge, derivs[..., 1:-1], edge], axis=-1)
+    else:
+        # boundary derivatives pinned to 1 for continuity with linear tails
+        ones = jnp.ones_like(derivs[..., :1])
+        derivs = jnp.concatenate([ones, derivs[..., 1:-1], ones], axis=-1)
     return cumw, cumh, derivs, 2.0 * tail_bound * widths, 2.0 * tail_bound * heights
 
 
@@ -70,11 +77,17 @@ def _sel(a, oh):
     return jnp.sum(a * oh, axis=-1)
 
 
-def rqs_forward(x, raw, n_bins, tail_bound):
-    """Elementwise RQ spline x -> y with log|dy/dx|; identity tails."""
-    cumw, cumh, derivs, widths, heights = _spline_params(raw, n_bins, tail_bound)
-    inside = (x > -tail_bound) & (x < tail_bound)
-    xc = jnp.clip(x, -tail_bound, tail_bound)
+def rqs_forward(x, raw, n_bins, tail_bound, circular=False):
+    """Elementwise RQ spline x -> y with log|dy/dx|; identity tails
+    (or periodic wrapping when `circular`)."""
+    cumw, cumh, derivs, widths, heights = _spline_params(
+        raw, n_bins, tail_bound, circular)
+    if circular:
+        xc = jnp.mod(x + tail_bound, 2.0 * tail_bound) - tail_bound
+        inside = jnp.ones_like(x, bool)
+    else:
+        inside = (x > -tail_bound) & (x < tail_bound)
+        xc = jnp.clip(x, -tail_bound, tail_bound)
     oh = _bin_onehot(cumw, xc)
     xk = _sel(cumw[..., :-1], oh)
     wk = _sel(widths, oh)
@@ -97,11 +110,16 @@ def rqs_forward(x, raw, n_bins, tail_bound):
     return y, logdet
 
 
-def rqs_inverse(y, raw, n_bins, tail_bound):
+def rqs_inverse(y, raw, n_bins, tail_bound, circular=False):
     """Elementwise RQ spline inverse y -> x with log|dx/dy|."""
-    cumw, cumh, derivs, widths, heights = _spline_params(raw, n_bins, tail_bound)
-    inside = (y > -tail_bound) & (y < tail_bound)
-    yc = jnp.clip(y, -tail_bound, tail_bound)
+    cumw, cumh, derivs, widths, heights = _spline_params(
+        raw, n_bins, tail_bound, circular)
+    if circular:
+        yc = jnp.mod(y + tail_bound, 2.0 * tail_bound) - tail_bound
+        inside = jnp.ones_like(y, bool)
+    else:
+        inside = (y > -tail_bound) & (y < tail_bound)
+        yc = jnp.clip(y, -tail_bound, tail_bound)
     oh = _bin_onehot(cumh, yc)
     xk = _sel(cumw[..., :-1], oh)
     wk = _sel(widths, oh)
@@ -308,6 +326,81 @@ def make_nsf(dim: int, context_dim: int, hidden_features: int = 50,
         h = jax.random.normal(key, (n, dim))
         for t in reversed(range(num_transforms)):
             h, _ = _block_inverse(params["blocks"][t], h, xb)
+            h = h[..., inv_perms[t]]
+        return h
+
+    return init, log_prob, sample
+
+
+def make_ncsf(dim: int, context_dim: int, hidden_features: int = 50,
+              num_transforms: int = 5, num_bins: int = 8,
+              tail_bound: float = 5.0, n_layers: int = 2):
+    """Neural circular spline flow (lampe zoo "ncsf",
+    `/root/reference/src/synference/sbi_runner.py:4858`).
+
+    Coupling RQ splines with PERIODIC boundary conditions over
+    [-tail_bound, tail_bound): inputs wrap, the two boundary derivatives are
+    tied to one learned value, and the base density is uniform on the box —
+    i.e. a normalizing flow on the torus. Intended for periodic/compact
+    parameters (standardized θ lives well inside ±5σ, so wrapping is benign
+    for bounded SED parameters too).
+    """
+    n_raw = 3 * num_bins + 1
+    half_a = dim // 2 if dim > 1 else 0
+    half_b = dim - half_a
+    period = 2.0 * tail_bound
+
+    rng = np.random.default_rng(13)
+    perms = []
+    for t in range(num_transforms):
+        if t % 2 == 0:
+            perms.append(rng.permutation(dim))
+        else:
+            perms.append(perms[-1][::-1].copy())
+    inv_perms = [np.argsort(p) for p in perms]
+
+    def init(key):
+        keys = jax.random.split(key, num_transforms)
+        return {"blocks": [
+            _mlp_init(keys[t], max(half_a + context_dim, 1),
+                      half_b * n_raw, hidden_features, n_layers)
+            for t in range(num_transforms)
+        ]}
+
+    def _cond(ta, x):
+        parts = ([ta] if half_a > 0 else []) + ([x] if context_dim > 0 else [])
+        if not parts:
+            parts = [jnp.ones(x.shape[:-1] + (1,))]
+        return jnp.concatenate(parts, axis=-1)
+
+    _log_box = float(dim * np.log(period))
+
+    def log_prob(params, theta, x):
+        theta = jnp.atleast_2d(theta)
+        x = jnp.atleast_2d(x)
+        total = jnp.zeros(theta.shape[0])
+        h = jnp.mod(theta + tail_bound, period) - tail_bound
+        for t in range(num_transforms):
+            h = h[..., perms[t]]
+            ta, tb = h[..., :half_a], h[..., half_a:]
+            raw = _mlp_apply(params["blocks"][t], _cond(ta, x))
+            raw = raw.reshape(raw.shape[:-1] + (half_b, n_raw))
+            yb, ld = rqs_forward(tb, raw, num_bins, tail_bound, circular=True)
+            h = jnp.concatenate([ta, yb], axis=-1)
+            total = total + jnp.sum(ld, axis=-1)
+        return total - _log_box
+
+    def sample(params, key, x, n):
+        x = jnp.atleast_1d(x)
+        xb = jnp.broadcast_to(x, (n,) + x.shape) if x.ndim == 1 else x
+        h = jax.random.uniform(key, (n, dim), minval=-tail_bound,
+                               maxval=tail_bound)
+        for t in reversed(range(num_transforms)):
+            ya, yb = h[..., :half_a], h[..., half_a:]
+            raw = _mlp_apply(params["blocks"][t], _cond(ya, xb))
+            raw = raw.reshape(raw.shape[:-1] + (half_b, n_raw))
+            tb, _ = rqs_inverse(yb, raw, num_bins, tail_bound, circular=True)
+            h = jnp.concatenate([ya, tb], axis=-1)
             h = h[..., inv_perms[t]]
         return h
 

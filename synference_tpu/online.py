@@ -21,7 +21,7 @@ from .posterior import DirectPosterior
 from .priors import BoxUniform
 from .train import TrainConfig, train_npe
 
-__all__ = ["run_online_snpe"]
+__all__ = ["run_online_snpe", "run_online_snle", "run_online_snre"]
 
 
 def _truncated_prior_sample(key, prior, posterior, x_obs, n,
@@ -119,3 +119,120 @@ def run_online_snpe(
                   f"val={history[-1]['best_val']:.3f}", flush=True)
 
     return posterior, {"theta": all_theta, "x": all_x}, history
+
+
+def _run_online_likelihood_family(
+    simulate_fn, prior, make_posterior, train_round, x_obs,
+    n_rounds, sims_per_round, key, verbose,
+):
+    """Shared SNLE/SNRE round loop.
+
+    Unlike SNPE, likelihood- and ratio-based losses stay valid under ANY
+    proposal, so each round draws θ directly from the current MCMC posterior
+    (the reference defers to sbi's SNLE/SNRE here,
+    `/root/reference/src/synference/sbi_runner.py:4713-4715`).
+    """
+    x_obs = jnp.asarray(x_obs, jnp.float32)
+    all_theta, all_x, history = [], [], []
+    posterior = None
+    for rnd in range(n_rounds):
+        key, k_prop, k_train = jax.random.split(key, 3)
+        if posterior is None:
+            theta = prior.sample(k_prop, sims_per_round)
+        else:
+            theta = posterior.sample(k_prop, x_obs, sims_per_round)
+        x = simulate_fn(theta)
+        all_theta.append(np.asarray(theta))
+        all_x.append(np.asarray(x))
+
+        theta_cat = np.concatenate(all_theta)
+        x_cat = np.concatenate(all_x)
+        good = np.isfinite(x_cat).all(axis=1) & np.isfinite(theta_cat).all(axis=1)
+        result = train_round(theta_cat[good], x_cat[good], k_train)
+        posterior = make_posterior(result)
+        history.append({
+            "round": rnd,
+            "n_sims": int(good.sum()),
+            "best_val": float(np.min(result.val_losses)),
+        })
+        if verbose:
+            print(f"round {rnd}: n={good.sum()} "
+                  f"val={history[-1]['best_val']:.3f}", flush=True)
+    return posterior, {"theta": all_theta, "x": all_x}, history
+
+
+def run_online_snle(
+    simulate_fn,
+    prior: BoxUniform,
+    flow,
+    x_obs,
+    n_rounds: int = 3,
+    sims_per_round: int = 2000,
+    train_config: TrainConfig | None = None,
+    key=None,
+    verbose: bool = True,
+    n_walkers: int = 64,
+    mcmc_burn_in: int = 256,
+):
+    """Sequential NLE: train q(x|θ) on proposal-focused simulations, sample
+    the posterior ∝ q(x_obs|θ)·p(θ) with the batched ensemble MCMC.
+
+    Args mirror `run_online_snpe`; `flow` models q(x|θ) so must be built
+    with theta_dim = x-dim and context_dim = θ-dim.
+    """
+    from .posterior import LikelihoodPosterior
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    cfg = train_config or TrainConfig()
+
+    def train_round(theta_cat, x_cat, k):
+        # roles swap: the flow's modeled variable is x, conditioned on θ
+        return train_npe(flow, x_cat, theta_cat, k, cfg)
+
+    def make_posterior(result):
+        return LikelihoodPosterior(flow, result.params, prior,
+                                   n_walkers=n_walkers,
+                                   burn_in=mcmc_burn_in)
+
+    return _run_online_likelihood_family(
+        simulate_fn, prior, make_posterior, train_round, x_obs,
+        n_rounds, sims_per_round, key, verbose)
+
+
+def run_online_snre(
+    simulate_fn,
+    prior: BoxUniform,
+    estimator,
+    x_obs,
+    n_rounds: int = 3,
+    sims_per_round: int = 2000,
+    train_config: TrainConfig | None = None,
+    key=None,
+    verbose: bool = True,
+    n_walkers: int = 64,
+    mcmc_burn_in: int = 256,
+):
+    """Sequential NRE: train the classifier log-ratio on proposal-focused
+    simulations (joint vs pooled-marginal pairs), sample the posterior
+    ∝ exp(logit)·p(θ) with the batched ensemble MCMC."""
+    from .posterior import RatioPosterior
+    from .ratio import nre_loss
+    from .train import train_ensemble
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    cfg = train_config or TrainConfig()
+    loss_fn = nre_loss(estimator)
+
+    def train_round(theta_cat, x_cat, k):
+        res = train_ensemble(estimator, theta_cat, x_cat, key=k, config=cfg,
+                             n_nets=1, loss_fn=loss_fn)
+        return res
+
+    def make_posterior(result):
+        params = jax.tree_util.tree_map(lambda a: a[0], result.params)
+        return RatioPosterior(estimator, params, prior,
+                              n_walkers=n_walkers, burn_in=mcmc_burn_in)
+
+    return _run_online_likelihood_family(
+        simulate_fn, prior, make_posterior, train_round, x_obs,
+        n_rounds, sims_per_round, key, verbose)

@@ -42,6 +42,13 @@ class RatioEstimator:
     def __post_init__(self):
         self.hidden_features = int(self.config.get("hidden_features", 64))
         self.num_layers = int(self.config.get("num_layers", 3))
+        # classifier architecture, matching the reference zoo's NRE nets
+        # ("linear", "mlp", "resnet"; sbi_runner.py:4846-4861)
+        self.net = str(self.config.get("net", "mlp")).lower()
+        if self.net not in ("mlp", "resnet", "linear"):
+            raise ValueError(f"unknown NRE net {self.net!r}")
+        if self.net == "linear":
+            self.num_layers = 0
 
     # ------------------------------------------------------------------
     def init(self, key, theta_data=None, x_data=None):
@@ -82,9 +89,13 @@ class RatioEstimator:
         h = jnp.concatenate([z, c], axis=-1)
         layers = params["layers"]
         for i, layer in enumerate(layers):
+            pre = h
             h = h @ layer["w"].T + layer["b"]
             if i < len(layers) - 1:
                 h = jax.nn.relu(h)
+                # residual connections on same-width hidden blocks
+                if self.net == "resnet" and pre.shape[-1] == h.shape[-1]:
+                    h = h + pre
         return h[..., 0]
 
     # `train_ensemble` calls flow.log_prob in its default loss; the NRE loss
@@ -100,6 +111,7 @@ class RatioEstimator:
             "config": {
                 "hidden_features": self.hidden_features,
                 "num_layers": self.num_layers,
+                "net": self.net,
             },
         }
 

@@ -148,3 +148,50 @@ class TestFitterEngines:
         np.testing.assert_allclose(
             np.median(s, axis=1), np.median(s2, axis=1), atol=0.35
         )
+
+
+class TestSequentialEngines:
+    """SNLE/SNRE round loops (reference online engines,
+    sbi_runner.py:4713-4715): posteriors tighten onto the truth."""
+
+    def _simulate(self, theta):
+        return theta @ jnp.asarray(A.T)  # noise-free forward for speed
+
+    def _noisy_simulate(self, theta):
+        key = jax.random.PRNGKey(int(np.asarray(theta).sum() * 1e3) % 2**31)
+        eps = SIGMA * jax.random.normal(key, (theta.shape[0], 3))
+        return theta @ jnp.asarray(A.T) + eps
+
+    def test_snle_converges(self):
+        from synference_tpu.online import run_online_snle
+
+        theta_true = np.array([0.7, -0.9], np.float32)
+        x_obs = theta_true @ A.T
+        flow = build_flow("maf", theta_dim=3, context_dim=2,
+                          hidden_features=32, num_transforms=3)
+        post, data, hist = run_online_snle(
+            self._noisy_simulate, _prior(), flow, x_obs,
+            n_rounds=2, sims_per_round=1500,
+            train_config=TrainConfig(max_epochs=60, batch_size=256),
+            key=jax.random.PRNGKey(2), verbose=False)
+        s = np.asarray(post.sample(jax.random.PRNGKey(3), x_obs, 500))
+        assert np.abs(s.mean(0) - theta_true).max() < 0.3
+        assert len(hist) == 2
+        # round 2 proposals concentrate vs the prior draws of round 1
+        assert data["theta"][1].std(0).max() < data["theta"][0].std(0).max()
+
+    def test_snre_converges(self):
+        from synference_tpu.online import run_online_snre
+        from synference_tpu.ratio import build_ratio_estimator
+
+        theta_true = np.array([-0.5, 1.1], np.float32)
+        x_obs = theta_true @ A.T
+        est = build_ratio_estimator(2, 3, hidden_features=48, num_layers=3)
+        post, data, hist = run_online_snre(
+            self._noisy_simulate, _prior(), est, x_obs,
+            n_rounds=2, sims_per_round=1500,
+            train_config=TrainConfig(max_epochs=60, batch_size=256),
+            key=jax.random.PRNGKey(4), verbose=False)
+        s = np.asarray(post.sample(jax.random.PRNGKey(5), x_obs, 500))
+        assert np.abs(s.mean(0) - theta_true).max() < 0.35
+        assert data["theta"][1].std(0).max() < data["theta"][0].std(0).max()
