@@ -44,6 +44,13 @@ class SPSGrid:
     metallicities: np.ndarray
     lam: np.ndarray
     spectra: dict = field(default_factory=dict)
+    # optional Cloudy line tables (Synthesizer grids carry a `lines/` group;
+    # the reference records per-galaxy line quantities from them via
+    # pipeline.get_lines/get_observed_lines, reference library.py:2611-2612):
+    #   {"ids": [str], "wavelength": (Nl,) rest Å,
+    #    "luminosity": (A, Z, Nl) erg/s/Msun, "continuum": (A, Z, Nl)
+    #    erg/s/Hz/Msun}
+    lines: dict | None = None
 
     # ------------------------------------------------------------------
     @property
@@ -110,6 +117,7 @@ class SPSGrid:
             metallicities=self.metallicities,
             lam=new_lam,
             spectra=new_spectra,
+            lines=self.lines,  # λ-grid independent
         )
 
     # ------------------------------------------------------------------
@@ -148,13 +156,57 @@ class SPSGrid:
                 t: np.asarray(spec_grp[t][:], dtype=np.float32) for t in types
             }
             name = str(f.attrs.get("grid_name", path.rsplit("/", 1)[-1]))
+            lines = cls._read_lines(f)
         return cls(
             name=name,
             log10_ages=log10_ages,
             metallicities=mets,
             lam=lam,
             spectra=spectra,
+            lines=lines,
         )
+
+    @staticmethod
+    def _read_lines(f) -> dict | None:
+        """Read the optional `lines/` group: either the stacked layout
+        (datasets id/wavelength/luminosity/continuum) or Synthesizer's
+        per-line-subgroup layout (`lines/<id>/{luminosity,continuum}` with a
+        `wavelength` attribute)."""
+        if "lines" not in f:
+            return None
+        grp = f["lines"]
+        if "luminosity" in grp and not hasattr(grp["luminosity"], "keys"):
+            ids_raw = grp["id"][:] if "id" in grp else grp["ids"][:]
+            ids = [i.decode() if isinstance(i, bytes) else str(i)
+                   for i in ids_raw]
+            lum = np.asarray(grp["luminosity"][:], np.float32)
+            cont = np.asarray(grp["continuum"][:], np.float32)
+            wav = np.asarray(grp["wavelength"][:], np.float64)
+            if lum.shape[0] == len(ids) and lum.ndim == 3:
+                # lines-first layout -> lines-last
+                lum = np.moveaxis(lum, 0, -1)
+                cont = np.moveaxis(cont, 0, -1)
+            return {"ids": ids, "wavelength": wav,
+                    "luminosity": lum, "continuum": cont}
+        ids, wavs, lums, conts = [], [], [], []
+        for lid in grp.keys():
+            sub = grp[lid]
+            if not hasattr(sub, "keys") or "luminosity" not in sub:
+                continue
+            ids.append(lid)
+            wavs.append(float(sub.attrs.get(
+                "wavelength", sub["wavelength"][()] if "wavelength" in sub
+                else 0.0)))
+            lums.append(np.asarray(sub["luminosity"][:], np.float32))
+            conts.append(np.asarray(sub["continuum"][:], np.float32))
+        if not ids:
+            return None
+        return {
+            "ids": ids,
+            "wavelength": np.asarray(wavs, np.float64),
+            "luminosity": np.stack(lums, axis=-1),
+            "continuum": np.stack(conts, axis=-1),
+        }
 
     def to_hdf5(self, path: str) -> None:
         with h5py.File(path, "w") as f:
@@ -167,6 +219,15 @@ class SPSGrid:
             sp.create_dataset("wavelength", data=self.lam)
             for t, s in self.spectra.items():
                 sp.create_dataset(t, data=s)
+            if self.lines is not None:
+                lg = f.create_group("lines")
+                lg.create_dataset(
+                    "id", data=np.asarray(self.lines["ids"], dtype="S"))
+                lg.create_dataset("wavelength",
+                                  data=self.lines["wavelength"])
+                lg.create_dataset("luminosity",
+                                  data=self.lines["luminosity"])
+                lg.create_dataset("continuum", data=self.lines["continuum"])
 
 
 def make_synthetic_grid(
@@ -177,6 +238,7 @@ def make_synthetic_grid(
     lam_max: float = 1.0e7,  # reach the FIR so energy-balance dust emission lands on-grid
     seed: int = 0,
     name: str = "synthetic_test_grid",
+    line_strength: float = 1.0,
 ) -> SPSGrid:
     """Deterministic physically-shaped fake SPS grid for tests/benchmarks.
 
@@ -223,13 +285,31 @@ def make_synthetic_grid(
     transmitted = spec - ionizing
     young = (log10_ages < 7.0)[:, None, None]
     line_lams = np.array([1216.0, 3727.0, 4861.0, 5007.0, 6563.0])
+    line_ids = ["H 1 1215.67A", "O 2 3726.03A", "H 1 4861.32A",
+                "O 3 5006.84A", "H 1 6562.80A"]
     lines = np.zeros_like(spec)
+    profs = []
     for ll in line_lams:
         prof = np.exp(-0.5 * ((lam - ll) / (ll * 0.002)) ** 2)
+        profs.append(prof)
         lines += prof[None, None, :]
     neb_scale = ionizing.sum(axis=-1, keepdims=True) * 1.0e-4
-    nebular = (young * neb_scale * (lines + 0.01)).astype(np.float32)
+    nebular = (young * neb_scale
+               * (line_strength * lines + 0.01)).astype(np.float32)
     total = (transmitted + nebular).astype(np.float32)
+
+    # line tables consistent with the nebular spikes: L_line = ∫ L_ν dν over
+    # each profile; continuum = the underlying spectrum at λ_line without
+    # the line's own spike (what a Cloudy grid's `lines/` group records)
+    c_aa_s = 2.99792458e18
+    dnu = np.abs(np.gradient(c_aa_s / lam))  # Hz per bin, ascending-λ grid
+    lum_tab = np.zeros((n_ages, n_mets, len(line_lams)), np.float32)
+    cont_tab = np.zeros_like(lum_tab)
+    for li, (ll, prof) in enumerate(zip(line_lams, profs)):
+        spike = young * neb_scale * line_strength * prof[None, None, :]
+        lum_tab[..., li] = (spike * dnu).sum(-1)
+        k = int(np.argmin(np.abs(lam - ll)))
+        cont_tab[..., li] = total[..., k] - spike[..., k]
 
     del rng  # reserved for future stochastic features; grid is deterministic
     return SPSGrid(
@@ -242,5 +322,11 @@ def make_synthetic_grid(
             "transmitted": transmitted.astype(np.float32),
             "nebular": nebular,
             "total": total,
+        },
+        lines={
+            "ids": line_ids,
+            "wavelength": line_lams.astype(np.float64),
+            "luminosity": lum_tab,
+            "continuum": cont_tab,
         },
     )

@@ -267,11 +267,17 @@ class LibraryGenerator:
         supplementary: tuple = (),
         engine: str = "lhc",
         spectral_pipeline=None,
+        emission_lines: tuple = (),
     ):
         self.simulator = simulator
         self.param_ranges = dict(param_ranges)
         self.unlog_keys = list(unlog_keys or [])
         self.supplementary = tuple(supplementary)
+        # per-galaxy observed line fluxes/EWs from the grid's Cloudy line
+        # tables, recorded as supplementary columns (the reference records
+        # these via pipeline.get_lines/get_observed_lines,
+        # reference library.py:2611-2612)
+        self.emission_lines = tuple(emission_lines)
         self.engine = engine
         # optional SpectralFeaturePipeline: stored spectra then live on the
         # instrument grid instead of the per-galaxy shifted rest grid
@@ -345,7 +351,7 @@ class LibraryGenerator:
         def _chunk_file(ci):
             return f"{resume_path}.chunk{ci:06d}.npz"
 
-        phot_chunks, spec_chunks, supp_chunks = [], [], []
+        phot_chunks, spec_chunks, supp_chunks, line_chunks = [], [], [], []
         start_chunk = 0
         chunk_files = []
         if resume_path is not None:
@@ -364,6 +370,8 @@ class LibraryGenerator:
                     spec_chunks.append(ck["spec"])
                 if self.supplementary and "supp" in ck:
                     supp_chunks.append(ck["supp"])
+                if self.emission_lines and "lines" in ck:
+                    line_chunks.append(ck["lines"])
                 chunk_files.append(_chunk_file(start_chunk))
                 start_chunk += 1
 
@@ -390,6 +398,13 @@ class LibraryGenerator:
                     self.supplementary, sim, theta_pad[i : i + batch_size], out
                 )
                 supp_chunks.append(np.asarray(supp))
+            if self.emission_lines:
+                lq = sim.line_quantities(
+                    theta_pad[i : i + batch_size], self.emission_lines
+                )
+                line_chunks.append(
+                    np.concatenate([lq["flux"], lq["ew_obs"]], axis=1)
+                )
             if resume_path is not None:
                 payload = {
                     "n": n, "batch_size": batch_size, "seed": seed,
@@ -399,6 +414,8 @@ class LibraryGenerator:
                     payload["spec"] = spec_chunks[-1]
                 if self.supplementary:
                     payload["supp"] = supp_chunks[-1]
+                if self.emission_lines:
+                    payload["lines"] = line_chunks[-1]
                 tmp = _chunk_file(ci) + ".tmp.npz"
                 np.savez(tmp, **payload)
                 os.replace(tmp, _chunk_file(ci))
@@ -432,6 +449,20 @@ class LibraryGenerator:
                 supp_chunks, axis=0
             )[:n].T
             result["supplementary_parameter_names"] = list(self.supplementary)
+        if self.emission_lines:
+            line_cols = np.concatenate(line_chunks, axis=0)[:n].T
+            line_names = (
+                [f"line_flux_{i}" for i in self.emission_lines]
+                + [f"line_ew_{i}" for i in self.emission_lines]
+            )
+            if "supplementary_parameters" in result:
+                result["supplementary_parameters"] = np.concatenate(
+                    [result["supplementary_parameters"], line_cols], axis=0
+                )
+                result["supplementary_parameter_names"] += line_names
+            else:
+                result["supplementary_parameters"] = line_cols
+                result["supplementary_parameter_names"] = line_names
 
         if out_path is not None:
             save_library_hdf5(

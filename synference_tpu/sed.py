@@ -428,20 +428,23 @@ class BatchSEDSimulator:
         # nJy = lnu * (1+z) * T_igm / (4π d19²) * 1e-6
         d19 = self.cosmology.luminosity_distance_cm(jnp.maximum(z, 1.0e-4)) * 1.0e-19
         lam_obs = self._lam * zp1
-        if self._igm_table is None:
-            t_igm = 1.0
-        else:
-            # two-row lerp of the precomputed T(λ_rest, z) table
-            n_l = self._igm_table.shape[1]
-            s = jnp.log10(jnp.maximum(zp1, 1.0)) / self._igm_dlog
-            k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0,
-                         self._igm_table.shape[0] - 2)
-            frac = s - k.astype(s.dtype)
-            r0 = jax.lax.dynamic_slice(self._igm_table, (k, 0), (1, n_l))[0]
-            r1 = jax.lax.dynamic_slice(self._igm_table, (k + 1, 0), (1, n_l))[0]
-            t_igm = r0 * (1.0 - frac) + r1 * frac
+        t_igm = self._igm_transmission(zp1)
         fnu_njy = lnu * t_igm * (zp1 * 1.0e-6 / (_FOUR_PI * d19**2))
         return fnu_njy, lam_obs
+
+    def _igm_transmission(self, zp1):
+        """IGM transmission over the rest-λ grid at 1+z (two-row lerp of the
+        precomputed T(λ_rest, z) table); scalar 1.0 when IGM is disabled."""
+        if self._igm_table is None:
+            return 1.0
+        n_l = self._igm_table.shape[1]
+        s = jnp.log10(jnp.maximum(zp1, 1.0)) / self._igm_dlog
+        k = jnp.clip(jnp.floor(s).astype(jnp.int32), 0,
+                     self._igm_table.shape[0] - 2)
+        frac = s - k.astype(s.dtype)
+        r0 = jax.lax.dynamic_slice(self._igm_table, (k, 0), (1, n_l))[0]
+        r1 = jax.lax.dynamic_slice(self._igm_table, (k + 1, 0), (1, n_l))[0]
+        return r0 * (1.0 - frac) + r1 * frac
 
     def _photometry_one(self, fnu_njy, z):
         """(F,) band fluxes [nJy]: photon-count mean over shifted filters.
@@ -541,6 +544,105 @@ class BatchSEDSimulator:
     def photometry(self, theta):
         """θ (B, P) -> (B, F) photometry [nJy]."""
         return self.simulate(theta)["photometry_njy"]
+
+    # ------------------------------------------------------------------
+    def line_quantities(self, theta, line_ids=None):
+        """Batched per-galaxy emission-line quantities from the grid's
+        Cloudy line tables (the reference records these via
+        `pipeline.get_lines`/`get_observed_lines`, reference
+        library.py:2611-2612).
+
+        The per-line intrinsic luminosity/continuum are SFZH contractions
+        against the (A·Z, Nl) tables — the same MXU matmul pattern as the
+        spectra — then dust (birth-cloud aware), IGM at the observed line
+        wavelength, and distance dimming are applied analytically.
+
+        Line emission belongs to the reprocessed channel, so the (1−fesc)
+        and dust scalings here match `_apply_emission`'s treatment of the
+        nebular spectra; the numbers correspond to the realized spectrum
+        only when `emission.reprocessed_types` includes a nebular-bearing
+        component (e.g. "total" or "nebular").
+
+        Args:
+            theta: (B, P) parameter batch.
+            line_ids: subset of `grid.lines["ids"]` (default: all).
+        Returns:
+            dict with "ids" and (B, Nl) arrays: "luminosity" [erg/s,
+            float64, dust-attenuated rest-frame], "flux" [erg/s/cm²,
+            observed], "ew_rest" / "ew_obs" [Å].
+        """
+        if self.grid.lines is None:
+            raise ValueError(
+                "grid has no line tables (grid.lines is None); load a grid "
+                "whose HDF5 carries a lines/ group")
+        ids_all = list(self.grid.lines["ids"])
+        ids = list(line_ids) if line_ids is not None else ids_all
+        sel = np.asarray([ids_all.index(i) for i in ids], np.int64)
+        lam_l = jnp.asarray(
+            np.asarray(self.grid.lines["wavelength"])[sel], jnp.float32)
+        n_all = len(ids_all)
+        # tables pre-scaled by 1e-10: L up to ~1e33/Msun × 1e11 Msun would
+        # overflow fp32 in the contraction otherwise
+        lum10 = jnp.asarray(
+            self.grid.lines["luminosity"].reshape(-1, n_all)[:, sel] * 1e-10,
+            jnp.float32)
+        cont10 = jnp.asarray(
+            self.grid.lines["continuum"].reshape(-1, n_all)[:, sel] * 1e-10,
+            jnp.float32)
+        em = self.emission
+        curve_l = attenuation_curve(em.dust_law, lam_l, em.dust_params_dict())
+
+        def one(row):
+            params = self.theta_dict(row)
+            sfzh_flat, _ = self._sfzh(params)
+            fesc = (
+                params[em.fesc] if isinstance(em.fesc, str)
+                else jnp.asarray(em.fesc, jnp.float32)
+            )
+            tau_v = (
+                params[em.tau_v_param] if em.tau_v_param is not None
+                else jnp.asarray(0.0)
+            )
+            if em.tau_v_bc_param is not None:
+                tau_bc = params[em.tau_v_bc_param]
+                sf_y, sf_o = self._split_sfzh(sfzh_flat)
+                att_y = jnp.exp(-(tau_v + tau_bc) * curve_l)
+                att_o = jnp.exp(-tau_v * curve_l)
+                lum = (sf_y @ lum10) * att_y + (sf_o @ lum10) * att_o
+                cont = (sf_y @ cont10) * att_y + (sf_o @ cont10) * att_o
+            else:
+                att = jnp.exp(-tau_v * curve_l)
+                lum = (sfzh_flat @ lum10) * att
+                cont = (sfzh_flat @ cont10) * att
+            lum = (1.0 - fesc) * lum
+            cont_total = (1.0 - fesc) * cont
+            z = params.get("redshift", jnp.asarray(0.0))
+            zp1 = 1.0 + z
+            t_igm_grid = self._igm_transmission(zp1)
+            t_l = (jnp.interp(lam_l, self._lam, t_igm_grid)
+                   if not isinstance(t_igm_grid, float) else 1.0)
+            d19 = self.cosmology.luminosity_distance_cm(
+                jnp.maximum(z, 1.0e-4)) * 1.0e-19
+            # F = L/(4π d_L²); with L in 1e10 erg/s units and d in 1e19 cm
+            # the prefactor is 1e10·1e-38/(4π d19²) ≈ 1e-47 — underflows
+            # fp32 on its own, so stage the multiply: divide by d19² first
+            # (keeps every intermediate within fp32 range)
+            flux = (lum * t_l / d19**2) * (1.0e-28 / _FOUR_PI)
+            # EW = L_line / L_cont_λ = L_line λ²/(c L_cont); 1e10 scales
+            # cancel. Divide by the continuum FIRST — c·L_cont overflows fp32
+            ew_rest = (lum / jnp.maximum(cont_total, 1.0e-30)) * (
+                lam_l**2 / C_AA_S)
+            return lum, flux, ew_rest, zp1
+
+        lum10_b, flux, ew_rest, zp1 = jax.vmap(one)(
+            jnp.atleast_2d(jnp.asarray(theta, jnp.float32)))
+        return {
+            "ids": ids,
+            "luminosity": np.asarray(lum10_b, np.float64) * 1.0e10,
+            "flux": np.asarray(flux),
+            "ew_rest": np.asarray(ew_rest),
+            "ew_obs": np.asarray(ew_rest * zp1[:, None]),
+        }
 
     def __call__(self, theta):
         return self.photometry(theta)

@@ -158,13 +158,18 @@ def _v_minus_j(ctx):
 
 
 def _line_flux(ctx, lam0, width=30.0, cont_off=80.0, cont_w=50.0):
-    """Continuum-subtracted integrated line luminosity [erg/s] around lam0.
+    """Continuum-subtracted integrated line luminosity around lam0, in
+    1e10-SCALED units (flux [1e10 erg/s], continuum L_λ [1e10 erg/s/Å]).
 
     Continuum = mean of side windows; integrate (L_λ − cont) over the line
-    window. L_λ = L_ν c/λ².
+    window. L_λ = L_ν c/λ². Only RATIOS of these outputs are consumed
+    (EWs, Balmer decrement), so the scale cancels — restoring the 1e10
+    here would overflow fp32 for luminous young galaxies (≳1e43 erg/s).
     """
     lam, lnu = ctx["lam"], ctx["lnu"]
-    llam = lnu * (C_AA_S / lam**2) * 1.0e-10  # scaled to avoid fp32 overflow
+    # fold the 1e-10 into the conversion factor BEFORE multiplying lnu:
+    # lnu·(c/λ²) alone reaches ~1e44 at the blue end and overflows fp32
+    llam = lnu * ((C_AA_S * 1.0e-10) / lam**2)
     line_m = (jnp.abs(lam - lam0) < width).astype(lnu.dtype)
     cont_m = (
         (jnp.abs(lam - (lam0 - cont_off)) < cont_w)
@@ -173,7 +178,7 @@ def _line_flux(ctx, lam0, width=30.0, cont_off=80.0, cont_w=50.0):
     cont = (llam * cont_m).sum(-1) / jnp.maximum(cont_m.sum(), 1.0)
     dlam = ctx["dlam"]
     excess = ((llam - cont[..., None]) * line_m * dlam).sum(-1)
-    return excess * 1.0e10, cont * 1.0e10  # (flux erg/s, continuum L_lam)
+    return excess, cont  # 1e10-scaled (flux, continuum L_λ)
 
 
 def _balmer_decrement(ctx):
