@@ -23,6 +23,8 @@ __all__ = [
     "pit_ks_statistic",
     "point_metrics",
     "evaluate_posterior",
+    "c2st",
+    "lc2st",
 ]
 
 
@@ -322,3 +324,117 @@ def format_report(report: dict) -> str:
         )
     )
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# L-C2ST — local classifier two-sample test (Linhart et al. 2023)
+# ---------------------------------------------------------------------------
+def lc2st(posterior, theta_cal, x_cal, x_obs, key=None, n_null: int = 20,
+          n_obs_samples: int = 2000, hidden: int = 64, n_epochs: int = 200,
+          lr: float = 5.0e-3):
+    """Local C2ST: is the estimated posterior q(θ|x) correct AT x_obs?
+
+    The reference calls sbi's `LC2ST` (`sbi_runner.py:986-1063`). Here the
+    classifier distinguishes joint pairs (θᵢ, xᵢ) from estimated pairs
+    (θ̂ᵢ ~ q(·|xᵢ), xᵢ); the local statistic at x_obs is the mean squared
+    deviation of the predicted class-probability from ½ over posterior
+    samples at x_obs. The permutation null (θᵢ ↔ θ̂ᵢ swaps, exchangeable
+    under H₀) calibrates the p-value.
+
+    TPU-native detail: the main classifier and all `n_null` permutation
+    classifiers train in ONE vmapped, jitted full-batch Adam program —
+    (n_null+1) MLPs advance per fused step instead of a Python loop.
+
+    Returns dict: "stat", "null_stats", "p_value", "probs_obs" (classifier
+    probabilities on the x_obs posterior samples; ≈0.5 everywhere when the
+    posterior is locally correct), "reject" at α=0.05.
+    """
+    import optax
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    theta_cal = jnp.asarray(theta_cal, jnp.float32)
+    x_cal = jnp.atleast_2d(jnp.asarray(x_cal, jnp.float32))
+    x_obs = jnp.asarray(x_obs, jnp.float32)
+    n, p_dim = theta_cal.shape
+
+    k_post, k_obs, k_perm, k_init = jax.random.split(key, 4)
+    # one estimated-posterior draw per calibration x (classes stay balanced)
+    theta_hat = posterior.sample_batch(k_post, x_cal, 1)[:, 0, :]
+    obs_samples = posterior.sample(k_obs, x_obs, n_obs_samples)
+
+    # standardize features over the pooled calibration data
+    feats = jnp.concatenate([theta_cal, theta_hat], axis=0)
+    t_mu, t_sd = feats.mean(0), jnp.maximum(feats.std(0), 1e-6)
+    x_mu, x_sd = x_cal.mean(0), jnp.maximum(x_cal.std(0), 1e-6)
+
+    def z(theta, x):
+        return jnp.concatenate(
+            [(theta - t_mu) / t_sd, (x - x_mu) / x_sd], axis=-1)
+
+    d_in = p_dim + x_cal.shape[1]
+
+    def init_one(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "w1": np.sqrt(2.0 / d_in) * jax.random.normal(k1, (hidden, d_in)),
+            "b1": jnp.zeros(hidden),
+            "w2": jnp.zeros((1, hidden)),
+            "b2": jnp.zeros(1),
+        }
+
+    def logit(params, zz):
+        h = jax.nn.relu(zz @ params["w1"].T + params["b1"])
+        return (h @ params["w2"].T + params["b2"])[..., 0]
+
+    # classifier datasets: trial 0 = observed pairing, trials 1..K = row-wise
+    # θ ↔ θ̂ swaps (exchangeable under H₀)
+    masks = jax.random.bernoulli(k_perm, 0.5, (n_null, n, 1))
+    masks = jnp.concatenate([jnp.zeros((1, n, 1), bool), masks], axis=0)
+    th0 = jnp.where(masks, theta_hat[None], theta_cal[None])  # class 0
+    th1 = jnp.where(masks, theta_cal[None], theta_hat[None])  # class 1
+    z0 = jax.vmap(lambda t: z(t, x_cal))(th0)
+    z1 = jax.vmap(lambda t: z(t, x_cal))(th1)
+
+    opt = optax.adam(lr)
+
+    def loss_fn(params, z0k, z1k):
+        l0 = logit(params, z0k)
+        l1 = logit(params, z1k)
+        return (jax.nn.softplus(l0).mean() + jax.nn.softplus(-l1).mean()) / 2
+
+    def train_one(k, z0k, z1k):
+        params = init_one(k)
+        state = opt.init(params)
+
+        def step(carry, _):
+            params, state = carry
+            g = jax.grad(loss_fn)(params, z0k, z1k)
+            updates, state = opt.update(g, state)
+            return (optax.apply_updates(params, updates), state), None
+
+        (params, _), _ = jax.lax.scan(step, (params, state), None,
+                                      length=n_epochs)
+        return params
+
+    keys = jax.random.split(k_init, n_null + 1)
+    all_params = jax.jit(jax.vmap(train_one))(keys, z0, z1)
+
+    # local statistic at x_obs for every classifier
+    z_star = z(obs_samples, jnp.tile(x_obs[None], (n_obs_samples, 1)))
+
+    @jax.jit
+    def stats_for(params):
+        probs = jax.nn.sigmoid(jax.vmap(lambda p: logit(p, z_star))(params))
+        return jnp.mean((probs - 0.5) ** 2, axis=-1), probs
+
+    stats, probs = stats_for(all_params)
+    stats = np.asarray(stats)
+    stat, null_stats = float(stats[0]), stats[1:]
+    p_value = float((null_stats >= stat).mean())
+    return {
+        "stat": stat,
+        "null_stats": null_stats,
+        "p_value": p_value,
+        "probs_obs": np.asarray(probs[0]),
+        "reject": p_value < 0.05,
+    }

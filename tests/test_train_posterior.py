@@ -277,3 +277,53 @@ class TestFeatureImportance:
         imp = feature_importance(post, x[:400], theta[:400])
         assert imp[0] > imp[1] and imp[0] > imp[2]
         assert imp[0] > 0.5
+
+
+class TestLC2ST:
+    """L-C2ST local coverage test (reference sbi_runner.py:986-1063)."""
+
+    # conjugate-Gaussian task: θ ~ N(0,1), x = θ + ε, ε ~ N(0, σ²) ⇒ the
+    # EXACT posterior is N(x/(1+σ²), σ²/(1+σ²)) — no truncation artifacts
+    SIG2 = 0.25
+
+    def _analytic_posterior(self, bias=0.0):
+        sig2 = self.SIG2
+        mean_scale = 1.0 / (1.0 + sig2)
+        std = float(np.sqrt(sig2 / (1.0 + sig2)))
+
+        class _P:
+            def sample(self, key, x, n):
+                return (jnp.asarray(x)[None] * mean_scale + bias
+                        + std * jax.random.normal(key, (n, 2)))
+
+            def sample_batch(self, key, xs, n):
+                keys = jax.random.split(key, xs.shape[0])
+                return jax.vmap(lambda k, x: self.sample(k, x, n))(keys, xs)
+
+        return _P()
+
+    def _cal(self, n=1500, seed=0):
+        rng = np.random.default_rng(seed)
+        theta = rng.standard_normal((n, 2)).astype(np.float32)
+        x = theta + np.sqrt(self.SIG2) * rng.standard_normal(
+            (n, 2)).astype(np.float32)
+        return theta, x
+
+    def test_correct_posterior_not_rejected(self):
+        from synference_tpu.diagnostics import lc2st
+
+        theta, x = self._cal()
+        res = lc2st(self._analytic_posterior(), theta, x,
+                    x_obs=np.array([0.3, -0.4], np.float32),
+                    key=jax.random.PRNGKey(1), n_null=20)
+        assert res["p_value"] > 0.05, res
+        assert abs(res["probs_obs"].mean() - 0.5) < 0.1
+
+    def test_biased_posterior_rejected(self):
+        from synference_tpu.diagnostics import lc2st
+
+        theta, x = self._cal()
+        res = lc2st(self._analytic_posterior(bias=0.5), theta, x,
+                    x_obs=np.array([0.3, -0.4], np.float32),
+                    key=jax.random.PRNGKey(1), n_null=20)
+        assert res["reject"], res
