@@ -58,14 +58,94 @@ def mahalanobis_ood(train, test, chi2_quantile: float = 0.999,
     return np.asarray(dist2 > thresh), np.asarray(jnp.sqrt(dist2))
 
 
-def ood_vote(train, test, methods=("mahalanobis", "iforest", "lof"),
-             vote_fraction: float = 0.5, random_state: int = 0):
+def _flag_by_train_quantile(score_train, score_test, contamination):
+    """Flag test points whose outlier score exceeds the (1−c) train quantile
+    (PyOD's thresholding convention)."""
+    thresh = np.quantile(score_train, 1.0 - contamination)
+    return score_test > thresh
+
+
+def _ecod_scores(train, test):
+    """ECOD (Li et al. 2022): per-dim empirical tail probabilities, summed
+    −log left/right tails, skewness-selected — parameter-free."""
+    n = train.shape[0]
+    scores = []
+    for x in (train, test):
+        left = np.stack([
+            np.searchsorted(np.sort(train[:, j]), x[:, j], side="right")
+            for j in range(train.shape[1])], axis=1) / (n + 1)
+        right = 1.0 - np.stack([
+            np.searchsorted(np.sort(train[:, j]), x[:, j], side="left")
+            for j in range(train.shape[1])], axis=1) / (n + 1)
+        o_l = -np.log(np.clip(left, 1.0 / (n + 1), 1.0))
+        o_r = -np.log(np.clip(right, 1.0 / (n + 1), 1.0))
+        skew = ((train - train.mean(0)) ** 3).mean(0) / np.maximum(
+            train.std(0) ** 3, 1e-12)
+        o_auto = np.where(skew[None, :] < 0, o_l, o_r)
+        scores.append(np.maximum(np.maximum(o_l.sum(1), o_r.sum(1)),
+                                 o_auto.sum(1)))
+    return scores
+
+
+def _hbos_scores(train, test, n_bins=20):
+    """HBOS: per-dim histogram density, score = Σ −log density."""
+    scores_tr = np.zeros(train.shape[0])
+    scores_te = np.zeros(test.shape[0])
+    for j in range(train.shape[1]):
+        hist, edges = np.histogram(train[:, j], bins=n_bins, density=True)
+        hist = np.maximum(hist, 1e-12)
+        for x, out in ((train[:, j], scores_tr), (test[:, j], scores_te)):
+            idx = np.clip(np.digitize(x, edges) - 1, 0, n_bins - 1)
+            dens = np.where(
+                (x < edges[0]) | (x > edges[-1]), 1e-12, hist[idx])
+            out += -np.log(dens)
+    return scores_tr, scores_te
+
+
+def _knn_scores(train, test, k=10):
+    """Distance to the k-th nearest training point (chunked pairwise)."""
+    def kth(x):
+        out = np.empty(x.shape[0])
+        for i in range(0, x.shape[0], 2048):
+            d2 = ((x[i:i + 2048, None, :] - train[None]) ** 2).sum(-1)
+            out[i:i + 2048] = np.sqrt(np.partition(d2, k, axis=1)[:, k])
+        return out
+
+    return kth(train), kth(test)
+
+
+def _pca_scores(train, test, var_frac=0.9):
+    """Reconstruction error after projecting onto the leading PCs."""
+    mu = train.mean(0)
+    xc = train - mu
+    _, s, vt = np.linalg.svd(xc, full_matrices=False)
+    var = s**2 / (s**2).sum()
+    k = max(1, int(np.searchsorted(np.cumsum(var), var_frac) + 1))
+    k = min(k, vt.shape[0] - 1) if vt.shape[0] > 1 else 1
+    v = vt[:k]
+
+    def err(x):
+        d = x - mu
+        rec = (d @ v.T) @ v
+        return np.sqrt(((d - rec) ** 2).sum(-1))
+
+    return err(train), err(test)
+
+
+def ood_vote(train, test,
+             methods=("mahalanobis", "iforest", "lof", "elliptic",
+                      "ecod", "hbos", "knn", "pca"),
+             vote_fraction: float = 0.5, random_state: int = 0,
+             contamination: float = 0.02):
     """Multi-method OOD majority vote (reference `test_in_distribution_pyod`
-    8-method vote, sbi_runner.py:3777-3831 — sklearn detectors stand in for
-    PyOD, which isn't in this environment)."""
+    8-method vote, sbi_runner.py:3777-3831). sklearn supplies
+    iforest/lof/elliptic; ecod/hbos/knn/pca are native numpy
+    implementations of the corresponding PyOD detectors (PyOD isn't in
+    this environment). Score-based methods threshold at the (1−c) train
+    quantile, PyOD's convention."""
     votes = []
-    train_np = np.asarray(train)
-    test_np = np.atleast_2d(np.asarray(test))
+    train_np = np.asarray(train, np.float64)
+    test_np = np.atleast_2d(np.asarray(test, np.float64))
     for m in methods:
         if m == "mahalanobis":
             flag, _ = mahalanobis_ood(train_np, test_np)
@@ -88,6 +168,18 @@ def ood_vote(train, test, methods=("mahalanobis", "iforest", "lof"),
                                    support_fraction=0.9)
             clf.fit(train_np)
             flag = clf.predict(test_np) == -1
+        elif m == "ecod":
+            s_tr, s_te = _ecod_scores(train_np, test_np)
+            flag = _flag_by_train_quantile(s_tr, s_te, contamination)
+        elif m == "hbos":
+            s_tr, s_te = _hbos_scores(train_np, test_np)
+            flag = _flag_by_train_quantile(s_tr, s_te, contamination)
+        elif m == "knn":
+            s_tr, s_te = _knn_scores(train_np, test_np)
+            flag = _flag_by_train_quantile(s_tr, s_te, contamination)
+        elif m == "pca":
+            s_tr, s_te = _pca_scores(train_np, test_np)
+            flag = _flag_by_train_quantile(s_tr, s_te, contamination)
         else:
             raise ValueError(f"unknown OOD method {m!r}")
         votes.append(flag.astype(int))

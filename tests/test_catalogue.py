@@ -142,3 +142,35 @@ class TestFitCatalogue:
         assert table["_samples"].shape == (6, 100, 6)
         assert (table["n_missing"] == 1).all()
         assert np.isfinite(table["_samples"]).all()
+
+
+class TestOODMethods:
+    """Native detector parity with the reference's 8-method PyOD vote
+    (sbi_runner.py:3777-3831)."""
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        train = rng.standard_normal((2000, 4))
+        inliers = rng.standard_normal((50, 4))
+        outliers = rng.standard_normal((50, 4)) + 8.0
+        return train, np.concatenate([inliers, outliers])
+
+    @pytest.mark.parametrize("method", ["ecod", "hbos", "knn", "pca",
+                                        "elliptic"])
+    def test_each_method_separates(self, method):
+        from synference_tpu.catalogue import ood_vote
+
+        train, test = self._data()
+        flags, votes = ood_vote(train, test, methods=(method,),
+                                vote_fraction=0.5)
+        assert flags[50:].mean() > 0.9       # outliers flagged
+        assert flags[:50].mean() < 0.2       # inliers mostly kept
+
+    def test_eight_method_vote(self):
+        from synference_tpu.catalogue import ood_vote
+
+        train, test = self._data()
+        flags, votes = ood_vote(train, test)
+        assert votes.shape[0] == 8
+        assert flags[50:].all()
+        assert flags[:50].mean() < 0.1
