@@ -17,6 +17,8 @@ are jax.sharding primitives over one global mesh:
 
 from .mesh import make_mesh, shard_along
 from .generate import make_sharded_photometry_fn, sharded_generate
+from .sample import (make_sharded_sampler, sharded_fit_catalogue,
+                     sharded_sample_batch)
 from .train import make_sharded_train_step
 
 __all__ = [
@@ -25,4 +27,7 @@ __all__ = [
     "make_sharded_photometry_fn",
     "sharded_generate",
     "make_sharded_train_step",
+    "make_sharded_sampler",
+    "sharded_sample_batch",
+    "sharded_fit_catalogue",
 ]
