@@ -436,6 +436,7 @@ class SBIFitter:
                 simulate_fn, self.prior, flow, x_obs, n_rounds=n_rounds,
                 sims_per_round=sims_per_round, train_config=train_config,
                 key=key)
+            self.engine = "nle"  # canonical name for save/load dispatch
         else:
             from .online import run_online_snre as _run
             from .ratio import build_ratio_estimator
@@ -449,7 +450,7 @@ class SBIFitter:
                 simulate_fn, self.prior, estimator, x_obs, n_rounds=n_rounds,
                 sims_per_round=sims_per_round, train_config=train_config,
                 key=key)
-        self.engine = engine
+            self.engine = "nre"
         self.posterior = posterior
         return posterior, data, hist
 
@@ -492,7 +493,7 @@ class SBIFitter:
         }
         if engine == "simformer":
             state["simformer"] = self.posterior.state_dict()
-        else:
+        elif getattr(self, "train_result", None) is not None:
             state.update({
                 "flow_spec": self.flow.spec(),
                 "params": jax.tree_util.tree_map(
@@ -503,6 +504,20 @@ class SBIFitter:
                     "train_losses": np.asarray(self.train_result.train_losses),
                     "val_losses": np.asarray(self.train_result.val_losses),
                 },
+            })
+        else:
+            # online paths (run_online_sbi) leave no train_result; the
+            # posterior carries the final params. load_saved_model expects
+            # a leading member axis, so re-add one for single members.
+            params = self.posterior.params
+            n_members = getattr(self.posterior, "n_members", 1)
+            if n_members == 1:
+                params = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a)[None], params)
+            state.update({
+                "flow_spec": self.flow.spec(),
+                "params": jax.tree_util.tree_map(np.asarray, params),
+                "n_members": n_members,
             })
         with open(path, "wb") as f:
             pickle.dump(state, f)

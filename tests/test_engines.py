@@ -195,3 +195,35 @@ class TestSequentialEngines:
         s = np.asarray(post.sample(jax.random.PRNGKey(5), x_obs, 500))
         assert np.abs(s.mean(0) - theta_true).max() < 0.35
         assert data["theta"][1].std(0).max() < data["theta"][0].std(0).max()
+
+
+def test_online_engine_save_load_roundtrip(tmp_path):
+    """run_online_sbi posteriors persist through save_state/load_saved_model
+    (online paths have no train_result; params come from the posterior)."""
+    from synference_tpu.fitter import SBIFitter
+
+    theta, x = _toy(3000, seed=9)
+    fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                       parameter_names=("a", "b"),
+                       filter_codes=("F1", "F2", "F3"))
+    theta_true = np.array([0.4, -0.6], np.float32)
+    x_obs = theta_true @ A.T
+
+    def simulate(th):
+        k = jax.random.PRNGKey(int(abs(float(np.asarray(th).sum()) * 1e3)) % 2**31)
+        return th @ jnp.asarray(A.T) + SIGMA * jax.random.normal(
+            k, (th.shape[0], 3))
+
+    post, _, _ = fitter.run_online_sbi(
+        simulate, x_obs, engine="snle", model_type="maf", n_rounds=1,
+        sims_per_round=800,
+        train_config=TrainConfig(max_epochs=30, batch_size=256),
+        key=jax.random.PRNGKey(0), hidden_features=24, num_transforms=2)
+    assert fitter.engine == "nle"
+    p = str(tmp_path / "online.pkl")
+    fitter.save_state(p)
+    loaded = SBIFitter.load_saved_model(p)
+    assert loaded.engine == "nle"
+    s1 = np.asarray(post.sample(jax.random.PRNGKey(7), x_obs, 200))
+    s2 = np.asarray(loaded.posterior.sample(jax.random.PRNGKey(7), x_obs, 200))
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
