@@ -144,7 +144,8 @@ def main():
     out = {
         "metric": "mock_seds_per_sec",
         "value": round(seds_per_sec, 1),
-        "unit": "SEDs/s (1 chip, fp32, 7 bands, batch 65536)",
+        "unit": ("SEDs/s (1 chip, 7 bands, batch 65536; fp32 pipeline, "
+                 "bf16 knot-matmul photometry)"),
         # the reference publishes no benchmark numbers; this ratio uses the
         # ESTIMATED 13.9 SEDs/s cluster rate derived in the module docstring
         "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),

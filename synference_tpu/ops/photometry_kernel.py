@@ -1,4 +1,19 @@
-"""Pallas kernel: sub-shift-table filter convolution (photometry numerator).
+"""Filter-convolution photometry: knot-matmul fast path + Pallas kernels.
+
+Three TPU variants, fastest first:
+
+1. "interp" (default): evaluate the numerator at K integer-column shift
+   knots with ONE MXU matmul (B, L) @ (L, K·F8) and lerp each galaxy's real
+   shift — no per-galaxy loop at all. ~8x faster than the loop kernels at
+   65k batches; accuracy ≲0.05% median / 0.5% tail at δ=4 PROVIDED the
+   denominator is interpolated at the same knots (see
+   `interp_photometry_den`).
+2. "bank": exact to 1/8 column; pre-rolled lane residuals + per-galaxy
+   double-buffered DMA. Loop-latency-bound (~300 ns/galaxy).
+3. "roll": exact, compact VMEM table + dynamic lane rotate; any grid size.
+
+Original design notes for the exact kernels follow.
+
 
 The XLA fast path in `sed.py::_photometry_one` materializes two (B, F, L)
 gathered table slices in HBM (~1 GB per 8k batch) before the reduction.
@@ -371,3 +386,125 @@ def pallas_photometry_num(fnu_w, table, s4, block_b: int = 256):
             out_specs=pl.BlockSpec((block_b, f8), lambda i, *_: (i, 0)),
         ),
     )(s4, fnu_pad, table)
+
+
+# ---------------------------------------------------------------------------
+# Interp-matmul variant: knot-table MXU contraction + shift-space lerp
+# ---------------------------------------------------------------------------
+#
+# Both kernels above loop galaxies sequentially inside Pallas; at 65k-galaxy
+# batches the ~300 ns/iteration loop latency dominates (~19 ms — far above
+# the ~1 ms speed-of-light of the data movement). This variant removes the
+# per-galaxy loop entirely:
+#
+#   num(b, f; s) = Σ_l fw[b,l] · T_f(λ0·10^{(l+s)Δ})   is smooth in s, so
+#   evaluate it at K integer-column knots s = k·δ with ONE MXU matmul
+#   (B, L) @ (L, K·F8) and linearly interpolate each galaxy's real shift
+#   between its two bracketing knots (a cheap per-row gather + lerp).
+#
+# Accuracy: the interpolation error is O((δ/W)²) with W the filter width in
+# columns (W ≈ hundreds); δ = 8 keeps broadband photometry within ~0.1%,
+# comparable to the 1/8-column snapping of the exact kernels. The knot
+# matmul runs in bf16 (fp32 accumulation): ~0.4% per-element rounding
+# averages to ≲0.02% over the ~10³-term reduction.
+
+KNOT_DELTA = 8  # knot spacing in λ columns
+
+
+def build_knot_matrix_device(filter_set, lam_rest, dlog: float,
+                             max_shift: int, n_wav: int,
+                             delta: int = KNOT_DELTA):
+    """(L, K·F8) knot table M[l, k·F8+f] = T_f(λ0·10^{(l + kδ)Δ}), built on
+    device (only the raw filter curves cross the host link). Returns
+    (M, n_knots)."""
+    f = len(filter_set)
+    f8 = int(np.ceil(f / 8) * 8)
+    n_knots = int(max_shift // delta) + 2  # cover s ∈ [0, max_shift]
+    lam0 = float(lam_rest[0])
+    k_len = max(len(filt.lam) for filt in filter_set.filters)
+    filt_lam = np.zeros((f, k_len), np.float32)
+    filt_tr = np.zeros((f, k_len), np.float32)
+    for i, filt in enumerate(filter_set.filters):
+        n = len(filt.lam)
+        filt_lam[i, :n] = filt.lam
+        filt_tr[i, :n] = filt.transmission
+        if n < k_len:
+            last = float(filt.lam[-1])
+            filt_lam[i, n:] = last * (1.0 + 1.0e-6 * np.arange(1, k_len - n + 1))
+    return _knot_matrix_on_device(
+        jnp.asarray(filt_lam), jnp.asarray(filt_tr), jnp.float32(lam0),
+        jnp.float32(dlog), n_wav=n_wav, n_knots=n_knots, f8=f8,
+        delta=delta,
+    ), n_knots
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_wav", "n_knots", "f8", "delta"))
+def _knot_matrix_on_device(filt_lam, filt_tr, lam0, dlog, n_wav: int,
+                           n_knots: int, f8: int, delta: int):
+    l_idx = jnp.arange(n_wav, dtype=jnp.float32)
+
+    def one_knot(k):
+        lam_eval = lam0 * 10.0 ** ((l_idx + k * delta) * dlog)
+
+        def one_filter(fl, ft):
+            return jnp.interp(lam_eval, fl, ft, left=0.0, right=0.0)
+
+        t = jax.vmap(one_filter)(filt_lam, filt_tr)  # (F, L)
+        pad_f = f8 - t.shape[0]
+        if pad_f:
+            t = jnp.pad(t, ((0, pad_f), (0, 0)))
+        return t
+
+    m = jax.vmap(one_knot)(jnp.arange(n_knots, dtype=jnp.float32))
+    # (K, F8, L) -> (L, K*F8)
+    return jnp.transpose(m, (2, 0, 1)).reshape(n_wav, n_knots * f8)
+
+
+def interp_photometry_num(fnu_w, knot_matrix, n_knots: int, s,
+                          delta: int = KNOT_DELTA,
+                          matmul_dtype=jnp.bfloat16):
+    """Numerators via the knot matmul + per-galaxy shift lerp.
+
+    Args:
+        fnu_w: (B, L) flux × dλ/λ weights.
+        knot_matrix: (L, K·F8) from build_knot_matrix_device.
+        s: (B,) real column shifts log10(1+z)/Δ (NOT snapped).
+    Returns:
+        (B, F8) numerators.
+    """
+    b, n_l = fnu_w.shape
+    f8 = knot_matrix.shape[1] // n_knots
+    num_all = jnp.matmul(
+        fnu_w.astype(matmul_dtype),
+        knot_matrix.astype(matmul_dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, n_knots, f8)
+    c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
+    k = jnp.floor(c).astype(jnp.int32)
+    frac = (c - k.astype(c.dtype))[:, None]
+    lo = jnp.take_along_axis(num_all, k[:, None, None], axis=1)[:, 0]
+    hi = jnp.take_along_axis(num_all, (k + 1)[:, None, None], axis=1)[:, 0]
+    return lo * (1.0 - frac) + hi * frac
+
+
+def interp_photometry_den(den_table, n_knots: int, s,
+                          delta: int = KNOT_DELTA):
+    """Denominators interpolated at the SAME knots/weights as the numerator.
+
+    Crucial for accuracy: num(s) and den(s) share a staircase (one λ sample
+    enters/leaves the band each column as the filter edge crosses it — a
+    ~1/W jump with W the band width in columns, ~2% for W≈45). Snapping or
+    interpolating num and den at the SAME shifts cancels the staircase in
+    the ratio; mixing an interpolated num with an exact den leaks it.
+
+    den_table: (N_SUB·max_shift + N_SUB, F) from build_den_table (1/8-col
+    resolution; knots sample rows k·δ·N_SUB).
+    """
+    c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
+    k = jnp.floor(c).astype(jnp.int32)
+    frac = (c - k.astype(c.dtype))[:, None]
+    n_max = den_table.shape[0] - 1
+    lo = den_table[jnp.minimum(k * delta * N_SUB, n_max)]
+    hi = den_table[jnp.minimum((k + 1) * delta * N_SUB, n_max)]
+    return lo * (1.0 - frac) + hi * frac

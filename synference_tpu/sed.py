@@ -136,6 +136,9 @@ class BatchSEDSimulator:
         compute_dtype=jnp.float32,
         z_max: float = 25.0,
         photometry_backend: str = "auto",
+        photometry_variant: str = "auto",
+        photometry_knot_delta: int | None = None,
+        photometry_matmul_dtype=jnp.bfloat16,
         n_particles: int | None = None,
         particle_seed: int = 0,
     ):
@@ -232,24 +235,44 @@ class BatchSEDSimulator:
             from .ops.photometry_kernel import (
                 bank_nbytes,
                 build_den_table,
+                build_knot_matrix_device,
                 build_shift_bank_device,
                 build_subshift_table_device,
             )
 
-            # Two kernel variants (see ops/photometry_kernel.py):
-            #  - "bank": pre-rolled lane residuals, per-galaxy DMA —
-            #    HBM-bound fast path, but the bank is N_SUB·N_ROLL ×
-            #    larger than the table and gets embedded in the compile,
-            #    so only usable while it stays modest;
-            #  - "roll": compact VMEM table + dynamic flux rotate — works
-            #    at any grid size (realistic 10⁴-λ grids would need a
-            #    ~440 MB bank that trips the remote-compile size limit).
-            self._pallas_variant = (
-                "bank"
-                if bank_nbytes(len(filters), grid.n_wav, self._max_shift)
-                <= 160 * 1024 * 1024
-                else "roll"
-            )
+            # Three variants (see ops/photometry_kernel.py):
+            #  - "interp" (default): knot-table MXU matmul + shift-space
+            #    lerp — no per-galaxy loop at all; ~10x faster than the
+            #    loop kernels at 65k batches, interpolation error ≲0.1%
+            #    (comparable to the exact kernels' 1/8-column snapping);
+            #  - "bank": pre-rolled lane residuals, per-galaxy DMA — exact
+            #    to 1/8 column, loop-latency-bound at large batches;
+            #  - "roll": compact VMEM table + dynamic flux rotate — exact,
+            #    works at any grid size.
+            if photometry_knot_delta is None:
+                # constant PHYSICAL knot spacing in log-λ (~0.009 dex — the
+                # spacing validated to ≲0.05% median error); scaling δ with
+                # the grid resolution also keeps the knot matrix bounded
+                # (~50 MB at 10⁴ λ vs 250 MB at fixed δ=4, which would blow
+                # the axon remote-compile request limit)
+                self._knot_delta = max(1, round(0.009 / self._filter_dlog))
+            else:
+                self._knot_delta = int(photometry_knot_delta)
+            # bf16 knot matmul: ~0.2% median photometry noise from input
+            # rounding (fp32 accumulate); pass jnp.float32 for lerp-only error
+            self._knot_matmul_dtype = photometry_matmul_dtype
+            if photometry_variant == "auto":
+                self._pallas_variant = "interp"
+            elif photometry_variant in ("interp", "bank", "roll"):
+                self._pallas_variant = photometry_variant
+                if (photometry_variant == "bank"
+                        and bank_nbytes(len(filters), grid.n_wav,
+                                        self._max_shift)
+                        > 160 * 1024 * 1024):
+                    self._pallas_variant = "roll"
+            else:
+                raise ValueError(
+                    f"unknown photometry_variant {photometry_variant!r}")
             # cache tables per (filters, λ grid) so composite models and
             # repeated constructions share one device buffer
             cache_key = (
@@ -259,12 +282,20 @@ class BatchSEDSimulator:
                 grid.n_wav,
                 float(grid.lam[0]),
                 self._pallas_variant,
+                self._knot_delta,
             )
             cached = _PALLAS_BANK_CACHE.get(cache_key)
             if cached is None:
                 # built ON DEVICE: only the raw filter curves (KBs) cross
                 # the host->device link
-                if self._pallas_variant == "bank":
+                self._n_knots = None
+                if self._pallas_variant == "interp":
+                    table, self._n_knots = build_knot_matrix_device(
+                        filters, grid.lam, self._filter_dlog,
+                        self._max_shift, grid.n_wav,
+                        delta=self._knot_delta,
+                    )
+                elif self._pallas_variant == "bank":
                     table = build_shift_bank_device(
                         filters, grid.lam, self._filter_dlog,
                         self._max_shift, grid.n_wav,
@@ -278,9 +309,9 @@ class BatchSEDSimulator:
                     filters, grid.lam, np.asarray(self._wlam),
                     self._filter_dlog, self._max_shift,
                 )
-                cached = (table, jnp.asarray(den))
+                cached = (table, jnp.asarray(den), self._n_knots)
                 _PALLAS_BANK_CACHE[cache_key] = cached
-            self._pallas_table, self._den_table = cached
+            self._pallas_table, self._den_table, self._n_knots = cached
 
     # ------------------------------------------------------------------
     # θ plumbing
@@ -475,6 +506,7 @@ class BatchSEDSimulator:
         if self.photometry_backend == "pallas":
             from .ops.photometry_kernel import (
                 bank_decompose,
+                interp_photometry_num,
                 pallas_photometry_num,
                 pallas_photometry_num_bank,
                 pick_block_b,
@@ -484,6 +516,21 @@ class BatchSEDSimulator:
             s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
             s4 = shift_decompose(s, self._max_shift)
             fnu_w = fnu_njy * self._wlam
+            if self._pallas_variant == "interp":
+                from .ops.photometry_kernel import interp_photometry_den
+
+                num = interp_photometry_num(
+                    fnu_w, self._pallas_table, self._n_knots, s,
+                    delta=self._knot_delta,
+                    matmul_dtype=self._knot_matmul_dtype,
+                )[:, : len(self.filters)]
+                # den interpolated at the SAME knots so the filter-edge
+                # staircase cancels in the ratio (see kernel docstring)
+                den = interp_photometry_den(
+                    self._den_table, self._n_knots, s,
+                    delta=self._knot_delta,
+                )
+                return num / jnp.maximum(den, 1.0e-30)
             b = fnu_w.shape[0]
             if self._pallas_variant == "bank":
                 block = 256 if b % 256 == 0 else (128 if b % 128 == 0 else 8)

@@ -221,12 +221,89 @@ class TestBankVariant:
     def test_variant_selection_by_bank_size(self, nircam_filters, test_grid):
         from synference_tpu.ops.photometry_kernel import bank_nbytes
 
-        # 512-λ test grid bank is small -> bank variant
+        # default is the knot-matmul interp variant
         sim = BatchSEDSimulator(
             test_grid, nircam_filters,
             ("log10_mass", "redshift", "peak_age", "tau",
              "log10_metallicity", "tau_v"),
             photometry_backend="pallas",
         )
-        assert sim._pallas_variant == "bank"
+        assert sim._pallas_variant == "interp"
+        # explicit "bank" request falls back to roll when the bank would
+        # blow the remote-compile size limit
+        sim_big = BatchSEDSimulator(
+            test_grid, nircam_filters,
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            photometry_backend="pallas", photometry_variant="bank",
+        )
+        assert sim_big._pallas_variant == "bank"
         assert bank_nbytes(7, 10_000, 3200) > 160 * 1024 * 1024
+
+
+class TestInterpVariant:
+    """Knot-matmul photometry (interp) vs the exact XLA path.
+
+    The interp variant is pure XLA (no Mosaic primitives), so its accuracy
+    contract is testable on CPU: matched num/den knot interpolation must
+    cancel the filter-edge staircase (see interp_photometry_den docstring).
+    """
+
+    def _sims(self, delta):
+        import synference_tpu as st
+
+        grid = st.make_synthetic_grid(n_ages=32, n_mets=6, n_wav=2048)
+        centers = [9000., 11500., 15000., 20000., 27700., 35600., 44400.]
+        widths = [2000., 2600., 3300., 4600., 7000., 7800., 10200.]
+        filters = st.FilterSet([
+            st.tophat_filter(f"F{i}", c, w)
+            for i, (c, w) in enumerate(zip(centers, widths))])
+        kw = dict(
+            grid=grid, filters=filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig(igm="inoue14"))
+        sim_x = st.BatchSEDSimulator(photometry_backend="xla", **kw)
+        sim_i = st.BatchSEDSimulator(
+            photometry_backend="pallas", photometry_variant="interp",
+            photometry_knot_delta=delta, **kw)
+        return sim_x, sim_i
+
+    def test_accuracy_bounds_delta4(self):
+        sim_x, sim_i = self._sims(4)
+        rng = np.random.default_rng(0)
+        B = 1024
+        theta = np.stack([
+            rng.uniform(7.5, 11, B), rng.uniform(0.05, 10, B),
+            rng.uniform(5e7, 1e9, B), rng.uniform(0.1, 1.2, B),
+            rng.uniform(-3.9, -1.5, B), rng.uniform(0, 3, B),
+        ], 1).astype(np.float32)
+        px = np.asarray(sim_x.photometry(theta))
+        pi = np.asarray(sim_i.photometry(theta))
+        scale = np.abs(px).max(axis=1, keepdims=True)
+        sig = np.abs(px) > 0.01 * scale
+        rel = np.abs(pi - px) / np.maximum(np.abs(px), 1e-3 * scale)
+        assert np.median(rel[sig]) < 1.5e-3
+        assert np.quantile(rel[sig], 0.99) < 1.5e-2
+
+    def test_refinement_converges(self):
+        """Halving the knot spacing must shrink the error (sanity that the
+        lerp — not a systematic offset — is the residual)."""
+        rng = np.random.default_rng(1)
+        B = 512
+        theta = np.stack([
+            rng.uniform(8, 10.5, B), rng.uniform(0.5, 8, B),
+            rng.uniform(5e7, 1e9, B), rng.uniform(0.1, 1.2, B),
+            rng.uniform(-3.5, -2, B), rng.uniform(0, 2, B),
+        ], 1).astype(np.float32)
+        errs = {}
+        for d in (8, 2):
+            sim_x, sim_i = self._sims(d)
+            px = np.asarray(sim_x.photometry(theta))
+            pi = np.asarray(sim_i.photometry(theta))
+            scale = np.abs(px).max(axis=1, keepdims=True)
+            sig = np.abs(px) > 0.01 * scale
+            rel = np.abs(pi - px) / np.maximum(np.abs(px), 1e-3 * scale)
+            errs[d] = np.quantile(rel[sig], 0.95)
+        assert errs[2] < 0.5 * errs[8]
