@@ -295,6 +295,30 @@ class BatchSEDSimulator:
                         self._max_shift, grid.n_wav,
                         delta=self._knot_delta,
                     )
+                    if self._igm_table is not None:
+                        # bake the IGM into the knot matrix: knot k IS a
+                        # definite redshift 1+z_k = 10^{kδΔ}, so
+                        # T_igm(λ_rest, z_k) folds into the same matmul and
+                        # the per-galaxy IGM row gather disappears from the
+                        # photometry-only path (see _photometry_fused)
+                        delta_k = self._knot_delta
+                        zp1_k = 10.0 ** (
+                            delta_k * self._filter_dlog
+                            * jnp.arange(self._n_knots, dtype=jnp.float32))
+                        igm_model = self.emission.igm
+                        lam_dev = self._lam
+                        igm_rows = jax.jit(jax.vmap(
+                            lambda zp: igm_transmission(
+                                lam_dev * zp, zp - 1.0, igm_model)
+                        ))(zp1_k)  # (K, L)
+                        f8 = table.shape[1] // self._n_knots
+                        table_igm = (
+                            table.reshape(grid.n_wav, self._n_knots, f8)
+                            * igm_rows.T[:, :, None]
+                        ).reshape(grid.n_wav, self._n_knots * f8)
+                    else:
+                        table_igm = table
+                    table = (table, table_igm)
                 elif self._pallas_variant == "bank":
                     table = build_shift_bank_device(
                         filters, grid.lam, self._filter_dlog,
@@ -520,7 +544,7 @@ class BatchSEDSimulator:
                 from .ops.photometry_kernel import interp_photometry_den
 
                 num = interp_photometry_num(
-                    fnu_w, self._pallas_table, self._n_knots, s,
+                    fnu_w, self._pallas_table[0], self._n_knots, s,
                     delta=self._knot_delta,
                     matmul_dtype=self._knot_matmul_dtype,
                 )[:, : len(self.filters)]
@@ -558,12 +582,17 @@ class BatchSEDSimulator:
     # ------------------------------------------------------------------
     # public batched API
     # ------------------------------------------------------------------
-    def _core(self, theta_row, want_spectra: bool):
+    def _core(self, theta_row, want_spectra: bool, fused: bool = False):
         params = self.theta_dict(theta_row)
         sfzh_flat, sfh_mass = self._sfzh(params)
         lnu, intrinsic = self._apply_emission(params, sfzh_flat)
-        fnu_njy, _ = self._observe(params, lnu)
         z = params.get("redshift", jnp.asarray(0.0))
+        if fused:
+            # photometry-only fast path: skip _observe entirely — the IGM
+            # rides the igm-baked knot matrix and the distance/(1+z) factor
+            # is a per-galaxy scalar applied after the band ratio
+            return {"_lnu": lnu, "_z": z}
+        fnu_njy, _ = self._observe(params, lnu)
         out = {"fnu_njy": fnu_njy, "_z": z}
         if want_spectra:
             out["lnu"] = lnu
@@ -571,6 +600,27 @@ class BatchSEDSimulator:
             out["sfh_mass"] = sfh_mass
             out["sfzh"] = sfzh_flat
         return out
+
+    def _photometry_fused(self, lnu, z):
+        """(B, L) rest L_ν + (B,) z -> (B, F) nJy, IGM baked into the knot
+        matmul; the observed-frame scale zp1·1e-6/(4π d19²) is scalar per
+        galaxy because photometry is linear in f_ν."""
+        from .ops.photometry_kernel import (interp_photometry_den,
+                                           interp_photometry_num)
+
+        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+        fw = lnu * self._wlam
+        num = interp_photometry_num(
+            fw, self._pallas_table[1], self._n_knots, s,
+            delta=self._knot_delta, matmul_dtype=self._knot_matmul_dtype,
+        )[:, : len(self.filters)]
+        den = interp_photometry_den(
+            self._den_table, self._n_knots, s, delta=self._knot_delta)
+        zp1 = 1.0 + z
+        d19 = self.cosmology.luminosity_distance_cm(
+            jnp.maximum(z, 1.0e-4)) * 1.0e-19
+        scale = zp1 * 1.0e-6 / (_FOUR_PI * d19**2)
+        return (num / jnp.maximum(den, 1.0e-30)) * scale[:, None]
 
     def simulate(self, theta, want_spectra: bool = False):
         """Run the batch: θ (B, P) -> dict of (B, ...) outputs.
@@ -581,8 +631,17 @@ class BatchSEDSimulator:
         batch.
         """
         theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
-        res = jax.vmap(lambda row: self._core(row, want_spectra))(theta)
+        fused = (
+            not want_spectra
+            and self.photometry_backend == "pallas"
+            and self._pallas_variant == "interp"
+        )
+        res = jax.vmap(
+            lambda row: self._core(row, want_spectra, fused=fused)
+        )(theta)
         z = res.pop("_z")
+        if fused:
+            return {"photometry_njy": self._photometry_fused(res["_lnu"], z)}
         out = {"photometry_njy": self._photometry_batch(res["fnu_njy"], z)}
         if want_spectra:
             out.update(res)

@@ -158,14 +158,15 @@ def train_ensemble(
         def loss_fn(p, tb, xb):
             return -flow.log_prob(p, tb, xb).mean()
 
-    def epoch_one_member(params, opt_state, perm_key):
+    def epoch_one_member(params, opt_state, perm_key, data):
         """One member, one epoch: scan over shuffled minibatches."""
+        d_t_tr, d_x_tr, d_t_va, d_x_va = data
         perm = jax.random.permutation(perm_key, n_train)
         idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
 
         def step(carry, batch_idx):
             p, s = carry
-            tb, xb = t_tr[batch_idx], x_tr[batch_idx]
+            tb, xb = d_t_tr[batch_idx], d_x_tr[batch_idx]
             l, g = jax.value_and_grad(loss_fn)(p, tb, xb)
             updates, s = tx.update(g, s, p)
             p = optax.apply_updates(p, updates)
@@ -174,20 +175,26 @@ def train_ensemble(
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), idx
         )
-        val_loss = loss_fn(params, t_va, x_va)
+        val_loss = loss_fn(params, d_t_va, d_x_va)
         return params, opt_state, losses.mean(), val_loss
 
     @jax.jit
-    def epoch_all(params, opt_state, key, best_params, best_val, since_best):
+    def epoch_all(params, opt_state, key, best_params, best_val, since_best,
+                  data):
         """One epoch for every member + device-side best-val tracking.
 
         Best-params selection happens on device: doing it host-side costs
         one dispatch per parameter leaf per epoch, which dominates wall
-        clock on remote-attached TPUs."""
+        clock on remote-attached TPUs. The dataset rides in as an ARGUMENT
+        (broadcast across the member vmap), never a closure: closed-over
+        arrays become HLO constants, and an 80 MB constant blob both bloats
+        the axon remote-compile request and slows XLA constant processing
+        (the north-star's 1e6-row epoch program compiled minutes slower
+        that way)."""
         keys = jax.random.split(key, n_nets)
-        params, opt_state, tr_loss, va_loss = jax.vmap(epoch_one_member)(
-            params, opt_state, keys
-        )
+        params, opt_state, tr_loss, va_loss = jax.vmap(
+            epoch_one_member, in_axes=(0, 0, 0, None)
+        )(params, opt_state, keys, data)
         improved = va_loss < best_val
 
         def pick(new, old):
@@ -225,7 +232,7 @@ def train_ensemble(
         (params, opt_state, tr_loss, va_loss, best_params, best_val,
          epochs_since_best) = epoch_all(
             params, opt_state, k_epoch, best_params, best_val,
-            epochs_since_best,
+            epochs_since_best, (t_tr, x_tr, t_va, x_va),
         )
         train_hist.append(np.asarray(tr_loss))
         val_hist.append(np.asarray(va_loss))
