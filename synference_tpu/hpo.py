@@ -304,6 +304,29 @@ DEFAULT_SEARCH_SPACES = {
     },
 }
 
+# the rest of the zoo shares the (hidden, transforms, lr, batch) shape
+for _name, _tr_hi in [("ncsf", 12), ("realnvp", 12), ("nice", 12),
+                      ("naf", 6), ("unaf", 5), ("sospf", 6), ("gf", 8),
+                      ("made", 1), ("cnf", 1)]:
+    DEFAULT_SEARCH_SPACES[_name] = {
+        "hidden_features": ("int", 16, 100),
+        "learning_rate": ("float", 5.0e-5, 1.0e-2, "log"),
+        "batch_size": ("categorical", [64, 128, 256, 512]),
+        **({"num_transforms": ("int", 2, _tr_hi)} if _tr_hi > 1 else {}),
+    }
+del _name, _tr_hi
+
+# "zoo" searches the model family itself alongside shared hyperparameters
+# (the reference sweeps model_type lists through ili/Optuna configs)
+DEFAULT_SEARCH_SPACES["zoo"] = {
+    "model_type": ("categorical",
+                   ["nsf", "maf", "mdn", "realnvp", "naf", "gf"]),
+    "hidden_features": ("int", 16, 100),
+    "num_transforms": ("int", 2, 12),
+    "learning_rate": ("float", 5.0e-5, 1.0e-2, "log"),
+    "batch_size": ("categorical", [64, 128, 256, 512]),
+}
+
 
 def optimize_sbi(
     fitter,
@@ -335,6 +358,10 @@ def optimize_sbi(
         p = dict(trial["params"])
         lr = p.pop("learning_rate", 1.0e-4)
         bs = p.pop("batch_size", 256)
+        # "zoo" space searches the model family itself
+        trial_model = p.pop("model_type", model_type)
+        if trial_model in ("mdn", "gaussian", "cnf", "made"):
+            p.pop("num_transforms", None)  # not a hyperparameter there
         try:
             # prune DURING training: the callback reports each epoch's val
             # loss and aborts the trial mid-run when the pruner fires —
@@ -348,7 +375,7 @@ def optimize_sbi(
                 return pruner.should_prune(epoch, v, study)
 
             res = fitter.run_single_sbi(
-                model_type=model_type,
+                model_type=trial_model,
                 train_config=TrainConfig(
                     batch_size=int(bs), learning_rate=float(lr),
                     max_epochs=max_epochs, stop_after_epochs=10,

@@ -126,3 +126,36 @@ class TestPruner:
         # pruner, not the early stopper, cut the trial short
         assert min(len(t["intermediate"]) for t in pruned) <= 10
         assert best is not None
+
+
+def test_zoo_search_space():
+    """The "zoo" space searches the model family itself; trials with
+    transform-free models (mdn) must not leak num_transforms."""
+    from synference_tpu.fitter import SBIFitter
+    from synference_tpu.hpo import DEFAULT_SEARCH_SPACES, optimize_sbi
+
+    assert "model_type" in DEFAULT_SEARCH_SPACES["zoo"]
+    rng = np.random.default_rng(1)
+    theta = rng.uniform(-1, 1, (1200, 2)).astype(np.float32)
+    x = theta @ rng.standard_normal((2, 3)).astype(np.float32)
+    x = x + 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+    fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                       parameter_names=("a", "b"),
+                       filter_codes=("F1", "F2", "F3"))
+    fitter.features = x
+    fitter.feature_params = theta
+    fitter.feature_source = np.arange(len(x))
+    fitter.feature_flags = None
+    fitter.create_priors()
+
+    space = dict(DEFAULT_SEARCH_SPACES["zoo"])
+    space["model_type"] = ("categorical", ["mdn", "maf", "realnvp"])
+    space["hidden_features"] = ("int", 8, 24)
+    space["num_transforms"] = ("int", 2, 3)
+    study, best = optimize_sbi(
+        fitter, model_type="zoo", search_space=space,
+        n_trials=4, max_epochs=3, verbose=False)
+    assert len(study.trials) == 4
+    assert all(t["state"] in ("COMPLETE", "PRUNED") for t in study.trials)
+    sampled = {t["params"]["model_type"] for t in study.trials}
+    assert sampled  # model families were actually searched
