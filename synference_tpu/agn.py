@@ -68,13 +68,16 @@ class AGNSimulator(BatchSEDSimulator):
         # multiply 1e30 bolometric scale; split to stay in fp32 range
         return (l_bol30 * 1.0e15) * (lnu_unit * 1.0e15)
 
-    def _core(self, theta_row, want_spectra: bool):
+    def _core(self, theta_row, want_spectra: bool, fused: bool = False):
         params = self.theta_dict(theta_row)
         lnu = self._agn_lnu(params)
         tau_v = params.get("tau_v", jnp.asarray(0.0))
         lnu = lnu * jnp.exp(-tau_v * self._dust_curve)
-        fnu_njy, _ = self._observe(params, lnu)
         z = params.get("redshift", jnp.asarray(0.0))
+        if fused:
+            # photometry-only fast path (see BatchSEDSimulator._core)
+            return {"_lnu": lnu, "_z": z}
+        fnu_njy, _ = self._observe(params, lnu)
         out = {"fnu_njy": fnu_njy, "_z": z}
         if want_spectra:
             out["lnu"] = lnu

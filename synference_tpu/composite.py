@@ -78,6 +78,51 @@ class CompositeSEDSimulator:
     def photometry(self, theta):
         return self.simulate(theta)["photometry_njy"]
 
+    def agn_fraction(self, theta, min_wav_rest: float = 1.0e4,
+                     max_wav_rest: float = 3.0e5,
+                     agn_components: tuple | None = None):
+        """Fraction of rest-frame [min, max] Å luminosity from AGN
+        components (reference `calculate_agn_fraction`,
+        `/root/reference/src/synference/library.py:581-640`; defaults to
+        the same 1–30 µm window).
+
+        Args:
+            theta: (B, P_total).
+            agn_components: component names counted as AGN; default = every
+                component whose simulator is an `agn.AGNSimulator`.
+        Returns:
+            (B,) numpy fractions in [0, 1].
+        """
+        from .agn import AGNSimulator
+
+        if agn_components is None:
+            agn_components = tuple(
+                n for n, s in self.components.items()
+                if isinstance(s, AGNSimulator))
+        if not agn_components:
+            raise ValueError("no AGN components in this composite")
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        lam = None
+        total = None
+        agn = None
+        for cname, sim in self.components.items():
+            out = sim.simulate(self._component_theta(theta, cname),
+                               want_spectra=True)
+            lnu = out["lnu"]
+            if lam is None:
+                lam = np.asarray(sim.grid.lam) if hasattr(sim, "grid") \
+                    else np.asarray(sim.lam)
+            total = lnu if total is None else total + lnu
+            if cname in agn_components:
+                agn = lnu if agn is None else agn + lnu
+        # ∫ L_ν dν over the rest window, dν = c/λ² dλ; the common scale and
+        # the c factor cancel in the ratio
+        m = ((lam >= min_wav_rest) & (lam <= max_wav_rest)).astype(np.float32)
+        w = jnp.asarray(m * np.gradient(lam) / lam**2, jnp.float32)
+        num = jnp.sum(agn * w, axis=-1)
+        den = jnp.sum(total * w, axis=-1)
+        return np.asarray(num / jnp.maximum(den, 1.0e-30))
+
     def __call__(self, theta):
         return self.photometry(theta)
 

@@ -96,6 +96,14 @@ class FilterSet:
             max(f.lam[f.transmission > 0].max() for f in self.filters)
         )
 
+    def min_max_wav_grid(self, max_redshift: float,
+                         min_redshift: float = 0.0) -> tuple:
+        """Rest-frame λ range a grid must cover so every filter stays
+        on-grid across [min_redshift, max_redshift] (reference
+        `calculate_min_max_wav_grid`, utils.py:115-127)."""
+        return (self.lam_min / (1.0 + max_redshift),
+                self.lam_max / (1.0 + min_redshift))
+
     def subset(self, codes: list) -> "FilterSet":
         by_code = {f.code: f for f in self.filters}
         return FilterSet([by_code[c] for c in codes])

@@ -223,6 +223,35 @@ def _xi_ion(ctx):
     return _n_ion(ctx) / jnp.maximum(luv, 1.0e-30)
 
 
+def _flux_weighted_age(ctx):
+    """Age weighted by each SFZH cell's flux in an observed F444W-like
+    window (reference `calculate_flux_weighted_age`, library.py:250-254,
+    default filter JWST/NIRCam.F444W).
+
+    Per-cell band luminosity comes from the precomputed cumulative grid
+    integral: two per-galaxy column gathers at the redshifted window edges
+    (the window maps to rest frame as λ_obs/(1+z)).
+    """
+    lam = ctx["lam"]
+    cum = ctx["cum_lum"]  # (A·Z, L) cumulative ∫ L_ν dν per cell (scaled)
+    zp1 = 1.0 + ctx["z"]  # (B,)
+    lo_obs, hi_obs = 38900.0, 49900.0
+    n_l = lam.shape[0]
+
+    def edge_idx(lam_rest):
+        # fractional index on the log-uniform λ grid
+        s = (jnp.log(lam_rest) - jnp.log(lam[0])) / (
+            jnp.log(lam[-1]) - jnp.log(lam[0]))
+        return jnp.clip((s * (n_l - 1)).astype(jnp.int32), 0, n_l - 1)
+
+    i_lo = edge_idx(lo_obs / zp1)  # (B,)
+    i_hi = edge_idx(hi_obs / zp1)
+    flux_cell = cum[:, i_hi].T - cum[:, i_lo].T  # (B, A·Z)
+    w = ctx["sfzh"] * jnp.maximum(flux_cell, 0.0)
+    ages_cell = jnp.repeat(ctx["ages_yr"], ctx["n_mets"])
+    return (w * ages_cell).sum(-1) / jnp.maximum(w.sum(-1), 1.0e-30)
+
+
 def _surviving_mass(ctx):
     """Mass surviving stellar mass loss, Behroozi+13 fitting formula
     f_loss(t) = 0.05 ln(1 + t/1.4 Myr) (the reference uses Synthesizer's
@@ -239,6 +268,7 @@ SUPP_FUNCTIONS = {
     "burstiness": _burstiness,
     "mass_weighted_age": _mass_weighted_age,
     "lum_weighted_age": _lum_weighted_age,
+    "flux_weighted_age": _flux_weighted_age,
     "beta_uv": _beta_uv,
     "d4000": _d4000,
     "t10": _t10,
@@ -297,10 +327,16 @@ def compute_supplementary(names, sim, theta, out):
         "age_bin_edges": jnp.asarray(grid.age_bin_edges_yr, jnp.float32),
         "n_mets": grid.n_mets,
         "bol_lum_flat": bol_flat,
+        "z": z,
         "distance_modulus": sim.cosmology.distance_modulus(
             jnp.maximum(z, 1.0e-4)
         ),
     }
+    if "flux_weighted_age" in names:
+        # cumulative ∫ L_ν dν per grid cell (float64 on host, scaled to
+        # keep fp32 range), for windowed per-cell band fluxes
+        cum = np.cumsum(inc.astype(np.float64) * nu_w, axis=-1) / 1.0e40
+        ctx["cum_lum"] = jnp.asarray(cum, jnp.float32)
     del bol
     cols = [SUPP_FUNCTIONS[n](ctx) for n in names]
     return jnp.stack(cols, axis=1)

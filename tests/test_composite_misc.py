@@ -195,3 +195,92 @@ class TestRuntime:
         lg = setup_logger("test_logger_xyz")
         lg.info("hello")
         assert lg.name == "test_logger_xyz"
+
+
+class TestNewParityHelpers:
+    def test_min_max_wav_grid(self):
+        import synference_tpu as st
+
+        fs = st.FilterSet([st.tophat_filter("F200W", 20000.0, 4600.0),
+                           st.tophat_filter("F444W", 44400.0, 11000.0)])
+        lo, hi = fs.min_max_wav_grid(max_redshift=10.0)
+        # bluest filter edge at z=10, reddest at z=0
+        assert lo == pytest.approx(fs.lam_min / 11.0)
+        assert hi == pytest.approx(fs.lam_max)
+        assert lo < hi
+
+    def test_agn_fraction(self):
+        import numpy as np
+
+        import synference_tpu as st
+        from synference_tpu.agn import AGNSimulator
+        from synference_tpu.composite import CompositeSEDSimulator
+
+        grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+        fs = st.FilterSet([st.tophat_filter("F444W", 44400.0, 11000.0)])
+        stellar = st.BatchSEDSimulator(
+            grid=grid, filters=fs,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig())
+        agn = AGNSimulator(grid, fs)
+        comp = CompositeSEDSimulator(
+            {"stellar": stellar, "agn": agn}, shared=("redshift",))
+        rng = np.random.default_rng(0)
+        B = 8
+        theta = np.zeros((B, comp.n_params), np.float32)
+        names = list(comp.param_names)
+        vals = {
+            "redshift": rng.uniform(0.5, 3, B),
+            "stellar.log10_mass": rng.uniform(9, 10.5, B),
+            "stellar.peak_age": rng.uniform(1e8, 5e8, B),
+            "stellar.tau": rng.uniform(0.2, 0.8, B),
+            "stellar.log10_metallicity": rng.uniform(-3, -2, B),
+            "stellar.tau_v": rng.uniform(0, 1, B),
+        }
+        for k, v in vals.items():
+            theta[:, names.index(k)] = v
+        for p in names:
+            if p.startswith("agn.") and theta[:, names.index(p)].sum() == 0:
+                # fill AGN params mid-range
+                theta[:, names.index(p)] = 1.0
+        # bright AGN -> nonzero fraction; check bounds and monotonicity
+        if "agn.log10_l_agn" in names:
+            theta[:, names.index("agn.log10_l_agn")] = 45.0
+        if "agn.agn_slope" in names:
+            theta[:, names.index("agn.agn_slope")] = -0.5
+        frac = comp.agn_fraction(theta)
+        assert frac.shape == (B,)
+        assert np.isfinite(frac).all()
+        assert ((frac >= 0) & (frac <= 1)).all()
+
+    def test_flux_weighted_age_supplementary(self):
+        import numpy as np
+
+        import synference_tpu as st
+        from synference_tpu.supplementary import compute_supplementary
+
+        grid = st.make_synthetic_grid(n_ages=24, n_mets=4, n_wav=1024)
+        fs = st.FilterSet([st.tophat_filter("F444W", 44400.0, 11000.0)])
+        sim = st.BatchSEDSimulator(
+            grid=grid, filters=fs,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=st.EmissionConfig())
+        rng = np.random.default_rng(1)
+        B = 16
+        theta = np.stack([
+            rng.uniform(8, 10.5, B), rng.uniform(0.5, 3, B),
+            rng.uniform(1e8, 8e8, B), rng.uniform(0.2, 0.8, B),
+            rng.uniform(-3, -2, B), rng.uniform(0, 1, B),
+        ], 1).astype(np.float32)
+        out = sim.simulate(theta, want_spectra=True)
+        supp = np.asarray(compute_supplementary(
+            ["flux_weighted_age", "mass_weighted_age"], sim, theta, out))
+        fwa, mwa = supp[:, 0], supp[:, 1]
+        assert np.isfinite(fwa).all() and (fwa > 0).all()
+        # red-band flux weighting favors OLDER stars than pure mass
+        # weighting does young bursts — at minimum, same order of magnitude
+        assert (fwa < 10 ** 10.3).all()
+        assert np.median(np.abs(np.log10(fwa) - np.log10(mwa))) < 1.0
