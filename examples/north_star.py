@@ -8,9 +8,13 @@ Run from anywhere: python examples/north_star.py [--n 1000000]
 
 import argparse
 import json
+import os
 import pathlib
 import sys
 import time
+
+# persistent compile cache: repeat runs skip the multi-minute tunnel compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 

@@ -5,8 +5,12 @@ widebands, lognormal SFH, LHC priors, NPE training), end to end on whatever
 device JAX finds. Runs in ~2 minutes on a TPU chip.
 """
 
+import os
 import pathlib
 import sys
+
+# persistent compile cache: repeat runs skip the multi-minute tunnel compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 

@@ -602,6 +602,76 @@ class SBIFitter:
         return fitter
 
     # ------------------------------------------------------------------
+    def detect_misspecification(self, x_obs, quantile: float = 0.01,
+                                key=None, max_train: int = 20000):
+        """Flag observations whose feature-marginal density falls below the
+        training set's `quantile` (reference `detect_misspecification`,
+        sbi_runner.py:905-984). Returns (flags, logp_obs, threshold)."""
+        from .diagnostics import fit_marginal_flow, misspecification_check
+
+        if self.features is None:
+            self.create_feature_array()
+        x_train = self.features[: max_train]
+        flow, params = fit_marginal_flow(x_train, key=key)
+        return misspecification_check(flow, params, x_train,
+                                      np.atleast_2d(np.asarray(x_obs)),
+                                      quantile=quantile)
+
+    def lc2st(self, x_obs, n_cal: int = 1000, key=None, **kwargs):
+        """Local C2ST at one observation using held-out calibration pairs
+        (reference `lc2st`, sbi_runner.py:986-1063); see
+        `diagnostics.lc2st` for the returned statistics."""
+        from .diagnostics import lc2st as _lc2st
+
+        idx = self._split["test"][:n_cal]
+        return _lc2st(self.posterior, self.feature_params[idx],
+                      self.features[idx], np.asarray(x_obs), key=key,
+                      **kwargs)
+
+    def create_dataframe(self, data: str = "all"):
+        """Pandas view of the library (reference `create_dataframe`,
+        sbi_runner.py:3377-3405). `data`: "parameters" | "photometry" |
+        "supplementary" | "features" | "all"."""
+        import pandas as pd
+
+        frames = []
+        if data in ("parameters", "all"):
+            frames.append(pd.DataFrame(self.parameters,
+                                       columns=self._raw_parameter_names))
+        if data in ("photometry", "all") and self.photometry is not None:
+            frames.append(pd.DataFrame(self.photometry,
+                                       columns=self.filter_codes))
+        if data in ("supplementary", "all") and self.supplementary is not None:
+            frames.append(pd.DataFrame(self.supplementary,
+                                       columns=self.supplementary_names))
+        if data == "features":
+            if self.features is None:
+                self.create_feature_array()
+            # features carry the scatter axis; take the raw length
+            frames.append(pd.DataFrame(np.asarray(self.features)))
+        if not frames:
+            raise ValueError(f"no data for {data!r}")
+        return pd.concat(frames, axis=1)
+
+    @property
+    def training_log_probs(self):
+        """-train-loss history, (epochs, members) (reference
+        `training_log_probs`, sbi_runner.py:7389)."""
+        return -np.asarray(self.train_result.train_losses)
+
+    @property
+    def validation_log_probs(self):
+        """-val-loss history (reference `validation_log_probs`,
+        sbi_runner.py:7376)."""
+        return -np.asarray(self.train_result.val_losses)
+
+    def calculate_map(self, x, key=None, n_starts: int = 512):
+        """MAP estimate per observation (reference `calculate_MAP`,
+        sbi_runner.py:7204)."""
+        return self.posterior.map_estimate(np.asarray(x), key=key,
+                                           n_starts=n_starts)
+
+    # ------------------------------------------------------------------
     def features_from_observations(self, flux, flux_err=None,
                                    flux_unit="nJy", missing_mask=None):
         """Replay training feature transform on a catalogue (reference

@@ -249,3 +249,34 @@ def plot_posterior_predictions(samples, truths, parameter_names=None,
     if save:
         fig.savefig(save, dpi=120)
     return fig
+
+
+def plot_histograms(array, names=None, bins: int = 40, ncols: int = 4,
+                    save: str | None = None):
+    """Per-column histogram grid (reference `plot_histogram_parameter_array`
+    / `plot_histogram_feature_array`, sbi_runner.py:6864-6982)."""
+    plt = _mpl()
+    import numpy as _np
+
+    arr = _np.asarray(array)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[1]
+    names = list(names) if names is not None else [f"c{i}" for i in range(n)]
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2.4 * nrows),
+                             squeeze=False)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols][i % ncols]
+        if i >= n:
+            ax.axis("off")
+            continue
+        col = arr[:, i]
+        col = col[_np.isfinite(col)]
+        ax.hist(col, bins=bins, color="#46647d")
+        ax.set_title(names[i], fontsize=9)
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=130)
+        plt.close(fig)
+    return fig

@@ -105,3 +105,43 @@ def test_fitter_online(small_fitter, test_grid, nircam_filters):
     med = np.median(s, axis=0)
     assert abs(med[0] - 9.5) < 0.6
     assert abs(med[1] - 2.0) < 1.0
+
+
+class TestConvenienceMethods:
+    """Reference SBI_Fitter surface: detect_misspecification, lc2st,
+    create_dataframe, log-prob accessors, MAP (sbi_runner.py:905, :986,
+    :3377, :7376-7401, :7204)."""
+
+    def test_create_dataframe(self, small_fitter):
+        df = small_fitter.create_dataframe("parameters")
+        assert df.shape[0] == small_fitter.parameters.shape[0]
+        df_all = small_fitter.create_dataframe("all")
+        assert df_all.shape[1] >= df.shape[1]
+
+    def test_log_prob_accessors_and_map(self):
+        from synference_tpu.train import TrainConfig
+
+        rng = np.random.default_rng(0)
+        theta = rng.uniform(-1, 1, (1200, 2)).astype(np.float32)
+        x = (theta + 0.1 * rng.standard_normal((1200, 2))).astype(np.float32)
+        fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                           parameter_names=("a", "b"),
+                           filter_codes=("F1", "F2"))
+        fitter.features = x
+        fitter.feature_params = theta
+        fitter.feature_source = np.arange(len(x))
+        fitter.feature_flags = None
+        fitter.run_single_sbi(model_type="mdn", hidden_features=16,
+                              num_components=2,
+                              train_config=TrainConfig(max_epochs=5))
+        assert fitter.training_log_probs.ndim == 2
+        assert fitter.validation_log_probs.ndim == 2
+        m = fitter.calculate_map(fitter.features[0])
+        assert m.shape == (2,)
+
+    def test_detect_misspecification_flags_outlier(self, small_fitter):
+        x0 = small_fitter.features[0]
+        weird = np.asarray(x0) + 50.0
+        flags, logp, thr = small_fitter.detect_misspecification(
+            np.stack([np.asarray(x0), weird]))
+        assert not flags[0] and flags[1]
