@@ -38,6 +38,7 @@ from .dust import ATTENUATION_LAWS, attenuation_curve, greybody_emission
 from .features import FeatureConfig, FeaturePipeline, FeatureResult
 from .filter_arithmetic import FilterArithmeticParser
 from .filters import Filter, FilterSet, tophat_filter
+from .config import load_config, run_from_config
 from .fitter import SBIFitter
 from .flows import ConditionalFlow, build_flow
 from .grids import SPSGrid, make_synthetic_grid

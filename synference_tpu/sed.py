@@ -120,6 +120,15 @@ class BatchSEDSimulator:
         n_age_sub: sub-samples per grid age bin for SFH integration.
         compute_dtype: dtype of the spectra contraction matmul; bf16 halves
             HBM traffic on the hot op at <0.5% photometric error.
+        photometry_backend: "pallas" (TPU engine) | "xla" (portable exact
+            path) | "auto" (pallas on TPU).
+        photometry_variant: "interp" (default; knot-matmul + lerp, ~0.05%
+            median error, fastest) | "bank"/"roll" (exact Pallas kernels).
+        photometry_knot_delta: interp knot spacing in λ columns; None =
+            constant ~0.009 dex physical spacing (accuracy-validated,
+            keeps the knot matrix within the remote-compile size limit).
+        photometry_matmul_dtype: knot-matmul dtype; bf16 (default) adds
+            ~0.2% median rounding noise, float32 leaves lerp-only error.
     """
 
     def __init__(

@@ -145,3 +145,66 @@ class TestConvenienceMethods:
         flags, logp, thr = small_fitter.detect_misspecification(
             np.stack([np.asarray(x0), weird]))
         assert not flags[0] and flags[1]
+
+
+class TestConfigDriven:
+    """YAML-config training (reference SBICustomRunner.from_config,
+    custom_runner.py:101; examples/sbi/configs/best_params.yaml schema)."""
+
+    def _fitter(self):
+        rng = np.random.default_rng(2)
+        theta = rng.uniform(-1, 1, (1500, 2)).astype(np.float32)
+        x = (theta + 0.1 * rng.standard_normal((1500, 2))).astype(np.float32)
+        fitter = SBIFitter(photometry=np.abs(x) + 1.0, parameters=theta,
+                           parameter_names=("a", "b"),
+                           filter_codes=("F1", "F2"))
+        fitter.features = x
+        fitter.feature_params = theta
+        fitter.feature_source = np.arange(len(x))
+        fitter.feature_flags = None
+        return fitter
+
+    def test_reference_schema_yaml(self, tmp_path):
+        from synference_tpu.config import run_from_config
+
+        cfg_path = tmp_path / "best_params.yaml"
+        cfg_path.write_text(
+            "train_args:\n"
+            "  skip_optimization: True\n"
+            "  validation_fraction: 0.1\n"
+            "  fixed_params:\n"
+            "    model_choice: \"mdn\"\n"
+            "    learning_rate: 0.001\n"
+            "    training_batch_size: 128\n"
+            "    stop_after_epochs: 4\n"
+            "    clip_max_norm: 5.0\n"
+            "    mdn_hidden_features: 16\n"
+            "    mdn_num_components: 2\n"
+            f"max_epochs: 5\n"
+            f"output: {tmp_path / 'model.pkl'}\n")
+        fitter = run_from_config(str(cfg_path), fitter=self._fitter())
+        assert fitter.posterior is not None
+        assert fitter.flow.spec()["model"] == "mdn"
+        assert (tmp_path / "model.pkl").exists()
+        loaded = SBIFitter.load_saved_model(str(tmp_path / "model.pkl"))
+        assert loaded.flow.spec()["config"]["num_components"] == 2
+
+    def test_optuna_block(self, tmp_path):
+        from synference_tpu.config import run_from_config
+
+        cfg = {
+            "model_type": "mdn",
+            "max_epochs": 3,
+            "verbose": False,
+            "train_args": {
+                "skip_optimization": False,
+                "optuna": {
+                    "n_trials": 2,
+                    "build_final_model": True,
+                    "pruner": {"type": "Median", "n_startup_trials": 2},
+                },
+            },
+        }
+        fitter = run_from_config(cfg, fitter=self._fitter())
+        assert len(fitter.hpo_study.trials) == 2
+        assert fitter.posterior is not None
