@@ -244,19 +244,40 @@ def make_sospf(dim: int, context_dim: int, hidden_features: int = 50,
     lpow = np.arange(R + 1)
     inv_lm = jnp.asarray(1.0 / (lpow[:, None] + lpow[None, :] + 1.0),
                          jnp.float32)
-    lm_pow = jnp.asarray((lpow[:, None] + lpow[None, :] + 1),
-                         jnp.float32)
+
+    sat = 4.0  # saturation scale of the polynomial argument
 
     def transformer(xv, p):
-        a = p[..., : K * (R + 1)].reshape(p.shape[:-1] + (K, R + 1))
+        # Stability: the raw x^{2R+1} integral explodes through stacked
+        # transforms (x→1e3 in layer 1 ⇒ x⁵→1e15 in layer 2 ⇒ inf by
+        # layer 3 — NaN'd training at scale). Evaluate the polynomial on a
+        # SATURATING argument x̃ = B·tanh(x/B): the λ·x floor gives linear
+        # tails (NSF's identity-tail pattern), monotonicity is preserved
+        # (d/dx ∫P(x̃)² dx̃ = P(x̃)²·sech²(x/B) ≥ 0), and coefficients are
+        # tanh-bounded so the in-range curvature stays O(1).
+        a = 0.3 * jnp.tanh(
+            p[..., : K * (R + 1)].reshape(p.shape[:-1] + (K, R + 1)))
         c = p[..., K * (R + 1)]
-        lam = jax.nn.softplus(p[..., K * (R + 1) + 1]) + 1.0e-4
-        xpow = xv[..., None] ** jnp.arange(R + 1, dtype=jnp.float32)
-        x_lm = xv[..., None, None] ** lm_pow
+        # clamp the linear slope: an unbounded softplus(raw) cascades
+        # multiplicatively through stacked transforms (λ₁λ₂λ₃·x → inf)
+        lam = jax.nn.softplus(
+            jnp.clip(p[..., K * (R + 1) + 1], -10.0, 3.0)) + 1.0e-4
+        t = jnp.tanh(xv / sat)
+        xs = sat * t  # x̃ ∈ (−B, B)
+        # powers by iterated multiplication: jnp.power(x, float_k) lowers to
+        # exp(k·log x) paths whose GRADIENT is NaN at x = 0 (0·inf) and for
+        # negative bases on some backends — multiplies are clean everywhere
+        pows = [jnp.ones_like(xs)]
+        for _ in range(R):
+            pows.append(pows[-1] * xs)
+        xpow = jnp.stack(pows, axis=-1)  # (..., R+1), xs^0..xs^R
+        # x^{l+m+1} = x^l · x^m · x
+        x_lm = (xpow[..., :, None] * xpow[..., None, :]
+                * xs[..., None, None])
         quad = jnp.einsum("...kl,...km,...lm->...", a, a, inv_lm * x_lm)
         y = c + lam * xv + quad
         pk = jnp.einsum("...kl,...l->...k", a, xpow)
-        deriv = lam + jnp.sum(pk**2, axis=-1)
+        deriv = lam + jnp.sum(pk**2, axis=-1) * (1.0 - t**2)
         return y, jnp.log(deriv)
 
     return _make_autoregressive(dim, context_dim, n_p,
