@@ -69,18 +69,20 @@ def _ecod_scores(train, test):
     """ECOD (Li et al. 2022): per-dim empirical tail probabilities, summed
     −log left/right tails, skewness-selected — parameter-free."""
     n = train.shape[0]
+    # train-only quantities hoisted out of the per-dataset loop
+    sorted_cols = [np.sort(train[:, j]) for j in range(train.shape[1])]
+    skew = ((train - train.mean(0)) ** 3).mean(0) / np.maximum(
+        train.std(0) ** 3, 1e-12)
     scores = []
     for x in (train, test):
         left = np.stack([
-            np.searchsorted(np.sort(train[:, j]), x[:, j], side="right")
+            np.searchsorted(sorted_cols[j], x[:, j], side="right")
             for j in range(train.shape[1])], axis=1) / (n + 1)
         right = 1.0 - np.stack([
-            np.searchsorted(np.sort(train[:, j]), x[:, j], side="left")
+            np.searchsorted(sorted_cols[j], x[:, j], side="left")
             for j in range(train.shape[1])], axis=1) / (n + 1)
         o_l = -np.log(np.clip(left, 1.0 / (n + 1), 1.0))
         o_r = -np.log(np.clip(right, 1.0 / (n + 1), 1.0))
-        skew = ((train - train.mean(0)) ** 3).mean(0) / np.maximum(
-            train.std(0) ** 3, 1e-12)
         o_auto = np.where(skew[None, :] < 0, o_l, o_r)
         scores.append(np.maximum(np.maximum(o_l.sum(1), o_r.sum(1)),
                                  o_auto.sum(1)))

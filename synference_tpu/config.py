@@ -125,9 +125,11 @@ def run_from_config(config, fitter=None):
             best = dict(best)
             lr = best.pop("learning_rate", train_config.learning_rate)
             bs = best.pop("batch_size", train_config.batch_size)
-            best.pop("model_type", None)
+            # "zoo" searches the family itself: retrain with the WINNING
+            # model, not the meta-name (which build_flow would reject)
+            final_model = best.pop("model_type", model)
             fitter.run_single_sbi(
-                model_type=model, engine=engine, n_nets=n_nets,
+                model_type=final_model, engine=engine, n_nets=n_nets,
                 train_config=TrainConfig(
                     learning_rate=float(lr), batch_size=int(bs),
                     max_epochs=max_epochs,

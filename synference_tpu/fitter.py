@@ -623,6 +623,11 @@ class SBIFitter:
         `diagnostics.lc2st` for the returned statistics."""
         from .diagnostics import lc2st as _lc2st
 
+        if self._split is None or self.feature_params is None:
+            raise ValueError(
+                "lc2st needs library calibration pairs: run "
+                "create_feature_array + split_dataset first (fitters "
+                "restored via load_saved_model carry no library)")
         idx = self._split["test"][:n_cal]
         return _lc2st(self.posterior, self.feature_params[idx],
                       self.features[idx], np.asarray(x_obs), key=key,

@@ -21,9 +21,15 @@ __all__ = ["make_sharded_sampler", "sharded_sample_batch",
            "sharded_fit_catalogue"]
 
 
-def make_sharded_sampler(flow, params, mesh, axis_name: str = "data",
-                         n_samples: int = 1000):
-    """jit `flow.sample_batch` with the object axis sharded over the mesh.
+def make_sharded_sampler(posterior, mesh, axis_name: str = "data",
+                         n_samples: int = 1000, batched_rounds: int = 4):
+    """jit the posterior's support-aware batched sampler with the object
+    axis sharded over the mesh.
+
+    Uses `DirectPosterior.sample_batch_with_acceptance` semantics (reject
+    out-of-support rounds, clip pathological leakage onto the box faces) so
+    sharded results match the single-chip path exactly — sampling the raw
+    flow here would silently return out-of-prior parameter values.
 
     Returns fn(key, xs (M, C)) -> (M, n_samples, D) with M sharded;
     M must be divisible by the axis size (pad with `pad_objects`).
@@ -32,7 +38,9 @@ def make_sharded_sampler(flow, params, mesh, axis_name: str = "data",
     out_sharding = NamedSharding(mesh, P(axis_name, None, None))
 
     def fn(key, xs):
-        return flow.sample_batch(params, key, xs, n_samples)
+        samples, _ = posterior.sample_batch_with_acceptance(
+            key, xs, n_samples, batched_rounds)
+        return samples
 
     return jax.jit(fn, in_shardings=(None, in_sharding),
                    out_shardings=out_sharding)
@@ -59,8 +67,8 @@ def sharded_sample_batch(posterior, xs, mesh, n_samples: int = 1000,
     key = key if key is not None else jax.random.PRNGKey(0)
     n_dev = mesh.shape[axis_name]
     xs_pad, n = pad_objects(xs, n_dev)
-    fn = make_sharded_sampler(posterior.flow, posterior.params, mesh,
-                              axis_name=axis_name, n_samples=n_samples)
+    fn = make_sharded_sampler(posterior, mesh, axis_name=axis_name,
+                              n_samples=n_samples)
     xs_dev = jax.device_put(
         jnp.asarray(xs_pad, jnp.float32),
         NamedSharding(mesh, P(axis_name, None)))
@@ -83,10 +91,9 @@ def sharded_fit_catalogue(posterior, features, mesh, n_samples: int = 1000,
     q = jnp.asarray(quantiles, jnp.float32)
     in_sharding = NamedSharding(mesh, P(axis_name, None))
 
-    flow, params = posterior.flow, posterior.params
-
     def fn(k, xs):
-        s = flow.sample_batch(params, k, xs, n_samples)  # (M, S, D)
+        # support-aware sampling (see make_sharded_sampler)
+        s, _ = posterior.sample_batch_with_acceptance(k, xs, n_samples)
         return jnp.quantile(s, q, axis=1)  # (Q, M, D)
 
     fit = jax.jit(fn, in_shardings=(None, in_sharding))

@@ -292,6 +292,9 @@ class BatchSEDSimulator:
                 float(grid.lam[0]),
                 self._pallas_variant,
                 self._knot_delta,
+                # the interp table[1] is IGM-baked — omitting the model
+                # cross-contaminates sims with different emission.igm
+                self.emission.igm,
             )
             cached = _PALLAS_BANK_CACHE.get(cache_key)
             if cached is None:
@@ -749,7 +752,15 @@ class BatchSEDSimulator:
                 lam_l**2 / C_AA_S)
             return lum, flux, ew_rest, zp1
 
-        lum10_b, flux, ew_rest, zp1 = jax.vmap(one)(
+        # jitted + cached per line selection: un-jitted vmap dispatches
+        # op-by-op (~3 ms/dispatch over the axon tunnel), and library
+        # generation calls this once per chunk
+        cache = self.__dict__.setdefault("_lq_jit_cache", {})
+        fn = cache.get(tuple(ids))
+        if fn is None:
+            fn = jax.jit(jax.vmap(one))
+            cache[tuple(ids)] = fn
+        lum10_b, flux, ew_rest, zp1 = fn(
             jnp.atleast_2d(jnp.asarray(theta, jnp.float32)))
         return {
             "ids": ids,

@@ -307,3 +307,32 @@ class TestInterpVariant:
             rel = np.abs(pi - px) / np.maximum(np.abs(px), 1e-3 * scale)
             errs[d] = np.quantile(rel[sig], 0.95)
         assert errs[2] < 0.5 * errs[8]
+
+
+def test_interp_cache_not_contaminated_across_igm_models():
+    """Regression: the IGM-baked knot matrix must not be shared between
+    simulators with different emission.igm on the same grid/filters (the
+    cache key once omitted the IGM model, so an igm='none' sim silently
+    reused an Inoue14-baked table)."""
+    import numpy as np
+
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+    fs = st.FilterSet([st.tophat_filter("F090W", 9000.0, 2000.0)])
+    kw = dict(grid=grid, filters=fs,
+              param_names=("log10_mass", "redshift", "peak_age", "tau",
+                           "log10_metallicity", "tau_v"),
+              sfh="lognormal", zdist="delta")
+    sim_igm = st.BatchSEDSimulator(
+        photometry_backend="pallas",
+        emission=st.EmissionConfig(igm="inoue14"), **kw)
+    sim_none = st.BatchSEDSimulator(
+        photometry_backend="pallas",
+        emission=st.EmissionConfig(igm="none"), **kw)
+    # z=6: the blue half of the 9000 Å band is in the Lyα forest — the
+    # band-averaged IGM suppression is ~20-30%
+    theta = np.array([[9.5, 6.0, 3e8, 0.5, -2.5, 0.0]], np.float32)
+    p_igm = float(np.asarray(sim_igm.photometry(theta))[0, 0])
+    p_none = float(np.asarray(sim_none.photometry(theta))[0, 0])
+    assert p_none > 1.15 * p_igm, (p_none, p_igm)

@@ -150,10 +150,13 @@ class TestShardedSampling:
         s_sh = sharded_sample_batch(post, xs, mesh, n_samples=500,
                                     key=jax.random.PRNGKey(5))
         assert s_sh.shape == (16, 500, 2)
-        s_single = np.asarray(post.flow.sample_batch(
-            post.params, jax.random.PRNGKey(5), jnp.asarray(xs), 500))
-        # same program, same key: identical draws regardless of sharding
+        s_single = np.asarray(post.sample_batch(
+            jax.random.PRNGKey(5), jnp.asarray(xs), 500))
+        # same support-aware program, same key: identical draws
         np.testing.assert_allclose(s_sh, s_single, atol=2e-5)
+        # and every sample respects the prior box (flow leakage clipped)
+        assert (s_sh >= np.asarray(post.prior.low) - 1e-6).all()
+        assert (s_sh <= np.asarray(post.prior.high) + 1e-6).all()
 
     def test_sharded_sampling_pads_ragged_objects(self):
         from synference_tpu.parallel import sharded_sample_batch
@@ -174,8 +177,7 @@ class TestShardedSampling:
         # medians must be ordered within the 16/50/84 quantile triple
         assert (q[:, 0] <= q[:, 1]).all() and (q[:, 1] <= q[:, 2]).all()
         # and match the unsharded program's quantiles (same key, same draws)
-        s = np.asarray(post.flow.sample_batch(
-            post.params, jax.random.PRNGKey(9),
-            jnp.asarray(x[:11]), 400))
+        s = np.asarray(post.sample_batch(
+            jax.random.PRNGKey(9), jnp.asarray(x[:11]), 400))
         q_ref = np.quantile(s, [0.16, 0.5, 0.84], axis=1)
         np.testing.assert_allclose(q, np.moveaxis(q_ref, 0, 1), atol=1e-4)
