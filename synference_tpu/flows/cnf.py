@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .mlp import mlp_apply, mlp_init
+
 __all__ = ["make_cnf"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -42,17 +44,8 @@ def make_cnf(dim: int, context_dim: int, hidden_features: int = 64,
     def init(key):
         sizes = ([dim + context_dim + t_feats]
                  + [hidden_features] * n_layers + [dim])
-        keys = jax.random.split(key, len(sizes) - 1)
-        layers = []
-        for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
-            scale = np.sqrt(2.0 / a)
-            layers.append({
-                "w": scale * jax.random.normal(keys[i], (b, a)),
-                "b": jnp.zeros(b),
-            })
         # zero-init output layer: the flow starts as the identity map
-        layers[-1]["w"] = jnp.zeros_like(layers[-1]["w"])
-        return {"layers": layers}
+        return {"layers": mlp_init(key, sizes)}
 
     def _t_embed(t, batch_shape):
         if time_embed > 0:
@@ -64,11 +57,7 @@ def make_cnf(dim: int, context_dim: int, hidden_features: int = 64,
     def field(params, h, t, x):
         """Velocity f(h, t, x): (B, D) -> (B, D)."""
         z = jnp.concatenate([h, x, _t_embed(t, h.shape[:-1])], axis=-1)
-        for i, layer in enumerate(params["layers"]):
-            z = z @ layer["w"].T + layer["b"]
-            if i < len(params["layers"]) - 1:
-                z = jnp.tanh(z)
-        return z
+        return mlp_apply(params["layers"], z, activation=jnp.tanh)
 
     eye = jnp.eye(dim)
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .made import MADE_apply, MADE_init
+from .mlp import mlp_apply, mlp_init
 
 __all__ = ["make_naf", "make_unaf", "make_sospf", "make_gf"]
 
@@ -183,25 +184,14 @@ def make_unaf(dim: int, context_dim: int, hidden_features: int = 50,
     weights = jnp.asarray(weights, jnp.float32)
 
     def g_init(key):
-        sizes = [1 + E, integrand_hidden, integrand_hidden, 1]
-        keys = jax.random.split(key, len(sizes) - 1)
-        layers = []
-        for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
-            scale = np.sqrt(2.0 / a)
-            layers.append({
-                "w": scale * jax.random.normal(keys[i], (b, a)),
-                "b": jnp.zeros(b),
-            })
-        return layers
+        return mlp_init(key, [1 + E, integrand_hidden, integrand_hidden, 1],
+                        zero_last=False)
 
     def g_apply(gp, t, h):
         # t (..., Q), h (..., E) -> positive integrand (..., Q)
         hq = jnp.broadcast_to(h[..., None, :], t.shape + (h.shape[-1],))
         z = jnp.concatenate([t[..., None], hq], axis=-1)
-        for i, layer in enumerate(gp):
-            z = z @ layer["w"].T + layer["b"]
-            if i < len(gp) - 1:
-                z = jnp.tanh(z)
+        z = mlp_apply(gp, z, activation=jnp.tanh)
         return jax.nn.elu(z[..., 0]) + 1.0 + 1.0e-4
 
     def extra_init(key):
@@ -299,25 +289,12 @@ def make_gf(dim: int, context_dim: int, hidden_features: int = 50,
     n_p = 3 * K  # per-dim: weights, means, log-scales
 
     def hyper_init(key):
-        sizes = ([max(context_dim, 1)] + [hidden_features] * n_layers
-                 + [dim * n_p])
-        keys = jax.random.split(key, len(sizes) - 1)
-        layers = []
-        for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
-            scale = np.sqrt(2.0 / a)
-            layers.append({
-                "w": scale * jax.random.normal(keys[i], (b, a)),
-                "b": jnp.zeros(b),
-            })
-        layers[-1]["w"] = jnp.zeros_like(layers[-1]["w"])
-        return layers
+        return mlp_init(key, [max(context_dim, 1)]
+                        + [hidden_features] * n_layers + [dim * n_p])
 
     def hyper_apply(hp, x):
         h = x if context_dim > 0 else jnp.ones(x.shape[:-1] + (1,))
-        for i, layer in enumerate(hp):
-            h = h @ layer["w"].T + layer["b"]
-            if i < len(hp) - 1:
-                h = jax.nn.relu(h)
+        h = mlp_apply(hp, h)
         return h.reshape(h.shape[:-1] + (dim, n_p))
 
     eps = 1.0e-6

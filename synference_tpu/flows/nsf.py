@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .mlp import mlp_apply, mlp_init
+
 __all__ = ["make_nsf", "make_ncsf", "rqs_forward", "rqs_inverse"]
 
 _MIN_W = 1.0e-3  # min bin width/height fraction
@@ -150,25 +152,11 @@ def rqs_inverse(y, raw, n_bins, tail_bound, circular=False):
 
 
 def _mlp_init(key, n_in, n_out, hidden, n_layers):
-    sizes = [n_in] + [hidden] * n_layers + [n_out]
-    params = []
-    keys = jax.random.split(key, len(sizes) - 1)
-    for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
-        scale = np.sqrt(2.0 / a)
-        w = scale * jax.random.normal(keys[i], (b, a))
-        params.append({"w": w, "b": jnp.zeros(b)})
-    # zero-init final layer -> identity flow at start
-    params[-1]["w"] = jnp.zeros_like(params[-1]["w"])
-    return params
+    # zero-init final layer -> identity flow at start (see flows/mlp.py)
+    return mlp_init(key, [n_in] + [hidden] * n_layers + [n_out])
 
 
-def _mlp_apply(params, x):
-    h = x
-    for i, layer in enumerate(params):
-        h = h @ layer["w"].T + layer["b"]
-        if i < len(params) - 1:
-            h = jax.nn.relu(h)
-    return h
+_mlp_apply = mlp_apply
 
 
 def make_affine_coupling(dim: int, context_dim: int,
