@@ -1,4 +1,9 @@
 """Compare photometry variants on TPU: roll/bank vs interp at several deltas."""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
 import numpy as np

@@ -1,5 +1,10 @@
 """Verify drive: exercise the package end-to-end on the real TPU,
 including this session's new surface (zoo flows, SNLE/SNRE)."""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp
