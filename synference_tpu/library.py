@@ -388,7 +388,16 @@ class LibraryGenerator:
             if ci < start_chunk:
                 continue
             out = batch_fn(theta_pad[i : i + batch_size])
-            phot_chunks.append(np.asarray(out["photometry_njy"]))
+            # photometry-only, no resume: keep the DEVICE array — converting
+            # here forces a host sync per chunk, serializing dispatch with
+            # the tunnel round-trip; deferring lets the device run ahead
+            # (HBM cost is just (n, F) floats). Spectra/resume paths still
+            # need host copies per chunk.
+            defer = (resume_path is None and not want_spectra
+                     and not self.supplementary)
+            phot_chunks.append(
+                out["photometry_njy"] if defer
+                else np.asarray(out["photometry_njy"]))
             if want_spectra:
                 if self.spectral_pipeline is not None:
                     z_col = list(sim.param_names).index("redshift")
@@ -436,7 +445,8 @@ class LibraryGenerator:
             if os.path.exists(resume_path):  # legacy single-file checkpoint
                 os.remove(resume_path)
 
-        photometry = np.concatenate(phot_chunks, axis=0)[:n]
+        photometry = np.concatenate(
+            [np.asarray(c) for c in phot_chunks], axis=0)[:n]
         result = {
             "parameters": theta.T,  # (P, N) reference convention
             "parameter_names": list(sim.param_names),
