@@ -68,7 +68,8 @@ class AGNSimulator(BatchSEDSimulator):
         # multiply 1e30 bolometric scale; split to stay in fp32 range
         return (l_bol30 * 1.0e15) * (lnu_unit * 1.0e15)
 
-    def _core(self, theta_row, want_spectra: bool, fused: bool = False):
+    def _core(self, theta_row, want_spectra: bool, fused: bool = False,
+              row_idx=None):
         params = self.theta_dict(theta_row)
         lnu = self._agn_lnu(params)
         tau_v = params.get("tau_v", jnp.asarray(0.0))
@@ -84,7 +85,7 @@ class AGNSimulator(BatchSEDSimulator):
             out["lnu_intrinsic"] = lnu
             # no stellar populations: zero SFH/SFZH placeholders
             out["sfh_mass"] = jnp.zeros(self.grid.n_ages)
-            out["sfzh"] = jnp.zeros(self.grid.n_ages * self.grid.n_mets)
+            out["sfzh"] = jnp.zeros(self.grid.n_ages * self.grid.cells_per_age)
         return out
 
 

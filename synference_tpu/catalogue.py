@@ -307,7 +307,8 @@ def fit_catalogue(
     n_samples: int = 1000,
     quantiles=(0.16, 0.5, 0.84),
     check_ood: bool = True,
-    ood_methods=("mahalanobis", "iforest"),
+    ood_methods=("mahalanobis", "iforest", "lof", "elliptic",
+                 "ecod", "hbos", "knn", "pca"),
     missing_data_handler: MissingPhotometryHandler | None = None,
     key=None,
 ):
@@ -353,6 +354,14 @@ def fit_catalogue(
             )
         )
         out["n_missing"] = np.asarray(missing_mask).sum(axis=1).astype(int)
+    elif hasattr(fitter.posterior, "sample_batch_with_acceptance"):
+        samples, acc = fitter.posterior.sample_batch_with_acceptance(
+            key, jnp.asarray(feats), n_samples
+        )
+        samples = np.asarray(samples)
+        # in-support fraction of raw flow draws per object: values well
+        # below 1 flag posterior leakage clipped onto the prior faces
+        out["sampling_acceptance"] = np.asarray(acc)
     else:
         samples = np.asarray(
             fitter.posterior.sample_batch(key, jnp.asarray(feats), n_samples)

@@ -36,6 +36,27 @@ def _as_rows(arr, n_names):
     return arr
 
 
+def _supp_scale_mask(scale_supplementary, supp_names):
+    """(n_supp,) bool mask of which supplementary columns mass-scale.
+
+    The reference scales only flux/luminosity-like quantities when
+    renormalizing masses (unyt-dispatched, library.py:3865-3881). Without
+    unit plumbing the selection is explicit: True/False applies to every
+    column; an iterable of names scales exactly those (e.g. line fluxes but
+    not M_UV — mixing mag-like and flux-like columns under one flag would
+    silently corrupt one group).
+    """
+    if isinstance(scale_supplementary, (list, tuple, set, frozenset)):
+        sel = set(scale_supplementary)
+        unknown = sel - set(supp_names)
+        if unknown:
+            raise ValueError(
+                f"scale_supplementary names {sorted(unknown)} not in "
+                f"supplementary columns {list(supp_names)}")
+        return np.array([n in sel for n in supp_names], bool)
+    return np.full(len(supp_names), bool(scale_supplementary))
+
+
 def _base_setup(libraries, base_names, redshift_param, mass_params,
                 log_base_masses):
     """Normalize per-base inputs -> list of dicts with unit-mass photometry."""
@@ -130,9 +151,11 @@ def combine_libraries(
             `mass_params`.
         mass_params: optional per-base parameter name holding each row's
             log10 mass (overrides log_base_masses for that base).
-        scale_supplementary: scale supplementary parameters by the same
-            mass factor (the reference scales flux-like ones,
-            library.py:3865-3881 — pass False if yours are not flux-like).
+        scale_supplementary: which supplementary parameters scale by the
+            same mass factor (the reference scales flux-like ones,
+            library.py:3865-3881). True/False = all/none; an iterable of
+            names scales exactly those columns (use this when mixing
+            flux-like quantities with mag-like ones such as M_UV).
 
     Returns the combined library dict ((F, N)/(P, N) convention); parameter
     columns are [redshift, log_mass, weight_fraction?, base varying params].
@@ -156,6 +179,7 @@ def combine_libraries(
     )
     n_filt = len(filter_codes)
     supp_names = bases[0]["supp_names"]
+    supp_mask = _supp_scale_mask(scale_supplementary, supp_names)
 
     param_columns = [redshift_param, mass_name]
     if n_bases > 1:
@@ -205,10 +229,11 @@ def combine_libraries(
             )
             if supp is not None:
                 s = b["supp"][:, rows][:, None, :]
-                if scale_supplementary:
-                    s = (s / b["m_base"][rows][None, None, :]) * (
+                if supp_mask.any():
+                    s_scaled = (s / b["m_base"][rows][None, None, :]) * (
                         mw_scale[None, :, i, None]
                     )
+                    s = np.where(supp_mask[:, None, None], s_scaled, s)
                 supp = supp + s
             for prow in b["params"][:, rows]:
                 par_cols.append(np.broadcast_to(prow[None, :],
@@ -288,6 +313,7 @@ def combine_libraries_matched(
     scale = (10.0 ** log_m)[:, None] * weights  # (N, n_bases)
 
     supp_names = bases[0]["supp_names"]
+    supp_mask = _supp_scale_mask(scale_supplementary, supp_names)
     phot = np.zeros((len(filter_codes), n), np.float64)
     supp = (
         np.zeros((len(supp_names), n), np.float64) if supp_names else None
@@ -300,10 +326,8 @@ def combine_libraries_matched(
     for i, b in enumerate(bases):
         phot += b["phot_unit"] * scale[None, :, i]
         if supp is not None:
-            supp += (
-                (b["supp"] / b["m_base"][None, :]) * scale[None, :, i]
-                if scale_supplementary else b["supp"]
-            )
+            s_scaled = (b["supp"] / b["m_base"][None, :]) * scale[None, :, i]
+            supp += np.where(supp_mask[:, None], s_scaled, b["supp"])
         par_cols.extend(list(b["params"]))
         param_columns.extend(b["param_names"])
 

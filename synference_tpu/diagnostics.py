@@ -279,6 +279,16 @@ def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
         report["sampling_acceptance_mean"] = float(acceptance.mean())
         report["sampling_acceptance_min"] = float(acceptance.min())
         report["frac_clipped"] = float(1.0 - acceptance.mean())
+        # leakage-corrected log-prob: the truncated-posterior normalizer is
+        # Z(x) = P(flow draw in support) — exactly the acceptance already
+        # measured — so lp_norm = lp − log Z. Without this, mean_log_prob
+        # comparisons between flows of different leakage are biased by
+        # their differing unnormalized mass inside the box.
+        if finite.any():
+            lp_norm = lp[finite] - np.log(
+                np.maximum(acceptance[finite], 1.0e-6)
+            )
+            report["mean_log_prob_normalized"] = float(lp_norm.mean())
         if acceptance.min() < 0.5:
             import warnings
 
@@ -430,7 +440,10 @@ def lc2st(posterior, theta_cal, x_cal, x_obs, key=None, n_null: int = 20,
     stats, probs = stats_for(all_params)
     stats = np.asarray(stats)
     stat, null_stats = float(stats[0]), stats[1:]
-    p_value = float((null_stats >= stat).mean())
+    # +1 correction (standard permutation-test convention): the observed
+    # statistic counts as one of the permutations, so p can never be
+    # exactly 0 with a finite null
+    p_value = float((1 + (null_stats >= stat).sum()) / (1 + len(null_stats)))
     return {
         "stat": stat,
         "null_stats": null_stats,

@@ -59,8 +59,13 @@ class FeatureConfig:
             string: softening = flux of the (depth/level)-sigma noise × N
             (reference SNR-based resolution, sbi_runner.py:1613-1676).
         n_scatters: noise realizations per library row (rows repeated).
-        depths_ab: per-filter AB depths for depth-based scattering (used when
-            no explicit noise models are supplied).
+        depths_ab: AB depths for depth-based scattering (used when no
+            explicit noise models are supplied). Either a per-filter 1-D
+            tuple, or a 2-D tuple-of-tuples (k sets × F filters): each
+            scattered row then draws one depth set at random — the
+            reference's multi-depth-set mode for surveys with
+            field-to-field depth variation (`_apply_depths`,
+            sbi_runner.py:580-691).
         depth_sigma_level: the sigma level the depths refer to.
         min_pct_error: error floor as a fraction of flux (reference
             min percentage error, sbi_runner.py:580-691).
@@ -117,7 +122,12 @@ class FeatureConfig:
                 else self.asinh_softening_njy
             ),
             "n_scatters": self.n_scatters,
-            "depths_ab": list(self.depths_ab) if self.depths_ab else None,
+            "depths_ab": (
+                [list(row) for row in self.depths_ab]
+                if self.depths_ab and isinstance(
+                    self.depths_ab[0], (tuple, list))
+                else (list(self.depths_ab) if self.depths_ab else None)
+            ),
             "depth_sigma_level": self.depth_sigma_level,
             "min_pct_error": self.min_pct_error,
             "include_errors": self.include_errors,
@@ -146,7 +156,10 @@ class FeatureConfig:
             tuple(soft) if isinstance(soft, list) else soft
         )
         dep = d.get("depths_ab")
-        d["depths_ab"] = tuple(dep) if dep else None
+        if dep and isinstance(dep[0], (tuple, list)):
+            d["depths_ab"] = tuple(tuple(row) for row in dep)
+        else:
+            d["depths_ab"] = tuple(dep) if dep else None
         d["missing_flux_options"] = tuple(
             tuple(m) for m in d.get("missing_flux_options", ())
         )
@@ -189,12 +202,29 @@ class FeaturePipeline:
             [list(config.filter_codes).index(c) for c in keep]
         )
         self.noise_models = dict(noise_models or {})
+        self._depth_sets_njy = None  # (k, F') sigma table for 2-D depths
         if not self.noise_models and config.depths_ab is not None:
-            depths = dict(zip(config.filter_codes, config.depths_ab))
-            self.noise_models = {
-                c: DepthNoiseModel(depths[c], config.depth_sigma_level)
-                for c in keep
-            }
+            if isinstance(config.depths_ab[0], (tuple, list)):
+                # multi-depth-set mode: per scattered row one set is drawn
+                # at random (reference `_apply_depths` 2-D branch,
+                # sbi_runner.py:625-650) — vectorized as a (k, F') sigma
+                # table gathered per row, no per-object model objects
+                sets = np.asarray(config.depths_ab, np.float64)
+                if sets.shape[1] != len(config.filter_codes):
+                    raise ValueError(
+                        f"2-D depths_ab must be (k, {len(config.filter_codes)}); "
+                        f"got {sets.shape}")
+                self._depth_sets_njy = np.stack([
+                    [float(U.ab_depth_to_sigma_njy(
+                        d, config.depth_sigma_level)) for d in row]
+                    for row in sets
+                ])[:, self._keep_idx]
+            else:
+                depths = dict(zip(config.filter_codes, config.depths_ab))
+                self.noise_models = {
+                    c: DepthNoiseModel(depths[c], config.depth_sigma_level)
+                    for c in keep
+                }
         self._softening = self._resolve_softening()
 
     # ------------------------------------------------------------------
@@ -209,6 +239,10 @@ class FeaturePipeline:
             level = float(s.split("_")[1])
             if cfg.depths_ab is None:
                 raise ValueError("snr-based softening requires depths_ab")
+            if self._depth_sets_njy is not None:
+                # multi-set depths: soften at the per-filter mean noise
+                # level across sets (one softening must serve every set)
+                return self._depth_sets_njy.mean(axis=0) * level
             depths = dict(zip(cfg.filter_codes, cfg.depths_ab))
             return np.array(
                 [
@@ -237,6 +271,17 @@ class FeaturePipeline:
         cfg = self.config
         s = cfg.n_scatters
         tiled = jnp.tile(phot_njy, (s, 1))
+        if self._depth_sets_njy is not None:
+            k_set, k_noise = jax.random.split(key)
+            sets = jnp.asarray(self._depth_sets_njy, jnp.float32)
+            choice = jax.random.randint(
+                k_set, (tiled.shape[0],), 0, sets.shape[0])
+            sigma = sets[choice]  # (S*N, F')
+            if cfg.min_pct_error > 0:
+                sigma = jnp.maximum(sigma,
+                                    cfg.min_pct_error * jnp.abs(tiled))
+            noisy = tiled + sigma * jax.random.normal(k_noise, tiled.shape)
+            return noisy, sigma
         if not self.noise_models:
             return tiled, None
         cols, sigs = [], []

@@ -22,21 +22,29 @@ import h5py
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SPSGrid", "make_synthetic_grid"]
+__all__ = ["SPSGrid", "make_synthetic_grid", "make_synthetic_multiaxis_grid"]
 
 
 @dataclass
 class SPSGrid:
-    """An (age, metallicity, wavelength) SPS model grid.
+    """An (age, metallicity, *extra axes, wavelength) SPS model grid.
 
     Attributes:
         name: grid identifier (e.g. "bpass-2.2.1-bin_chabrier03-0.1,300.0").
         log10_ages: (A,) log10(age/yr), ascending.
         metallicities: (Z,) absolute metallicities, ascending.
         lam: (L,) rest-frame wavelengths [Angstrom], ascending.
-        spectra: dict spectra-type -> (A, Z, L) float32, erg/s/Hz/Msun.
-            Synthesizer-compatible type names: "incident", "transmitted",
-            "nebular", "total".
+        spectra: dict spectra-type -> (A, Z, *extra, L) float32,
+            erg/s/Hz/Msun. Synthesizer-compatible type names: "incident",
+            "transmitted", "nebular", "total".
+        extra_axes: ordered {name: (n_i,) ascending values} for any axes
+            beyond (age, Z) — Cloudy-processed Synthesizer grids carry e.g.
+            ionization parameter or α-enhancement (the reference inherits
+            N-axis support from `synthesizer.grid.Grid`,
+            reference library.py:2562-2619). Extra axes appear in `spectra`
+            between the metallicity and wavelength axes, in dict order.
+            Fix them at load (`fix_axes`) or expose them as θ parameters
+            (BatchSEDSimulator interpolates along them per galaxy).
     """
 
     name: str
@@ -44,6 +52,7 @@ class SPSGrid:
     metallicities: np.ndarray
     lam: np.ndarray
     spectra: dict = field(default_factory=dict)
+    extra_axes: dict = field(default_factory=dict)
     # optional Cloudy line tables (Synthesizer grids carry a `lines/` group;
     # the reference records per-galaxy line quantities from them via
     # pipeline.get_lines/get_observed_lines, reference library.py:2611-2612):
@@ -83,6 +92,75 @@ class SPSGrid:
     def log10_metallicities(self) -> np.ndarray:
         return np.log10(self.metallicities)
 
+    @property
+    def extra_axis_names(self) -> tuple:
+        return tuple(self.extra_axes.keys())
+
+    @property
+    def n_extra_cells(self) -> int:
+        n = 1
+        for v in self.extra_axes.values():
+            n *= len(v)
+        return n
+
+    @property
+    def cells_per_age(self) -> int:
+        """Grid cells sharing one age bin: n_mets × extra-axis cells (the
+        flat SFZH vector has n_ages × cells_per_age entries)."""
+        return self.n_mets * self.n_extra_cells
+
+    def fix_axes(self, values: dict) -> "SPSGrid":
+        """Collapse extra axes at fixed values by linear interpolation.
+
+        Args:
+            values: {axis_name: value}; each named axis is removed from the
+                returned grid, its spectra (and line tables) lerped between
+                the two bracketing grid points (clamped at the ends).
+        """
+        unknown = set(values) - set(self.extra_axes)
+        if unknown:
+            raise KeyError(
+                f"axes {sorted(unknown)} not in grid extra axes "
+                f"{self.extra_axis_names}")
+        grid = self
+        for name, val in values.items():
+            ax_names = grid.extra_axis_names
+            pos = 2 + ax_names.index(name)  # spectra axis position
+            vals = np.asarray(grid.extra_axes[name], np.float64)
+            j = int(np.clip(np.searchsorted(vals, val) - 1, 0,
+                            max(len(vals) - 2, 0)))
+            if len(vals) == 1:
+                frac = 0.0
+            else:
+                frac = float(np.clip(
+                    (val - vals[j]) / (vals[j + 1] - vals[j]), 0.0, 1.0))
+
+            def lerp_axis(arr, axis):
+                lo = np.take(arr, j, axis=axis)
+                hi = np.take(arr, min(j + 1, arr.shape[axis] - 1), axis=axis)
+                return ((1.0 - frac) * lo + frac * hi).astype(arr.dtype)
+
+            new_spectra = {
+                t: lerp_axis(s, pos) for t, s in grid.spectra.items()
+            }
+            new_lines = None
+            if grid.lines is not None:
+                new_lines = dict(grid.lines)
+                for k in ("luminosity", "continuum"):
+                    new_lines[k] = lerp_axis(grid.lines[k], pos)
+            new_extra = {k: v for k, v in grid.extra_axes.items()
+                         if k != name}
+            grid = SPSGrid(
+                name=grid.name,
+                log10_ages=grid.log10_ages,
+                metallicities=grid.metallicities,
+                lam=grid.lam,
+                spectra=new_spectra,
+                extra_axes=new_extra,
+                lines=new_lines,
+            )
+        return grid
+
     def spectra_device(self, stype: str = "incident", dtype=jnp.float32):
         """Grid spectra as a device array reshaped (A*Z, L) for contraction."""
         s = self.spectra[stype]
@@ -117,35 +195,76 @@ class SPSGrid:
             metallicities=self.metallicities,
             lam=new_lam,
             spectra=new_spectra,
+            extra_axes=self.extra_axes,
             lines=self.lines,  # λ-grid independent
         )
 
     # ------------------------------------------------------------------
+    # axis-name vocabularies (Synthesizer grids vary in spelling)
+    _AGE_AXIS_NAMES = ("ages", "age")
+    _LOG_AGE_AXIS_NAMES = ("log10ages", "log10age")
+    _MET_AXIS_NAMES = ("metallicities", "metallicity")
+
     @classmethod
-    def from_hdf5(cls, path: str, spectra_types: tuple = None) -> "SPSGrid":
-        """Load a Synthesizer-format grid HDF5.
+    def from_hdf5(cls, path: str, spectra_types: tuple = None,
+                  fixed_axes: dict | None = None) -> "SPSGrid":
+        """Load a Synthesizer-format grid HDF5, including N-axis grids.
 
         Layout (as consumed by the reference via `synthesizer.grid.Grid`):
-        `axes` file attr lists axis names; datasets under `axes/`
-        ("ages" [yr] or "log10ages"/"log10age", "metallicities"/"metallicity");
+        `axes` file attr lists axis names IN STORAGE ORDER; datasets under
+        `axes/` ("ages" [yr] or "log10ages"/"log10age",
+        "metallicities"/"metallicity", plus any extra Cloudy axes such as
+        "ionisation_parameter" or "alpha_enhancement");
         `spectra/wavelength` [Angstrom]; each other dataset under `spectra/`
-        is a spectra type with shape (A, Z, L).
+        is a spectra type with one axis per `axes` entry plus trailing λ.
+        Spectra are normalized to (age, Z, *extra, L) regardless of the
+        file's axis order.
+
+        Args:
+            fixed_axes: optional {axis_name: value} — collapse those extra
+                axes at load by interpolation (see `fix_axes`).
         """
         with h5py.File(path, "r") as f:
             axes_grp = f["axes"]
+            declared = [
+                a.decode() if isinstance(a, bytes) else str(a)
+                for a in np.atleast_1d(f.attrs.get(
+                    "axes", list(axes_grp.keys())))
+            ]
 
-            def _axis(*names):
-                for n in names:
-                    if n in axes_grp:
-                        return np.asarray(axes_grp[n][:], dtype=np.float64)
-                raise KeyError(f"none of {names} in axes/ of {path}")
+            def _read_axis(n):
+                return np.asarray(axes_grp[n][:], dtype=np.float64)
 
-            try:
-                ages = _axis("ages", "age")
-                log10_ages = np.log10(ages)
-            except KeyError:
-                log10_ages = _axis("log10ages", "log10age")
-            mets = _axis("metallicities", "metallicity")
+            age_pos = met_pos = None
+            log10_ages = mets = None
+            extra = {}
+            for pos, ax in enumerate(declared):
+                if ax in cls._AGE_AXIS_NAMES:
+                    age_pos, log10_ages = pos, np.log10(_read_axis(ax))
+                elif ax in cls._LOG_AGE_AXIS_NAMES:
+                    age_pos, log10_ages = pos, _read_axis(ax)
+                elif ax in cls._MET_AXIS_NAMES:
+                    met_pos, mets = pos, _read_axis(ax)
+                else:
+                    extra[ax] = _read_axis(ax)
+            if log10_ages is None or mets is None:
+                raise KeyError(
+                    f"grid {path} axes {declared} lack an age or "
+                    "metallicity axis")
+            # destination order: age, Z, extras in declared order
+            extra_pos = [p for p, ax in enumerate(declared)
+                         if ax not in cls._AGE_AXIS_NAMES
+                         and ax not in cls._LOG_AGE_AXIS_NAMES
+                         and ax not in cls._MET_AXIS_NAMES]
+            src_order = [age_pos, met_pos, *extra_pos]
+
+            def _normalize(arr):
+                if arr.ndim != len(declared) + 1:
+                    raise ValueError(
+                        f"spectra array rank {arr.ndim} does not match "
+                        f"{len(declared)} declared axes + wavelength")
+                return np.ascontiguousarray(np.transpose(
+                    arr, (*src_order, arr.ndim - 1)))
 
             spec_grp = f["spectra"]
             lam = np.asarray(spec_grp["wavelength"][:], dtype=np.float64)
@@ -153,18 +272,29 @@ class SPSGrid:
                 k for k in spec_grp.keys() if k != "wavelength"
             ]
             spectra = {
-                t: np.asarray(spec_grp[t][:], dtype=np.float32) for t in types
+                t: _normalize(np.asarray(spec_grp[t][:], dtype=np.float32))
+                for t in types
             }
             name = str(f.attrs.get("grid_name", path.rsplit("/", 1)[-1]))
             lines = cls._read_lines(f)
-        return cls(
+            if lines is not None and lines["luminosity"].ndim > 2:
+                lines = dict(lines)
+                for k in ("luminosity", "continuum"):
+                    arr = lines[k]
+                    lines[k] = np.ascontiguousarray(np.transpose(
+                        arr, (*src_order, arr.ndim - 1)))
+        grid = cls(
             name=name,
             log10_ages=log10_ages,
             metallicities=mets,
             lam=lam,
             spectra=spectra,
+            extra_axes=extra,
             lines=lines,
         )
+        if fixed_axes:
+            grid = grid.fix_axes(fixed_axes)
+        return grid
 
     @staticmethod
     def _read_lines(f) -> dict | None:
@@ -182,8 +312,12 @@ class SPSGrid:
             lum = np.asarray(grp["luminosity"][:], np.float32)
             cont = np.asarray(grp["continuum"][:], np.float32)
             wav = np.asarray(grp["wavelength"][:], np.float64)
-            if lum.shape[0] == len(ids) and lum.ndim == 3:
-                # lines-first layout -> lines-last
+            if (lum.ndim >= 3 and lum.shape[0] == len(ids)
+                    and lum.shape[-1] != len(ids)):
+                # lines-first layout -> lines-last. The trailing-axis check
+                # disambiguates grids where n_ages coincidentally equals the
+                # line count (ambiguous shapes are left as lines-last, the
+                # layout this writer produces).
                 lum = np.moveaxis(lum, 0, -1)
                 cont = np.moveaxis(cont, 0, -1)
             return {"ids": ids, "wavelength": wav,
@@ -210,11 +344,14 @@ class SPSGrid:
 
     def to_hdf5(self, path: str) -> None:
         with h5py.File(path, "w") as f:
-            f.attrs["axes"] = ["ages", "metallicities"]
+            f.attrs["axes"] = ["ages", "metallicities",
+                               *self.extra_axis_names]
             f.attrs["grid_name"] = self.name
             ax = f.create_group("axes")
             ax.create_dataset("ages", data=self.ages_yr)
             ax.create_dataset("metallicities", data=self.metallicities)
+            for k, v in self.extra_axes.items():
+                ax.create_dataset(k, data=np.asarray(v))
             sp = f.create_group("spectra")
             sp.create_dataset("wavelength", data=self.lam)
             for t, s in self.spectra.items():
@@ -329,4 +466,99 @@ def make_synthetic_grid(
             "luminosity": lum_tab,
             "continuum": cont_tab,
         },
+    )
+
+
+def make_synthetic_multiaxis_grid(
+    n_u: int = 5,
+    log10_u: tuple = (-4.0, -1.0),
+    axis_name: str = "ionisation_parameter",
+    nebular_boost: float = 3.0e4,
+    **grid_kwargs,
+) -> SPSGrid:
+    """A 3-axis (age, Z, U) Cloudy-style test grid.
+
+    Mirrors the shape of Synthesizer Cloudy-processed grids that carry an
+    ionization-parameter axis (the reference inherits N-axis support from
+    `synthesizer.grid.Grid`, reference library.py:2562-2619). The nebular
+    channel (continuum + line tables) scales monotonically with U while the
+    stellar channels are U-independent — enough structure that fitting U as
+    a free θ parameter is informative.
+    """
+    base = make_synthetic_grid(**grid_kwargs)
+    # `make_synthetic_grid`'s nebular channel is ~1e-6 of the total (its
+    # neb_scale mimics a heavily-suppressed ionizing continuum); boost it
+    # to the few-percent level real Cloudy grids show so the U axis is
+    # photometrically informative in tests
+    if nebular_boost != 1.0:
+        neb = base.spectra["nebular"] * np.float32(nebular_boost)
+        base.spectra["nebular"] = neb
+        base.spectra["total"] = (base.spectra["transmitted"]
+                                 + neb).astype(np.float32)
+        base.lines["luminosity"] = (
+            base.lines["luminosity"] * np.float32(nebular_boost))
+        # rebuild spike-free continuum at the boosted level: cont =
+        # total − spike, and both the flat nebular floor and the spike
+        # scale together, so cont_boost = trans_at_l + boost·(cont_base −
+        # trans_at_l)
+        lam = base.lam
+        lam_l = np.asarray(base.lines["wavelength"])
+        k_l = np.array([int(np.argmin(np.abs(lam - ll))) for ll in lam_l])
+        trans_at_l = base.spectra["transmitted"][..., k_l]
+        base.lines["continuum"] = (
+            trans_at_l + nebular_boost
+            * (base.lines["continuum"] - trans_at_l)).astype(np.float32)
+    log_u = np.linspace(log10_u[0], log10_u[1], n_u)
+    # nebular reprocessing efficiency rises with ionization parameter
+    g_u = 10.0 ** (0.35 * (log_u + 2.5))  # (nU,)
+
+    def expand(arr, scale):
+        # (A, Z, L) -> (A, Z, nU, L) with per-U scaling
+        return (arr[:, :, None, :]
+                * scale[None, None, :, None]).astype(np.float32)
+
+    ones = np.ones_like(g_u)
+    nebular = expand(base.spectra["nebular"], g_u)
+    transmitted = expand(base.spectra["transmitted"], ones)
+    spectra = {
+        "incident": expand(base.spectra["incident"], ones),
+        "transmitted": transmitted,
+        "nebular": nebular,
+        "total": (transmitted + nebular).astype(np.float32),
+    }
+    lines = None
+    if base.lines is not None:
+        def expand_tab(arr, scale):
+            # (A, Z, Nl) -> (A, Z, nU, Nl)
+            return (arr[:, :, None, :]
+                    * scale[None, None, :, None]).astype(np.float32)
+
+        # Line-free continuum at λ_line for the U-scaled grid. The base
+        # builder defines cont = total − spike at the nearest λ column;
+        # with total_u = transmitted + g_u·nebular and spike_u = g_u·spike,
+        # algebra gives cont_u = (1 − g_u)·transmitted_at_λl + g_u·cont —
+        # exact, no spike reconstruction needed.
+        lam = base.lam
+        lam_l = np.asarray(base.lines["wavelength"])
+        k_l = np.array([int(np.argmin(np.abs(lam - ll))) for ll in lam_l])
+        trans_at_l = base.spectra["transmitted"][..., k_l]  # (A, Z, Nl)
+        cont_u = (
+            (1.0 - g_u)[None, None, :, None] * trans_at_l[:, :, None, :]
+            + g_u[None, None, :, None]
+            * base.lines["continuum"][:, :, None, :]
+        ).astype(np.float32)
+        lines = {
+            "ids": list(base.lines["ids"]),
+            "wavelength": base.lines["wavelength"],
+            "luminosity": expand_tab(base.lines["luminosity"], g_u),
+            "continuum": cont_u,
+        }
+    return SPSGrid(
+        name=base.name + "_cloudy3axis",
+        log10_ages=base.log10_ages,
+        metallicities=base.metallicities,
+        lam=base.lam,
+        spectra=spectra,
+        extra_axes={axis_name: log_u},
+        lines=lines,
     )

@@ -63,7 +63,9 @@ def draw_from_hypercube(
     """
     unlog_keys = unlog_keys or []
     d = len(param_ranges)
-    seed = rng if rng is not None else np.random.default_rng()
+    # default_rng normalizes None/int/Generator alike (scipy's samplers
+    # accepted raw ints; the fast stratified branch below needs a Generator)
+    seed = np.random.default_rng(rng)
     if engine == "lhc":
         if n >= 100_000:
             # scipy's LatinHypercube takes minutes at n ~ 1e7 (it dominated

@@ -183,7 +183,10 @@ class EnsemblePosterior:
                 k_draw, k = jax.random.split(k_draw)
                 chunks.append(self._member(i).sample(k, x, int(c), **kw))
         out = jnp.concatenate(chunks)
-        return jax.random.permutation(k_draw, out)
+        # fresh key: permuting with the k_draw already consumed by the last
+        # member's chunk draw would correlate the shuffle with those draws
+        _, k_perm = jax.random.split(k_draw)
+        return jax.random.permutation(k_perm, out)
 
     def sample_batch(self, key, xs, n: int, batched_rounds: int = 4):
         """(M, C) -> (M, n, D): every member draws per = ceil(n/K) samples in

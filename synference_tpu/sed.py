@@ -193,6 +193,21 @@ class BatchSEDSimulator:
             jnp.float32)
         self._log10_mets = jnp.asarray(grid.log10_metallicities, jnp.float32)
         self._log10_ages = jnp.asarray(grid.log10_ages, jnp.float32)
+        # extra grid axes (N-axis Cloudy grids): each axis needs a θ or
+        # fixed parameter with the axis name; the SFZH weight vector gains
+        # a lerp-delta factor per axis (see _sfzh)
+        self._extra_axes = []
+        for ax_name, ax_vals in grid.extra_axes.items():
+            if (ax_name not in self.param_names
+                    and ax_name not in self.fixed_params
+                    and f"log10_{ax_name}" not in self.param_names
+                    and f"log10_{ax_name}" not in self.fixed_params):
+                raise ValueError(
+                    f"grid axis {ax_name!r} has no θ or fixed parameter; "
+                    "fix it at load with grid.fix_axes({...}) or add it to "
+                    "param_names/fixed_params")
+            self._extra_axes.append(
+                (ax_name, jnp.asarray(ax_vals, jnp.float32)))
         self._lam = jnp.asarray(grid.lam, jnp.float32)
         # integration weights dλ/λ on the rest grid (photon-count convention)
         lam = grid.lam
@@ -362,9 +377,17 @@ class BatchSEDSimulator:
                         filters, grid.lam, self._filter_dlog,
                         self._max_shift, grid.n_wav,
                     )
+                # interp knots reach (n_knots-1)·δ ≥ max_shift; the den
+                # table must cover the top knot row too, else the final
+                # knot interval's den is clamped to a mismatched shift and
+                # the num/den staircase cancellation degrades near z_max
+                ms_den = self._max_shift
+                if self._pallas_variant == "interp":
+                    ms_den = max(
+                        ms_den, (self._n_knots - 1) * self._knot_delta)
                 den = build_den_table(
                     filters, grid.lam, np.asarray(self._wlam),
-                    self._filter_dlog, self._max_shift,
+                    self._filter_dlog, ms_den,
                 )
                 cached = (table, jnp.asarray(den), self._n_knots)
                 _PALLAS_BANK_CACHE[cache_key] = cached
@@ -427,21 +450,48 @@ class BatchSEDSimulator:
     # ------------------------------------------------------------------
     # core per-galaxy pipeline (vmapped over the batch)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _axis_delta_weights(vals, p):
+        """(n,) lerp-delta weights placing unit mass at `p` on the 1-D axis
+        grid `vals` — mass splits between the two bracketing knots (clamped
+        at the ends), so contraction against the grid IS linear
+        interpolation along that axis."""
+        n = vals.shape[0]
+        idx = jnp.clip(jnp.searchsorted(vals, p) - 1, 0, n - 2)
+        frac = jnp.clip(
+            (p - vals[idx]) / jnp.maximum(vals[idx + 1] - vals[idx], 1e-30),
+            0.0, 1.0)
+        return (jnp.zeros(n).at[idx].set(1.0 - frac)
+                .at[idx + 1].add(frac))
+
     def _sfzh(self, params):
-        """(A*Z,) mass weights [Msun] for one galaxy."""
+        """(A·Z·extra,) mass weights [Msun] for one galaxy."""
         sfh_params = dict(params)
         sfh_params["max_age"] = self._max_age(params)
         w_age = sfh_weights(self.sfh_name, sfh_params, self._sampling)  # (A,)
         w_met = zdist_weights(self.zdist_name, params, self._log10_mets)  # (Z,)
         mass = 10.0 ** params.get("log10_mass", jnp.asarray(8.0))
         sfzh = jnp.outer(w_age, w_met)
+        for ax_name, ax_vals in self._extra_axes:
+            # per-axis delta weights fold into the same outer product the
+            # MXU contraction consumes — an N-axis grid costs one extra
+            # broadcast multiply, not a different pipeline
+            p = params[ax_name]
+            w_ax = self._axis_delta_weights(ax_vals, p)
+            sfzh = sfzh[..., None] * w_ax
         if self.n_particles is not None:
             # multinomial particle realization: categorical draws over the
-            # (A·Z) cells, fold per-row randomness from θ so each galaxy in
-            # a batch gets an independent (but reproducible) realization
+            # (A·Z) cells. Fold in BOTH the batch row index (guarantees
+            # distinct keys for distinct rows — θ-only entropy collides
+            # whenever two rows' quantized θ sums coincide, e.g. permuted
+            # params) and the θ-derived sum (keeps realizations distinct
+            # across chunked generation where row indices restart at 0).
             flat = sfzh.reshape(-1)
             row_key = jax.random.fold_in(
-                self._particle_key,
+                jax.random.fold_in(
+                    self._particle_key,
+                    params.get("_row_idx", jnp.asarray(0, jnp.int32)),
+                ),
                 jnp.sum((params["_theta_row"] * 1.0e4).astype(jnp.int32)),
             )
             cells = jax.random.categorical(
@@ -452,7 +502,9 @@ class BatchSEDSimulator:
             counts = jnp.zeros_like(flat).at[cells].add(1.0)
             sfzh = (counts / self.n_particles).reshape(sfzh.shape)
         sfzh = sfzh * mass
-        return sfzh.reshape(-1), sfzh.sum(axis=1)
+        # per-age mass marginal: sum over metallicity and any extra axes
+        sfh_mass = sfzh.reshape(sfzh.shape[0], -1).sum(axis=1)
+        return sfzh.reshape(-1), sfh_mass
 
     def _intrinsic_lnu(self, sfzh_flat):
         """Contract SFZH against grid spectra -> (lnu_escaped, lnu_reproc).
@@ -478,8 +530,7 @@ class BatchSEDSimulator:
 
     def _split_sfzh(self, sfzh_flat):
         """Split weights into young/old parts for birth-cloud dust."""
-        n_z = self.grid.n_mets
-        m = jnp.repeat(self._young_mask, n_z)
+        m = jnp.repeat(self._young_mask, self.grid.cells_per_age)
         return sfzh_flat * m, sfzh_flat * (1.0 - m)
 
     def _apply_emission(self, params, sfzh_flat):
@@ -640,8 +691,11 @@ class BatchSEDSimulator:
     # ------------------------------------------------------------------
     # public batched API
     # ------------------------------------------------------------------
-    def _core(self, theta_row, want_spectra: bool, fused: bool = False):
+    def _core(self, theta_row, want_spectra: bool, fused: bool = False,
+              row_idx=None):
         params = self.theta_dict(theta_row)
+        if row_idx is not None:
+            params["_row_idx"] = row_idx
         sfzh_flat, sfh_mass = self._sfzh(params)
         lnu, intrinsic = self._apply_emission(params, sfzh_flat)
         z = params.get("redshift", jnp.asarray(0.0))
@@ -694,8 +748,9 @@ class BatchSEDSimulator:
             and self._pallas_variant == "interp"
         )
         res = jax.vmap(
-            lambda row: self._core(row, want_spectra, fused=fused)
-        )(theta)
+            lambda row, i: self._core(row, want_spectra, fused=fused,
+                                      row_idx=i)
+        )(theta, jnp.arange(theta.shape[0], dtype=jnp.int32))
         z = res.pop("_z")
         if fused:
             return {"photometry_njy": self._photometry_fused(res["_lnu"], z)}
@@ -754,9 +809,26 @@ class BatchSEDSimulator:
             jnp.float32)
         em = self.emission
         curve_l = attenuation_curve(em.dust_law, lam_l, em.dust_params_dict())
+        # incident continuum at the line wavelengths (same 1e-10 scaling):
+        # with fesc > 0 the realized spectrum's continuum also contains the
+        # escaped (un-dust-attenuated) incident component, so EWs must
+        # divide by fesc·inc_cont + (1−fesc)·reproc_cont·att, not the
+        # reprocessed channel alone
+        inc_spec = self.grid.spectra[em.incident_type]
+        inc_flat = inc_spec.reshape(-1, inc_spec.shape[-1])
+        lam_np = np.asarray(self.grid.lam)
+        lam_l_np = np.asarray(self.grid.lines["wavelength"])[sel]
+        j_hi = np.clip(np.searchsorted(lam_np, lam_l_np), 1, len(lam_np) - 1)
+        w_hi = (lam_l_np - lam_np[j_hi - 1]) / (
+            lam_np[j_hi] - lam_np[j_hi - 1])
+        inc10 = jnp.asarray(
+            (inc_flat[:, j_hi - 1] * (1.0 - w_hi)
+             + inc_flat[:, j_hi] * w_hi) * 1e-10,
+            jnp.float32)
 
-        def one(row):
+        def one(row, idx):
             params = self.theta_dict(row)
+            params["_row_idx"] = idx
             sfzh_flat, _ = self._sfzh(params)
             fesc = (
                 params[em.fesc] if isinstance(em.fesc, str)
@@ -778,7 +850,9 @@ class BatchSEDSimulator:
                 lum = (sfzh_flat @ lum10) * att
                 cont = (sfzh_flat @ cont10) * att
             lum = (1.0 - fesc) * lum
-            cont_total = (1.0 - fesc) * cont
+            # realized continuum = escaped incident (no dust, matching
+            # _apply_emission) + dust-attenuated reprocessed channel
+            cont_total = fesc * (sfzh_flat @ inc10) + (1.0 - fesc) * cont
             z = params.get("redshift", jnp.asarray(0.0))
             zp1 = 1.0 + z
             t_igm_grid = self._igm_transmission(zp1)
@@ -804,8 +878,9 @@ class BatchSEDSimulator:
         if fn is None:
             fn = jax.jit(jax.vmap(one))
             cache[tuple(ids)] = fn
+        theta2 = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
         lum10_b, flux, ew_rest, zp1 = fn(
-            jnp.atleast_2d(jnp.asarray(theta, jnp.float32)))
+            theta2, jnp.arange(theta2.shape[0], dtype=jnp.int32))
         return {
             "ids": ids,
             "luminosity": np.asarray(lum10_b, np.float64) * 1.0e10,

@@ -90,7 +90,7 @@ def _mass_weighted_age(ctx):
 def _lum_weighted_age(ctx):
     # weight each (age, Z) cell by its bolometric grid luminosity
     w = ctx["sfzh"] * ctx["bol_lum_flat"]  # (B, A*Z)
-    n_z = ctx["n_mets"]
+    n_z = ctx["cells_per_age"]
     ages = jnp.repeat(ctx["ages_yr"], n_z)
     return (w * ages).sum(-1) / jnp.maximum(w.sum(-1), 1.0e-20)
 
@@ -248,7 +248,7 @@ def _flux_weighted_age(ctx):
     i_hi = edge_idx(hi_obs / zp1)
     flux_cell = cum[:, i_hi].T - cum[:, i_lo].T  # (B, A·Z)
     w = ctx["sfzh"] * jnp.maximum(flux_cell, 0.0)
-    ages_cell = jnp.repeat(ctx["ages_yr"], ctx["n_mets"])
+    ages_cell = jnp.repeat(ctx["ages_yr"], ctx["cells_per_age"])
     return (w * ages_cell).sum(-1) / jnp.maximum(w.sum(-1), 1.0e-30)
 
 
@@ -325,7 +325,7 @@ def compute_supplementary(names, sim, theta, out):
         "sfzh": out["sfzh"],
         "ages_yr": jnp.asarray(grid.ages_yr, jnp.float32),
         "age_bin_edges": jnp.asarray(grid.age_bin_edges_yr, jnp.float32),
-        "n_mets": grid.n_mets,
+        "cells_per_age": grid.cells_per_age,
         "bol_lum_flat": bol_flat,
         "z": z,
         "distance_modulus": sim.cosmology.distance_modulus(

@@ -187,3 +187,51 @@ class TestPhysicalConsistency:
         np.testing.assert_allclose(
             out["photometry"], phot11.T, rtol=2e-3
         )
+
+
+class TestSelectiveSupplementaryScaling:
+    """Per-quantity mass scaling (the reference scales only flux-like
+    supplementary quantities, library.py:3865-3881)."""
+
+    def _lib(self):
+        lib = _toy_library("b", "p", 2, [1.0], with_supp=True)
+        # add a mag-like column that must NOT scale with mass
+        muv = np.full((1, lib["parameters"].shape[1]), -20.0, np.float32)
+        lib["supplementary_parameters"] = np.concatenate(
+            [lib["supplementary_parameters"], muv])
+        lib["supplementary_parameter_names"] = ["line_flux", "m_uv"]
+        return lib
+
+    def test_named_columns_scale_selectively(self):
+        lib = self._lib()
+        out = combine_libraries(
+            [lib], log_stellar_masses=[10.0], redshifts=[1.0],
+            scale_supplementary=("line_flux",), log_base_masses=9.0)
+        supp = out["supplementary_parameters"]
+        names = out["supplementary_parameter_names"]
+        i_flux = names.index("line_flux")
+        i_muv = names.index("m_uv")
+        # flux scaled by 10^(10-9) = 10; M_UV untouched
+        base_flux = lib["supplementary_parameters"][0]
+        np.testing.assert_allclose(
+            np.sort(supp[i_flux]), np.sort(base_flux * 10.0), rtol=1e-5)
+        np.testing.assert_allclose(supp[i_muv], -20.0, rtol=1e-6)
+
+    def test_matched_selective(self):
+        lib = self._lib()
+        out = combine_libraries_matched(
+            [lib], log_stellar_masses=10.0,
+            scale_supplementary=("line_flux",), log_base_masses=9.0)
+        names = out["supplementary_parameter_names"]
+        supp = out["supplementary_parameters"]
+        np.testing.assert_allclose(supp[names.index("m_uv")], -20.0)
+        np.testing.assert_allclose(
+            supp[names.index("line_flux")],
+            lib["supplementary_parameters"][0] * 10.0, rtol=1e-5)
+
+    def test_unknown_name_raises(self):
+        lib = self._lib()
+        with pytest.raises(ValueError, match="not in"):
+            combine_libraries(
+                [lib], log_stellar_masses=[10.0], redshifts=[1.0],
+                scale_supplementary=("nope",))

@@ -404,3 +404,64 @@ class TestParameterTransforms:
         med = np.median(s[:, :, 0], axis=1)
         truth = fitter.feature_params[:16, 0]
         assert np.abs(med - truth).mean() < 0.4  # log10-mass units
+
+
+class TestDepthSets:
+    """2-D depth-set scattering (reference `_apply_depths` 2-D branch,
+    sbi_runner.py:625-650): each scattered row draws one depth set."""
+
+    DEPTH_SETS = (
+        (28.0,) * 7,   # deep set
+        (24.0,) * 7,   # shallow set: 40x the noise of the deep one
+    )
+
+    def test_flags_roundtrip_2d(self):
+        cfg = FeatureConfig(filter_codes=CODES, depths_ab=self.DEPTH_SETS)
+        back = FeatureConfig.from_flags(cfg.to_flags())
+        assert back.depths_ab == self.DEPTH_SETS
+
+    def test_mixture_noise_statistics(self, phot, params):
+        """Scattered noise must be a mixture of the two set levels: the
+        per-row realized sigma distribution is bimodal at σ(28) and σ(24)."""
+        cfg = FeatureConfig(filter_codes=CODES, unit="nJy",
+                            depths_ab=self.DEPTH_SETS, n_scatters=8,
+                            include_errors=True)
+        fp = FeaturePipeline(cfg)
+        res = fp.build(KEY, phot, parameters=params,
+                       parameter_names=("a", "b", "c"))
+        n_f = len(CODES)
+        sig = res.features[:, n_f:2 * n_f]  # unc_* columns in nJy
+        s_deep = float(U.ab_depth_to_sigma_njy(28.0, 5.0))
+        s_shallow = float(U.ab_depth_to_sigma_njy(24.0, 5.0))
+        frac_deep = np.isclose(sig, s_deep, rtol=1e-4).mean()
+        frac_shallow = np.isclose(sig, s_shallow, rtol=1e-4).mean()
+        assert frac_deep + frac_shallow > 0.999
+        assert 0.3 < frac_deep < 0.7  # random set selection ~ uniform
+
+    def test_rows_mix_sets_within_object(self, phot, params):
+        """Different scatter copies of the same galaxy can land in
+        different sets (selection is per scattered row, not per galaxy)."""
+        cfg = FeatureConfig(filter_codes=CODES, unit="nJy",
+                            depths_ab=self.DEPTH_SETS, n_scatters=16,
+                            include_errors=True)
+        fp = FeaturePipeline(cfg)
+        res = fp.build(KEY, phot[:4], parameters=params[:4],
+                       parameter_names=("a", "b", "c"))
+        n_f = len(CODES)
+        sig0 = res.features[res.source_index == 0, n_f]
+        assert np.unique(np.round(sig0, 6)).size > 1
+
+    def test_snr_softening_uses_mean_depth(self):
+        cfg = FeatureConfig(filter_codes=CODES, unit="asinh",
+                            asinh_softening_njy="snr_5",
+                            depths_ab=self.DEPTH_SETS)
+        fp = FeaturePipeline(cfg)
+        expect = 5.0 * 0.5 * (
+            float(U.ab_depth_to_sigma_njy(28.0, 5.0))
+            + float(U.ab_depth_to_sigma_njy(24.0, 5.0)))
+        np.testing.assert_allclose(fp._softening, expect, rtol=1e-6)
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError, match="2-D depths_ab"):
+            FeaturePipeline(FeatureConfig(
+                filter_codes=CODES, depths_ab=((28.0,) * 3,)))

@@ -60,3 +60,22 @@ class TestParticleSampling:
         s1 = np.asarray(particle.simulate(theta, want_spectra=True)["sfzh"])
         s2 = np.asarray(particle.simulate(theta2, want_spectra=True)["sfzh"])
         assert not np.allclose(s1, s2)
+
+    def test_colliding_theta_sums_differ(self, test_grid, nircam_filters,
+                                         rng):
+        """Two rows whose quantized θ *sums* coincide (z and tau_v trading
+        one 1e-4 quantum) must still get independent particle realizations —
+        the key folds in the batch row index, not just θ-derived entropy."""
+        particle = BatchSEDSimulator(
+            test_grid, nircam_filters, NAMES, n_particles=64
+        )
+        row1 = _theta(1, rng)[0]
+        row2 = row1.copy()
+        row2[1] += 1e-4  # redshift up one quantum
+        row2[5] -= 1e-4  # tau_v down one quantum: int32 sums collide
+        theta = np.stack([row1, row2])
+        q = (theta * 1e4).astype(np.int64).sum(axis=1)
+        assert q[0] == q[1]  # the collision the regression guards against
+        sfzh = np.asarray(
+            particle.simulate(theta, want_spectra=True)["sfzh"])
+        assert not np.allclose(sfzh[0], sfzh[1])
