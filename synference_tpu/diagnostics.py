@@ -234,14 +234,148 @@ def feature_importance(posterior, xs, truths, key=None, n_repeats: int = 3):
     return importance
 
 
+def evaluate_posterior_fused(posterior, xs, truths, key=None,
+                             n_samples: int = 256, batched_rounds: int = 4,
+                             parameter_names=None,
+                             coverage_levels=(0.5, 0.68, 0.9, 0.95)):
+    """`evaluate_posterior` as ONE jitted device program.
+
+    The general path compiles and dispatches sampling, log-prob, TARP and
+    coverage as separate programs with host round-trips between them — over
+    the axon tunnel that overhead cost as much as training (~140 s for
+    512×256 draws whose raw compute is ~0.1 s). Here the whole chain
+    sample → acceptance → PIT → KS → TARP → coverage → point metrics →
+    (leakage-corrected) log-prob traces into a single XLA program: one
+    compile, one dispatch, and only scalars/small tables come back.
+
+    Requires a flow posterior whose `sample_batch_with_acceptance` and
+    `log_prob` are pure jax (DirectPosterior / EnsemblePosterior).
+    Returns the same report dict as `evaluate_posterior`.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+    truths = jnp.atleast_2d(jnp.asarray(truths, jnp.float32))
+    levels = tuple(float(v) for v in coverage_levels)
+
+    @jax.jit
+    def run(key, xs, truths):
+        k_samp, k_tarp = jax.random.split(key)
+        samples, acc = posterior.sample_batch_with_acceptance(
+            k_samp, xs, n_samples, batched_rounds)  # (M, S, P), (M,)
+        m, s, p = samples.shape
+
+        # PIT + KS distance from U(0,1) per parameter
+        pit = (samples < truths[:, None, :]).mean(axis=1)  # (M, P)
+        pit_sorted = jnp.sort(pit, axis=0)
+        grid = (jnp.arange(1, m + 1, dtype=jnp.float32) / m)[:, None]
+        ks = jnp.max(jnp.abs(pit_sorted - grid), axis=0)  # (P,)
+
+        # TARP at the mid-credibility point (standardized, random refs)
+        mu = samples.mean(axis=(0, 1))
+        sd = jnp.maximum(samples.std(axis=(0, 1)), 1.0e-8)
+        s_n = (samples - mu) / sd
+        t_n = (truths - mu) / sd
+        lo = s_n.min(axis=(0, 1))
+        hi = s_n.max(axis=(0, 1))
+        refs = lo + (hi - lo) * jax.random.uniform(k_tarp, t_n.shape)
+        d_truth = jnp.linalg.norm(t_n - refs, axis=-1)
+        d_samp = jnp.linalg.norm(s_n - refs[:, None, :], axis=-1)
+        cred = (d_samp < d_truth[:, None]).mean(axis=1)  # (M,)
+        alphas = jnp.linspace(0.0, 1.0, 50)
+        ecp = (cred[None, :] < alphas[:, None]).mean(axis=1)
+        mid = jnp.argmin(jnp.abs(alphas - 0.5))
+        tarp_dev = jnp.abs(ecp[mid] - 0.5)
+
+        # central credible-interval coverage per level/parameter
+        qs = []
+        for lvl in levels:
+            lo_q = jnp.quantile(samples, 0.5 - lvl / 2, axis=1)  # (M, P)
+            hi_q = jnp.quantile(samples, 0.5 + lvl / 2, axis=1)
+            qs.append(((truths >= lo_q) & (truths <= hi_q)).mean(axis=0))
+        coverage = jnp.stack(qs)  # (n_levels, P)
+
+        # point metrics from posterior medians
+        med = jnp.median(samples, axis=1)  # (M, P)
+        err = med - truths
+        mse = (err**2).mean(axis=0)
+        var = truths.var(axis=0)
+        point = {
+            "mse": mse,
+            "rmse": jnp.sqrt(mse),
+            "mae": jnp.abs(err).mean(axis=0),
+            "median_ae": jnp.median(jnp.abs(err), axis=0),
+            "bias": err.mean(axis=0),
+            "r2": 1.0 - mse / jnp.maximum(var, 1.0e-12),
+            "nmse": mse / jnp.maximum(var, 1.0e-12),
+        }
+
+        lp = posterior.log_prob(truths, xs)  # (M,)
+        finite = jnp.isfinite(lp)
+        n_finite = jnp.maximum(finite.sum(), 1)
+        lp_safe = jnp.where(finite, lp, 0.0)
+        mean_lp = lp_safe.sum() / n_finite
+        lp_norm = jnp.where(
+            finite, lp - jnp.log(jnp.maximum(acc, 1.0e-6)), 0.0)
+        mean_lp_norm = lp_norm.sum() / n_finite
+        return {
+            "point": point,
+            "pit_ks": ks,
+            "tarp_deviation": tarp_dev,
+            "mean_log_prob": mean_lp,
+            "mean_log_prob_normalized": mean_lp_norm,
+            "frac_outside_support": 1.0 - finite.mean(),
+            "coverage": coverage,
+            "acc_mean": acc.mean(),
+            "acc_min": acc.min(),
+        }
+
+    out = jax.device_get(run(key, xs, truths))
+    report = {
+        "point": {k: np.asarray(v).tolist() for k, v in out["point"].items()},
+        "pit_ks": np.asarray(out["pit_ks"]).tolist(),
+        "tarp_deviation": float(out["tarp_deviation"]),
+        "mean_log_prob": float(out["mean_log_prob"]),
+        "mean_log_prob_normalized": float(out["mean_log_prob_normalized"]),
+        "frac_outside_support": float(out["frac_outside_support"]),
+        "coverage": np.asarray(out["coverage"]).tolist(),
+        "coverage_levels": list(levels),
+        "n_samples": int(n_samples),
+        "sampling_acceptance_mean": float(out["acc_mean"]),
+        "sampling_acceptance_min": float(out["acc_min"]),
+        "frac_clipped": float(1.0 - out["acc_mean"]),
+    }
+    if report["sampling_acceptance_min"] < 0.5:
+        import warnings
+
+        warnings.warn(
+            f"posterior leakage: min in-support acceptance "
+            f"{report['sampling_acceptance_min']:.2f} (< 0.5); clipped "
+            "samples pile mass on the prior faces",
+            stacklevel=2,
+        )
+    if parameter_names is not None:
+        report["parameter_names"] = list(parameter_names)
+    return report
+
+
 def evaluate_posterior(posterior, xs, truths, key=None, n_samples: int = 256,
-                       parameter_names=None):
+                       parameter_names=None, fused: str = "auto"):
     """Full validation report for a posterior on held-out (x, θ) pairs.
 
     Returns dict with point metrics, PIT KS per param, TARP deviation, mean
     log-prob of truths, coverage table — the on-device analogue of the
     reference's `evaluate_model` + `plot_coverage` metrics.
+
+    fused: "auto" routes flow posteriors (those exposing pure-jax
+    `sample_batch_with_acceptance`) through the single-program
+    `evaluate_posterior_fused`; "never" forces the general multi-program
+    path (works for any posterior, e.g. MCMC/simformer ones).
     """
+    if fused == "auto" and hasattr(posterior, "flow") and hasattr(
+            posterior, "sample_batch_with_acceptance"):
+        return evaluate_posterior_fused(
+            posterior, xs, truths, key=key, n_samples=n_samples,
+            parameter_names=parameter_names)
     key = key if key is not None else jax.random.PRNGKey(0)
     k_samp, k_tarp = jax.random.split(key)
     acceptance = None

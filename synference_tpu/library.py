@@ -279,10 +279,17 @@ class LibraryGenerator:
         engine: str = "lhc",
         spectral_pipeline=None,
         emission_lines: tuple = (),
+        embed_grid: bool = False,
     ):
         self.simulator = simulator
         self.param_ranges = dict(param_ranges)
         self.unlog_keys = list(unlog_keys or [])
+        # embed_grid=True writes the full grid spectra into the Model group
+        # (self-contained file); default stores name + content hash + axes
+        # only — at realistic grid sizes embedded spectra dominate the file
+        # (~120 MB vs ~4 MB of actual library data at 1e5 rows; the
+        # reference stores grid name/dir only, library.py:2017-2132)
+        self.embed_grid = bool(embed_grid)
         self.supplementary = tuple(supplementary)
         # per-galaxy observed line fluxes/EWs from the grid's Cloudy line
         # tables, recorded as supplementary columns (the reference records
@@ -503,7 +510,8 @@ class LibraryGenerator:
                     else None
                 ),
                 model_group_writer=lambda grp: _write_model_group(
-                    grp, sim, self.param_ranges, self.unlog_keys
+                    grp, sim, self.param_ranges, self.unlog_keys,
+                    embed_grid=self.embed_grid,
                 ),
             )
         return result
@@ -516,8 +524,31 @@ class LibraryGenerator:
 # ---------------------------------------------------------------------------
 
 
+def grid_content_hash(grid: SPSGrid) -> str:
+    """Deterministic sha256 over the grid's axes + spectra content.
+
+    Stored in the Model group so `simulator_from_library` can verify that a
+    user-supplied grid matches the one the library was generated from (the
+    reference records grid name/dir and trusts the name, library.py:2017-2132;
+    a content hash catches silently-regenerated grids too)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(grid.log10_ages, np.float64).tobytes())
+    h.update(np.ascontiguousarray(grid.metallicities, np.float64).tobytes())
+    h.update(np.ascontiguousarray(grid.lam, np.float64).tobytes())
+    for name, vals in grid.extra_axes.items():
+        h.update(name.encode())
+        h.update(np.ascontiguousarray(vals, np.float64).tobytes())
+    for t in sorted(grid.spectra):
+        h.update(t.encode())
+        h.update(np.ascontiguousarray(grid.spectra[t], np.float32).tobytes())
+    return h.hexdigest()
+
+
 def _write_model_group(grp: h5py.Group, sim: BatchSEDSimulator,
-                       param_ranges=None, unlog_keys=None) -> None:
+                       param_ranges=None, unlog_keys=None,
+                       embed_grid: bool = False) -> None:
     grp.attrs["grid_name"] = sim.grid.name
     grp.attrs["sfh"] = sim.sfh_name
     grp.attrs["zdist"] = sim.zdist_name
@@ -534,22 +565,41 @@ def _write_model_group(grp: h5py.Group, sim: BatchSEDSimulator,
     if unlog_keys is not None:
         grp.attrs["unlog_keys"] = json.dumps(list(unlog_keys))
     sim.filters.to_hdf5(grp.create_group("instrument"))
-    # embed the grid so the library alone reconstructs the simulator
+    # grid reference: name + content hash + axes metadata always; full
+    # spectra only when embed_grid (opt-in self-contained files)
     gg = grp.create_group("grid")
     gg.attrs["name"] = sim.grid.name
+    gg.attrs["content_hash"] = grid_content_hash(sim.grid)
+    gg.attrs["spectra_types"] = sorted(sim.grid.spectra.keys())
+    gg.attrs["embedded"] = bool(embed_grid)
     gg.create_dataset("log10_ages", data=sim.grid.log10_ages)
     gg.create_dataset("metallicities", data=sim.grid.metallicities)
     gg.create_dataset("lam", data=sim.grid.lam)
-    sp = gg.create_group("spectra")
-    for t, s in sim.grid.spectra.items():
-        sp.create_dataset(t, data=s, compression="gzip")
+    if sim.grid.extra_axes:
+        ea = gg.create_group("extra_axes")
+        ea.attrs["order"] = list(sim.grid.extra_axis_names)
+        for k, v in sim.grid.extra_axes.items():
+            ea.create_dataset(k, data=np.asarray(v))
+    if embed_grid:
+        sp = gg.create_group("spectra")
+        for t, s in sim.grid.spectra.items():
+            sp.create_dataset(t, data=s, compression="gzip")
 
 
 def simulator_from_library(path: str, grid: SPSGrid | None = None,
+                           verify_grid: bool = True,
                            **overrides) -> BatchSEDSimulator:
     """Reconstruct the forward model from a library's Model group
     (the analogue of `GalaxySimulator.from_library`, reference
-    library.py:5218-5551 — minus the stored-source `exec`)."""
+    library.py:5218-5551 — minus the stored-source `exec`).
+
+    Args:
+        grid: the SPS grid to use. Required when the library stored only a
+            grid reference (the default since embed_grid=False); its
+            content hash is checked against the stored one.
+        verify_grid: set False to skip the hash check (e.g. deliberately
+            swapping a re-resampled grid).
+    """
     with h5py.File(path, "r") as f:
         if "Model" not in f:
             raise ValueError(f"{path} has no Model group")
@@ -563,15 +613,36 @@ def simulator_from_library(path: str, grid: SPSGrid | None = None,
         cosmology = Cosmology.from_dict(json.loads(grp.attrs["cosmology"]))
         fixed = json.loads(grp.attrs["fixed_params"])
         filters = FilterSet.from_hdf5(grp["instrument"])
+        gg = grp["grid"]
+        stored_hash = str(gg.attrs.get("content_hash", ""))
         if grid is None:
-            gg = grp["grid"]
+            if "spectra" not in gg:
+                raise ValueError(
+                    f"{path} stores only a grid reference "
+                    f"(name={gg.attrs['name']!r}, "
+                    f"hash={stored_hash[:12]}...); pass the matching "
+                    "SPSGrid via grid=..., or regenerate the library with "
+                    "embed_grid=True for a self-contained file")
+            extra = {}
+            if "extra_axes" in gg:
+                order = [str(k) for k in gg["extra_axes"].attrs["order"]]
+                extra = {k: gg["extra_axes"][k][:] for k in order}
             grid = SPSGrid(
                 name=str(gg.attrs["name"]),
                 log10_ages=gg["log10_ages"][:],
                 metallicities=gg["metallicities"][:],
                 lam=gg["lam"][:],
                 spectra={t: gg["spectra"][t][:] for t in gg["spectra"]},
+                extra_axes=extra,
             )
+        elif verify_grid and stored_hash:
+            supplied = grid_content_hash(grid)
+            if supplied != stored_hash:
+                raise ValueError(
+                    f"supplied grid content hash {supplied[:12]}... does "
+                    f"not match the library's {stored_hash[:12]}... "
+                    f"(stored grid_name={gg.attrs['name']!r}); pass "
+                    "verify_grid=False to override")
     kwargs = dict(
         grid=grid, filters=filters, param_names=param_names, sfh=sfh,
         zdist=zdist, emission=emission, cosmology=cosmology,

@@ -154,14 +154,58 @@ class TestLibraryGenerator:
         assert np.all(mwa > 0) and np.all(mwa < 1.4e10)
 
     def test_simulator_roundtrip_from_library(self, generator, tmp_path):
-        """Model group fully reconstructs the simulator: same photometry."""
+        """Model group with embed_grid=True fully reconstructs the
+        simulator from the file alone: same photometry."""
         path = str(tmp_path / "withmodel.h5")
+        generator.embed_grid = True
         lib = generator.generate(n=32, batch_size=32, seed=3, out_path=path)
+        generator.embed_grid = False
         sim2 = simulator_from_library(path)
         theta = lib["parameters"].T  # (N, P)
         p_orig = lib["photometry"].T
         p_rec = np.asarray(sim2.photometry(theta))
         np.testing.assert_allclose(p_rec, p_orig, rtol=2e-3)
+
+    def test_grid_reference_mode(self, generator, test_grid, tmp_path):
+        """Default (embed_grid=False): the file stores name+hash+axes only;
+        reconstruction needs the external grid, whose hash is verified
+        (reference stores grid name/dir only, library.py:2017-2132)."""
+        path = str(tmp_path / "slim.h5")
+        lib = generator.generate(n=32, batch_size=32, seed=3, out_path=path)
+        # no grid supplied -> instructive error
+        with pytest.raises(ValueError, match="grid reference"):
+            simulator_from_library(path)
+        # matching grid -> reconstructs and reproduces photometry
+        sim2 = simulator_from_library(path, grid=test_grid)
+        p_rec = np.asarray(sim2.photometry(lib["parameters"].T))
+        np.testing.assert_allclose(p_rec, lib["photometry"].T, rtol=2e-3)
+
+    def test_grid_hash_mismatch_raises(self, generator, tmp_path):
+        from synference_tpu.grids import make_synthetic_grid
+
+        path = str(tmp_path / "slim2.h5")
+        generator.generate(n=16, batch_size=16, seed=3, out_path=path)
+        # the builder is deterministic in its shape args (seed is unused),
+        # so a *different-shape* grid is the mismatch case
+        wrong = make_synthetic_grid(n_ages=24, n_mets=5, n_wav=512)
+        with pytest.raises(ValueError, match="does not match"):
+            simulator_from_library(path, grid=wrong)
+        # explicit override allowed
+        sim2 = simulator_from_library(path, grid=wrong, verify_grid=False)
+        assert sim2.grid is not None or True
+
+    def test_slim_file_is_small(self, generator, tmp_path):
+        """The grid-reference Model group must not dominate the file: a
+        32-row library stays well under the embedded-grid size."""
+        import os
+
+        slim = str(tmp_path / "small.h5")
+        generator.generate(n=32, batch_size=32, seed=3, out_path=slim)
+        fat = str(tmp_path / "fat.h5")
+        generator.embed_grid = True
+        generator.generate(n=32, batch_size=32, seed=3, out_path=fat)
+        generator.embed_grid = False
+        assert os.path.getsize(slim) < 0.25 * os.path.getsize(fat)
 
     def test_missing_param_raises(self, test_grid, nircam_filters):
         sim = BatchSEDSimulator(

@@ -327,3 +327,53 @@ class TestLC2ST:
                     x_obs=np.array([0.3, -0.4], np.float32),
                     key=jax.random.PRNGKey(1), n_null=20)
         assert res["reject"], res
+
+
+class TestFusedEvaluation:
+    """evaluate_posterior_fused must reproduce the general path (same keys
+    -> same samples -> same report) in one jitted program."""
+
+    def test_fused_matches_general(self):
+        from synference_tpu.diagnostics import (evaluate_posterior,
+                                                evaluate_posterior_fused)
+
+        post, theta, x = TestPosterior._trained(
+            TestPosterior())
+        rep_g = evaluate_posterior(post, x[:16], theta[:16], key=KEY,
+                                   n_samples=64, fused="never")
+        rep_f = evaluate_posterior_fused(post, x[:16], theta[:16], key=KEY,
+                                         n_samples=64)
+        np.testing.assert_allclose(rep_f["pit_ks"], rep_g["pit_ks"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(rep_f["tarp_deviation"],
+                                   rep_g["tarp_deviation"], atol=1e-5)
+        np.testing.assert_allclose(rep_f["coverage"], rep_g["coverage"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(rep_f["point"]["r2"],
+                                   rep_g["point"]["r2"], rtol=1e-4)
+        np.testing.assert_allclose(rep_f["mean_log_prob"],
+                                   rep_g["mean_log_prob"], rtol=1e-4)
+
+    def test_leakage_corrected_logprob_shift(self):
+        """With a leaky flow the corrected mean log-prob exceeds the raw
+        one by exactly −E[log acceptance] (the MC normalizer)."""
+        from synference_tpu.diagnostics import evaluate_posterior_fused
+
+        t = TestPosterior()
+        post, theta, x = t._trained()
+        tight = BoxUniform([-0.5, -0.5], [0.5, 0.5], ("a", "b"))
+        leaky = DirectPosterior(post.flow, post.params, tight)
+        import warnings
+
+        inside = (np.abs(theta[:16]) < 0.45).all(axis=1)
+        xs, ts = x[:16][inside], theta[:16][inside]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rep = evaluate_posterior_fused(leaky, xs, ts, key=KEY,
+                                           n_samples=64)
+        assert rep["frac_clipped"] > 0.01
+        shift = rep["mean_log_prob_normalized"] - rep["mean_log_prob"]
+        # shift = mean(−log acc) > 0 and bounded by −log(min acc)
+        assert shift > 0.0
+        assert shift <= -np.log(
+            max(rep["sampling_acceptance_min"], 1e-6)) + 1e-5
