@@ -317,3 +317,38 @@ class TestFloat64Oracle:
         mask = want > want.max() * 1e-6
         rel = np.abs(got[mask] - want[mask]) / want[mask]
         assert rel.max() < 0.03
+
+
+class TestBf16Contraction:
+    """compute_dtype=bfloat16 halves HBM traffic on the dominant
+    SFZH×spectra matmul; measured error vs the float64 oracle is within a
+    whisker of the fp32 pipeline (median 0.15% vs 0.12% — the shift-snap
+    dominates, not the matmul dtype). Asserted here so regressions in the
+    bf16 path are caught (BASELINE.md records the measured speedup)."""
+
+    def test_bf16_matches_oracle(self, parity_setup):
+        import jax.numpy as jnp
+
+        grid, filters, _ = parity_setup
+        sim16 = BatchSEDSimulator(
+            grid=grid, filters=filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(igm="inoue14"),
+            compute_dtype=jnp.bfloat16,
+        )
+        oracle = Float64Oracle(grid, filters)
+        rng = np.random.default_rng(0)
+        n = 24
+        theta = np.stack([
+            rng.uniform(8, 11, n), rng.uniform(0.1, 7, n),
+            rng.uniform(5e7, 8e8, n), rng.uniform(0.3, 0.9, n),
+            rng.uniform(-3.5, -1.6, n), rng.uniform(0, 1.5, n),
+        ], axis=1).astype(np.float32)
+        got = np.asarray(jax.jit(sim16.photometry)(theta), np.float64)
+        want = np.stack([oracle.photometry_one(t) for t in theta])
+        mask = want > want.max() * 1e-6
+        rel = np.abs(got[mask] - want[mask]) / want[mask]
+        assert np.median(rel) < 0.006, f"median rel err {np.median(rel):.4f}"
+        assert rel.max() < 0.02, f"max rel err {rel.max():.4f}"

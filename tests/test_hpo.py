@@ -159,3 +159,45 @@ def test_zoo_search_space():
     assert all(t["state"] in ("COMPLETE", "PRUNED") for t in study.trials)
     sampled = {t["params"]["model_type"] for t in study.trials}
     assert sampled  # model families were actually searched
+
+
+class TestSqliteRace:
+    def test_two_process_concurrent_workers(self, tmp_path):
+        """Two OS processes ask/tell against the same sqlite study
+        CONCURRENTLY (the reference's multi-worker Optuna mode over
+        SQLAlchemy storage): trial numbers must be unique, all tells
+        recorded, and the DB uncorrupted."""
+        import subprocess
+        import sys
+
+        path = str(tmp_path / "race.db")
+        worker_src = (
+            "import sys\n"
+            "sys.path.insert(0, {repo!r})\n"
+            "import os\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "from synference_tpu.hpo import SearchSpace, Study\n"
+            "sp = SearchSpace({{'x': ('float', 0.0, 4.0)}})\n"
+            "st = Study(space=sp, storage={path!r}, seed={seed})\n"
+            "for _ in range(12):\n"
+            "    t = st.ask()\n"
+            "    st.tell(t, (t['params']['x'] - 2.0) ** 2)\n"
+            "print('worker-done', flush=True)\n"
+        )
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c",
+                 worker_src.format(repo="/root/repo", path=path, seed=s)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for s in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err.decode()[-800:]
+            assert b"worker-done" in out
+        sp = SearchSpace({"x": ("float", 0.0, 4.0)})
+        final = Study(space=sp, storage=path)
+        done = [t for t in final.trials if t.get("value") is not None]
+        numbers = [t["number"] for t in final.trials]
+        assert len(done) == 24
+        assert len(set(numbers)) == len(numbers), "duplicate trial numbers"
