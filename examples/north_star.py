@@ -3,6 +3,12 @@ mock library and train an NSF NPE to calibrated posteriors, end to end,
 timing every phase. Target: < 10 min on v5e-8; this script runs on however
 many chips are attached (single chip here).
 
+Round-3 configuration uses REAL assets end to end: a realistic-size
+(64×12×10⁴ λ) Synthesizer-layout grid file with a Cloudy lines/ group and
+an ionization axis (loaded through `SPSGrid.from_hdf5`, axis fixed at
+load), and realistic measured-morphology NIRCam transmission curves
+(`instruments.py`) instead of top-hats.
+
 Run from anywhere: python examples/north_star.py [--n 1000000]
 """
 
@@ -25,24 +31,41 @@ from synference_tpu.features import FeatureConfig
 from synference_tpu.train import TrainConfig
 
 
+def _realistic_grid(cache="/tmp/ns_grid_r3.hdf5"):
+    """Realistic-size (64×12×10⁴ λ), real-Synthesizer-layout grid asset:
+    built once WITH a Cloudy-style lines/ group and a 3-value ionization
+    axis, written to HDF5, then loaded through the real file path
+    (`SPSGrid.from_hdf5`) with the extra axis collapsed at log U = −2 —
+    the same consume-a-grid-file flow a reference user runs."""
+    from synference_tpu.grids import SPSGrid, make_synthetic_multiaxis_grid
+
+    if not os.path.exists(cache):
+        g = make_synthetic_multiaxis_grid(
+            n_u=3, n_ages=64, n_mets=12, n_wav=10_000, lam_min=150.0)
+        g.to_hdf5(cache + ".tmp")
+        os.replace(cache + ".tmp", cache)
+    return SPSGrid.from_hdf5(
+        cache, fixed_axes={"ionisation_parameter": -2.0})
+
+
 def main(n_library: int, out: str):
     t_start = time.time()
     timings = {}
 
-    # -- forward model -------------------------------------------------
-    grid = st.make_synthetic_grid(n_ages=48, n_mets=8, n_wav=2048)
-    centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
-    widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
-    codes = ["F090W", "F115W", "F150W", "F200W", "F277W", "F356W", "F444W"]
-    filters = st.FilterSet([
-        st.tophat_filter(c, ctr, w)
-        for c, ctr, w in zip(codes, centers, widths)
-    ])
+    # -- forward model: real-size grid file + realistic filter curves ----
+    grid = _realistic_grid()
+    from synference_tpu.instruments import load_instrument_filters
+
+    codes = ["JWST/NIRCam.F090W", "JWST/NIRCam.F115W", "JWST/NIRCam.F150W",
+             "JWST/NIRCam.F200W", "JWST/NIRCam.F277W", "JWST/NIRCam.F356W",
+             "JWST/NIRCam.F444W"]
+    filters = load_instrument_filters(codes)
     sim = st.BatchSEDSimulator(
         grid=grid, filters=filters,
         param_names=("log10_mass", "redshift", "peak_age", "tau",
                      "log10_metallicity", "tau_v"),
-        sfh="lognormal", zdist="delta", emission=st.EmissionConfig(),
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(reprocessed_types=("total",)),
     )
     timings["setup_s"] = round(time.time() - t_start, 1)
 
@@ -53,7 +76,9 @@ def main(n_library: int, out: str):
         "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
         "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
     }, unlog_keys=["log10_peak_age"])
-    lib = gen.generate(n=n_library, batch_size=65536, seed=0)
+    # batch 16384: at 10⁴ λ the per-batch rest-frame L_ν intermediate is
+    # B×L×4 B ≈ 0.66 GB — 65536 would push several GB of live intermediates
+    lib = gen.generate(n=n_library, batch_size=16384, seed=0)
     timings["generation_s"] = round(time.time() - t0, 1)
     print(f"[{timings['generation_s']}s] generated {n_library:,} SEDs "
           f"({n_library / timings['generation_s']:,.0f}/s incl. compile)",

@@ -232,21 +232,32 @@ class SPSGrid:
                     "axes", list(axes_grp.keys())))
             ]
 
-            def _read_axis(n):
-                return np.asarray(axes_grp[n][:], dtype=np.float64)
+            def _read_axis(*names):
+                # the `axes` attr and the dataset names can use different
+                # spellings of the same axis (e.g. attr "ages", dataset
+                # "log10ages") — resolve against the vocabulary
+                for n in names:
+                    if n in axes_grp:
+                        return n, np.asarray(axes_grp[n][:], np.float64)
+                raise KeyError(
+                    f"none of {names} found under axes/ of {path}")
 
             age_pos = met_pos = None
             log10_ages = mets = None
             extra = {}
+            age_vocab = cls._AGE_AXIS_NAMES + cls._LOG_AGE_AXIS_NAMES
             for pos, ax in enumerate(declared):
-                if ax in cls._AGE_AXIS_NAMES:
-                    age_pos, log10_ages = pos, np.log10(_read_axis(ax))
-                elif ax in cls._LOG_AGE_AXIS_NAMES:
-                    age_pos, log10_ages = pos, _read_axis(ax)
+                if ax in age_vocab:
+                    used, vals = _read_axis(ax, *age_vocab)
+                    age_pos = pos
+                    log10_ages = (
+                        vals if used in cls._LOG_AGE_AXIS_NAMES
+                        else np.log10(vals))
                 elif ax in cls._MET_AXIS_NAMES:
-                    met_pos, mets = pos, _read_axis(ax)
+                    met_pos, (_, mets) = pos, _read_axis(
+                        ax, *cls._MET_AXIS_NAMES)
                 else:
-                    extra[ax] = _read_axis(ax)
+                    extra[ax] = _read_axis(ax)[1]
             if log10_ages is None or mets is None:
                 raise KeyError(
                     f"grid {path} axes {declared} lack an age or "

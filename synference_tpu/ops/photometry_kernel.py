@@ -461,10 +461,84 @@ def _knot_matrix_on_device(filt_lam, filt_tr, lam0, dlog, n_wav: int,
     return jnp.transpose(m, (2, 0, 1)).reshape(n_wav, n_knots * f8)
 
 
+KNOT_INTERP_ORDER = 3  # Catmull-Rom cubic across knots (1 = linear)
+
+
+def _knot_interp(vals, s, n_knots: int, delta: int, order: int):
+    """(B, K, F) knot samples -> (B, F) at real column shifts s.
+
+    order=1: lerp between the bracketing knots — error O((δ/W)²), which
+    reaches percent level for narrow (medium-band) filters where a sharp
+    SED feature crosses the band. order=3 (default): MONOTONE cubic
+    Hermite through 4 knots with Fritsch–Butland limited slopes — near
+    O((δ/W)³-⁴) in smooth regions, and NO overshoot at kinks (a plain
+    Catmull-Rom overshoots where a Lyman break sweeps a narrow band,
+    blowing the relative error exactly where fluxes are tiny). End knots
+    use linearly-extrapolated virtual neighbours so z≈0 and z≈z_max stay
+    smooth.
+
+    num AND den must use the same order/knots: the band-edge staircase
+    cancels in the ratio only when both interpolate identically.
+    """
+    c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
+    k = jnp.floor(c).astype(jnp.int32)
+    t = (c - k.astype(c.dtype))[:, None]
+    shared = vals.ndim == 2  # (K, F) table shared by the whole batch
+
+    def rows(*offs):
+        if shared:
+            # direct fancy-indexed gather — broadcasting the table to
+            # (B, K, F) first would materialize hundreds of MB
+            return (vals[jnp.clip(k + off, 0, vals.shape[0] - 1)]
+                    for off in offs)
+        return (
+            jnp.take_along_axis(vals, (k + off)[:, None, None],
+                                axis=1)[:, 0]
+            for off in offs
+        )
+
+    if order == 1:
+        lo, hi = rows(0, 1)
+        return lo * (1.0 - t) + hi * t
+    if shared:
+        first = 2.0 * vals[:1] - vals[1:2]
+        last = 2.0 * vals[-1:] - vals[-2:-1]
+        vals = jnp.concatenate([first, vals, last], axis=0)
+    else:
+        first = 2.0 * vals[:, :1] - vals[:, 1:2]
+        last = 2.0 * vals[:, -1:] - vals[:, -2:-1]
+        vals = jnp.concatenate([first, vals, last], axis=1)
+    # knot j now at row j+1
+    vm1, v0, v1, v2 = rows(0, 1, 2, 3)
+    d0, d1, d2 = v0 - vm1, v1 - v0, v2 - v1
+
+    def slope(da, db):
+        # Fritsch–Butland harmonic mean: zero at sign changes (kinks),
+        # ≈ centered difference in smooth monotone regions. Written in
+        # reciprocal form 2/(1/da + 1/db): the product form da·db
+        # overflows fp32 when the knot values carry L_ν-scale magnitudes
+        # (~1e30 in the fused photometry path), and a sign-based guard
+        # keeps the where-branch NaN-free at da == db == 0.
+        same = ((da > 0.0) & (db > 0.0)) | ((da < 0.0) & (db < 0.0))
+        da_s = jnp.where(same, da, 1.0)
+        db_s = jnp.where(same, db, 1.0)
+        return jnp.where(same, 2.0 / (1.0 / da_s + 1.0 / db_s), 0.0)
+
+    m0, m1 = slope(d0, d1), slope(d1, d2)
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+    return h00 * v0 + h10 * m0 + h01 * v1 + h11 * m1
+
+
 def interp_photometry_num(fnu_w, knot_matrix, n_knots: int, s,
                           delta: int = KNOT_DELTA,
-                          matmul_dtype=jnp.bfloat16):
-    """Numerators via the knot matmul + per-galaxy shift lerp.
+                          matmul_dtype=jnp.bfloat16,
+                          order: int = KNOT_INTERP_ORDER):
+    """Numerators via the knot matmul + per-galaxy shift interpolation.
 
     Args:
         fnu_w: (B, L) flux × dλ/λ weights.
@@ -480,16 +554,12 @@ def interp_photometry_num(fnu_w, knot_matrix, n_knots: int, s,
         knot_matrix.astype(matmul_dtype),
         preferred_element_type=jnp.float32,
     ).reshape(b, n_knots, f8)
-    c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
-    k = jnp.floor(c).astype(jnp.int32)
-    frac = (c - k.astype(c.dtype))[:, None]
-    lo = jnp.take_along_axis(num_all, k[:, None, None], axis=1)[:, 0]
-    hi = jnp.take_along_axis(num_all, (k + 1)[:, None, None], axis=1)[:, 0]
-    return lo * (1.0 - frac) + hi * frac
+    return _knot_interp(num_all, s, n_knots, delta, order)
 
 
 def interp_photometry_den(den_table, n_knots: int, s,
-                          delta: int = KNOT_DELTA):
+                          delta: int = KNOT_DELTA,
+                          order: int = KNOT_INTERP_ORDER):
     """Denominators interpolated at the SAME knots/weights as the numerator.
 
     Crucial for accuracy: num(s) and den(s) share a staircase (one λ sample
@@ -501,10 +571,55 @@ def interp_photometry_den(den_table, n_knots: int, s,
     den_table: (N_SUB·max_shift + N_SUB, F) from build_den_table (1/8-col
     resolution; knots sample rows k·δ·N_SUB).
     """
-    c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
-    k = jnp.floor(c).astype(jnp.int32)
-    frac = (c - k.astype(c.dtype))[:, None]
     n_max = den_table.shape[0] - 1
-    lo = den_table[jnp.minimum(k * delta * N_SUB, n_max)]
-    hi = den_table[jnp.minimum((k + 1) * delta * N_SUB, n_max)]
-    return lo * (1.0 - frac) + hi * frac
+    knot_rows = jnp.minimum(
+        jnp.arange(n_knots) * delta * N_SUB, n_max)
+    den_knots = den_table[knot_rows]  # (K, F), shared across the batch
+    return _knot_interp(den_knots, s, n_knots, delta, order)
+
+
+def conv_photometry_num(fnu_w, ext_table, n_knots: int, s,
+                        delta: int = KNOT_DELTA,
+                        matmul_dtype=jnp.bfloat16,
+                        order: int = KNOT_INTERP_ORDER,
+                        chunk_knots: int = 16):
+    """Numerators via chunked on-the-fly knot matmuls — mathematically
+    identical to the interp variant (knot-matrix row k IS ext_table sliced
+    at offset k·δ: M[l, k, f] = G[l + kδ, f]) without a materialized
+    persistent knot matrix. At paper scale (10⁴ λ × 63 filters) that matrix
+    is ~400 MB of jit-captured constants — past the axon remote-compile
+    request cap — while G is ~3 MB; each (L, Kc·F) chunk is gathered from G
+    INSIDE the jit (a transient, not a constant), matmul'd, and released.
+    Chunking keeps the MXU-bound reuse of the one-shot matmul: fnu_w is
+    re-read only K/Kc times. (A lax.conv_general_dilated formulation is
+    mathematically equivalent but XLA's CPU/TPU lowering for stride-δ,
+    kernel-length-L convs ran ~7× slower than these plain matmuls.)
+
+    Args:
+        fnu_w: (B, L) flux × dλ/λ weights.
+        ext_table: (F, n_cols) transmissions at λ0·10^{jΔ}
+            (`FilterSet.shifted_table` output).
+        s: (B,) real column shifts log10(1+z)/Δ.
+    Returns:
+        (B, F) numerators (same shift-space knot interpolation as the
+        interp variant; pair with `interp_photometry_den`).
+    """
+    b, n_l = fnu_w.shape
+    f = ext_table.shape[0]
+    need = n_l + (n_knots - 1) * delta + 1
+    if ext_table.shape[1] < need:
+        ext_table = jnp.pad(
+            ext_table, ((0, 0), (0, need - ext_table.shape[1])))
+    g_t = ext_table.T.astype(matmul_dtype)  # (n_cols, F)
+    fw = fnu_w.astype(matmul_dtype)
+    l_idx = jnp.arange(n_l)[:, None]  # (L, 1)
+    chunks = []
+    for k0 in range(0, n_knots, chunk_knots):
+        kc = min(chunk_knots, n_knots - k0)
+        col = (k0 + jnp.arange(kc)) * delta  # (Kc,)
+        m = g_t[l_idx + col[None, :]]  # (L, Kc, F) transient gather
+        out = jnp.matmul(fw, m.reshape(n_l, kc * f),
+                         preferred_element_type=jnp.float32)
+        chunks.append(out.reshape(b, kc, f))
+    num_all = jnp.concatenate(chunks, axis=1)  # (B, K, F)
+    return _knot_interp(num_all, s, n_knots, delta, order)

@@ -285,11 +285,16 @@ class BatchSEDSimulator:
                 build_subshift_table_device,
             )
 
-            # Three variants (see ops/photometry_kernel.py):
+            # Four variants (see ops/photometry_kernel.py):
             #  - "interp" (default): knot-table MXU matmul + shift-space
             #    lerp — no per-galaxy loop at all; ~10x faster than the
             #    loop kernels at 65k batches, interpolation error ≲0.1%
             #    (comparable to the exact kernels' 1/8-column snapping);
+            #  - "conv": the same contraction as a strided correlation
+            #    against the small extended transmission table — identical
+            #    math, no materialized knot matrix; auto-selected when the
+            #    knot matrix would breach the remote-compile constant cap
+            #    (paper-scale F × realistic λ grids);
             #  - "bank": pre-rolled lane residuals, per-galaxy DMA — exact
             #    to 1/8 column, loop-latency-bound at large batches;
             #  - "roll": compact VMEM table + dynamic flux rotate — exact,
@@ -307,8 +312,19 @@ class BatchSEDSimulator:
             # rounding (fp32 accumulate); pass jnp.float32 for lerp-only error
             self._knot_matmul_dtype = photometry_matmul_dtype
             if photometry_variant == "auto":
-                self._pallas_variant = "interp"
-            elif photometry_variant in ("interp", "bank", "roll"):
+                # two knot tables (plain + IGM-baked) are captured as jit
+                # constants; past ~40 MB each the axon remote-compile
+                # request (~100-200 MB total with the grid spectra) is at
+                # risk -> switch to the table-free conv formulation
+                # threshold: the round-2 production config (7 bands,
+                # 10⁴ λ ⇒ ~50 MB/table) stays on interp; paper-scale F=63
+                # at 10⁴ λ (~400 MB) flips to conv
+                f8 = int(np.ceil(len(filters) / 8) * 8)
+                n_knots_est = self._max_shift // self._knot_delta + 2
+                knot_bytes = grid.n_wav * n_knots_est * f8 * 4
+                self._pallas_variant = (
+                    "conv" if knot_bytes > 64 * 1024 * 1024 else "interp")
+            elif photometry_variant in ("interp", "conv", "bank", "roll"):
                 self._pallas_variant = photometry_variant
                 if (photometry_variant == "bank"
                         and bank_nbytes(len(filters), grid.n_wav,
@@ -337,7 +353,13 @@ class BatchSEDSimulator:
                 # built ON DEVICE: only the raw filter curves (KBs) cross
                 # the host->device link
                 self._n_knots = None
-                if self._pallas_variant == "interp":
+                if self._pallas_variant == "conv":
+                    # table-free: num correlates against the (F, cols)
+                    # extended transmission table already stored in
+                    # self._filter_table; only n_knots + den are needed
+                    self._n_knots = self._max_shift // self._knot_delta + 2
+                    table = None
+                elif self._pallas_variant == "interp":
                     table, self._n_knots = build_knot_matrix_device(
                         filters, grid.lam, self._filter_dlog,
                         self._max_shift, grid.n_wav,
@@ -382,7 +404,7 @@ class BatchSEDSimulator:
                 # knot interval's den is clamped to a mismatched shift and
                 # the num/den staircase cancellation degrades near z_max
                 ms_den = self._max_shift
-                if self._pallas_variant == "interp":
+                if self._pallas_variant in ("interp", "conv"):
                     ms_den = max(
                         ms_den, (self._n_knots - 1) * self._knot_delta)
                 den = build_den_table(
@@ -649,14 +671,22 @@ class BatchSEDSimulator:
             s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
             s4 = shift_decompose(s, self._max_shift)
             fnu_w = fnu_njy * self._wlam
-            if self._pallas_variant == "interp":
-                from .ops.photometry_kernel import interp_photometry_den
+            if self._pallas_variant in ("interp", "conv"):
+                from .ops.photometry_kernel import (conv_photometry_num,
+                                                    interp_photometry_den)
 
-                num = interp_photometry_num(
-                    fnu_w, self._pallas_table[0], self._n_knots, s,
-                    delta=self._knot_delta,
-                    matmul_dtype=self._knot_matmul_dtype,
-                )[:, : len(self.filters)]
+                if self._pallas_variant == "interp":
+                    num = interp_photometry_num(
+                        fnu_w, self._pallas_table[0], self._n_knots, s,
+                        delta=self._knot_delta,
+                        matmul_dtype=self._knot_matmul_dtype,
+                    )[:, : len(self.filters)]
+                else:
+                    num = conv_photometry_num(
+                        fnu_w, self._filter_table, self._n_knots, s,
+                        delta=self._knot_delta,
+                        matmul_dtype=self._knot_matmul_dtype,
+                    )[:, : len(self.filters)]
                 # den interpolated at the SAME knots so the filter-edge
                 # staircase cancels in the ratio (see kernel docstring)
                 den = interp_photometry_den(

@@ -207,3 +207,40 @@ class TestSimulatorFreeAxis:
         theta_hi[:, -1] = -1.0
         out_hi = sim.line_quantities(theta_hi)
         assert (out_hi["luminosity"] >= out["luminosity"] - 1e-9).all()
+
+
+class TestPhotometryVariantSelection:
+    """Auto engine choice: interp (knot matmul) at small table sizes, conv
+    (table-free strided correlation) when the knot matrix would breach the
+    remote-compile constant cap (paper-scale F × realistic λ)."""
+
+    def test_small_config_selects_interp(self, test_grid, nircam_filters):
+        from synference_tpu.sed import BatchSEDSimulator
+
+        sim = BatchSEDSimulator(
+            test_grid, nircam_filters,
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            photometry_backend="pallas")
+        assert sim._pallas_variant == "interp"
+
+    def test_paper_scale_selects_conv(self, test_grid):
+        from synference_tpu.instruments import load_instrument_filters
+        from synference_tpu.sed import BatchSEDSimulator
+
+        # 63 filters x a 4096-λ grid: knot matrix would be > 64 MB
+        import numpy as np
+
+        from synference_tpu.grids import make_synthetic_grid
+
+        grid = make_synthetic_grid(n_ages=8, n_mets=3, n_wav=4096,
+                                   lam_min=150.0)
+        sim = BatchSEDSimulator(
+            grid, load_instrument_filters(),
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            photometry_backend="pallas")
+        assert sim._pallas_variant == "conv"
+        theta = np.array([[9.0, 1.0, 2e8, 0.5, -2.5, 0.3]], np.float32)
+        p = np.asarray(sim.photometry(theta))
+        assert p.shape == (1, 63) and np.isfinite(p).all()
