@@ -481,35 +481,50 @@ def _knot_interp(vals, s, n_knots: int, delta: int, order: int):
     cancels in the ratio only when both interpolate identically.
     """
     c = jnp.clip(s, 0.0, (n_knots - 1) * delta - 1.0e-3) / delta
-    k = jnp.floor(c).astype(jnp.int32)
+    k = jnp.floor(c).astype(jnp.int32)  # 0 .. n_knots-2
     t = (c - k.astype(c.dtype))[:, None]
     shared = vals.ndim == 2  # (K, F) table shared by the whole batch
 
-    def rows(*offs):
+    if order == 1:
         if shared:
             # direct fancy-indexed gather — broadcasting the table to
             # (B, K, F) first would materialize hundreds of MB
-            return (vals[jnp.clip(k + off, 0, vals.shape[0] - 1)]
-                    for off in offs)
-        return (
-            jnp.take_along_axis(vals, (k + off)[:, None, None],
-                                axis=1)[:, 0]
-            for off in offs
-        )
-
-    if order == 1:
-        lo, hi = rows(0, 1)
+            lo, hi = vals[k], vals[k + 1]
+        else:
+            idx = jnp.stack([k, k + 1], axis=1)  # (B, 2)
+            g = jnp.take_along_axis(vals, idx[:, :, None], axis=1)
+            lo, hi = g[:, 0], g[:, 1]
         return lo * (1.0 - t) + hi * t
+
+    # Cubic. The end knots use linearly-extrapolated virtual neighbours;
+    # rather than CONCATENATING padded rows (a full copy of the (B, K, F)
+    # knot tensor — ~260 MB of HBM traffic at 65k batches), gather with
+    # clipped indices and patch the two edge cases with selects.
+    km1 = jnp.maximum(k - 1, 0)
+    kp2 = jnp.minimum(k + 2, n_knots - 1)
     if shared:
-        first = 2.0 * vals[:1] - vals[1:2]
-        last = 2.0 * vals[-1:] - vals[-2:-1]
-        vals = jnp.concatenate([first, vals, last], axis=0)
+        vm1, v0, v1, v2 = vals[km1], vals[k], vals[k + 1], vals[kp2]
     else:
-        first = 2.0 * vals[:, :1] - vals[:, 1:2]
-        last = 2.0 * vals[:, -1:] - vals[:, -2:-1]
-        vals = jnp.concatenate([first, vals, last], axis=1)
-    # knot j now at row j+1
-    vm1, v0, v1, v2 = rows(0, 1, 2, 3)
+        # Batched 4-row fetch as a one-hot batched matmul instead of
+        # take_along_axis: TPU gather lowering is scalar-unit-bound, while
+        # the (B, 4, K) @ (B, K, F) dot streams the knot tensor through the
+        # MXU once (~15% faster through the full pipeline at 65k × K=120).
+        # Precision.HIGHEST keeps the 0/1-mask selection exact — DEFAULT
+        # would round the fp32 knot values to bf16 (~0.4% error).
+        j = jnp.arange(n_knots, dtype=jnp.int32)[None, :]
+        masks = jnp.stack([
+            (j == km1[:, None]), (j == k[:, None]),
+            (j == (k + 1)[:, None]), (j == kp2[:, None]),
+        ], axis=1).astype(vals.dtype)  # (B, 4, K)
+        g = jax.lax.dot_general(
+            masks, vals, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (B, 4, F)
+        vm1, v0, v1, v2 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    lo_edge = (k == 0)[:, None]
+    hi_edge = (k + 2 > n_knots - 1)[:, None]
+    vm1 = jnp.where(lo_edge, 2.0 * v0 - v1, vm1)
+    v2 = jnp.where(hi_edge, 2.0 * v1 - v0, v2)
     d0, d1, d2 = v0 - vm1, v1 - v0, v2 - v1
 
     def slope(da, db):
