@@ -19,17 +19,36 @@ __all__ = ["make_sharded_photometry_fn", "sharded_generate"]
 
 def make_sharded_photometry_fn(sim, mesh, axis_name: str = "data",
                                want_spectra: bool = False):
-    """jit the batch simulator with in/out shardings along the sample axis.
+    """shard_map the batch simulator along the sample axis.
 
     Returns a function θ (B, P) -> outputs with B sharded over `axis_name`;
     B must be divisible by the axis size.
+
+    shard_map (not jit-with-in_shardings): the per-shard program runs as-is
+    on every device, so GSPMD-opaque ops — the Pallas megakernel
+    (`ops/fused_sed.py`) and the exact bank/roll kernels — stay partitioned
+    instead of being all-gathered onto every chip. For the pure-jnp paths
+    the two are equivalent (the batch axis is embarrassingly parallel; no
+    collectives in the body). The per-shard row offset keeps stochastic
+    particle realizations independent across shards.
     """
-    in_sharding = NamedSharding(mesh, P(axis_name, None))
+    in_spec = P(axis_name, None)
+
+    def local_fn(theta):
+        # theta here is the LOCAL (B/axis_size, P) shard
+        off = jax.lax.axis_index(axis_name) * theta.shape[0]
+        return sim.simulate(theta, want_spectra=want_spectra,
+                            row_offset=off)
 
     def fn(theta):
-        return sim.simulate(theta, want_spectra=want_spectra)
+        shapes = jax.eval_shape(
+            lambda t: sim.simulate(t, want_spectra=want_spectra), theta)
+        out_specs = jax.tree_util.tree_map(
+            lambda s: P(axis_name, *([None] * (s.ndim - 1))), shapes)
+        return jax.shard_map(local_fn, mesh=mesh, in_specs=in_spec,
+                             out_specs=out_specs, check_vma=False)(theta)
 
-    return jax.jit(fn, in_shardings=(in_sharding,))
+    return jax.jit(fn)
 
 
 def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,

@@ -755,6 +755,96 @@ class BatchSEDSimulator:
             out["sfzh"] = sfzh_flat
         return out
 
+    def _mega_supported(self) -> bool:
+        """Static gate for the single-pass Pallas megakernel
+        (`ops/fused_sed.py`): the fused-path config it implements is a
+        single reprocessed channel with one dust screen. Anything else
+        falls back to the (still fast) XLA fused path."""
+        em = self.emission
+        if (self.photometry_backend != "pallas"
+                or self._pallas_variant != "interp"
+                or self._interp_order not in (1, 3)):
+            return False
+        if isinstance(em.fesc, str):  # traced fesc -> per-galaxy channel mix
+            return False
+        if float(em.fesc) != 0.0 and em.reprocessed_types:
+            return False  # distinct escaped/reprocessed tables
+        if em.tau_v_bc_param is not None or em.dust_emission:
+            return False
+        if self._knot_matmul_dtype != jnp.bfloat16:
+            return False
+        f8 = self._pallas_table[1].shape[1] // self._n_knots
+        if f8 > 128:
+            return False
+        # measured crossover (1×v5e): mega wins ~+19% at 2048-λ grids but
+        # loses ~6% at 10⁴ λ, where the contraction dominates and XLA's
+        # own tiling of the staged matmul beats the VMEM-resident block
+        if self._wlam.shape[0] > 4096:
+            return False
+        return self._mega_setup() is not None
+
+    def _mega_setup(self):
+        """Lazily build padded megakernel tables; pick the largest galaxy
+        block whose working set fits VMEM. Returns (tables, block_b) or
+        None when even a 64-galaxy block would not fit."""
+        cached = getattr(self, "_mega_cache", False)
+        if cached is not False:
+            return cached
+        from .ops.fused_sed import (megakernel_vmem_bytes,
+                                    prepare_megakernel_tables)
+
+        em = self.emission
+        # the lazy build may be reached inside a jit trace (first
+        # photometry call); the tables are θ-independent constants, so
+        # evaluate them at compile time rather than tracing them
+        with jax.ensure_compile_time_eval():
+            return self._mega_setup_eager(em, megakernel_vmem_bytes,
+                                          prepare_megakernel_tables)
+
+    def _mega_setup_eager(self, em, megakernel_vmem_bytes,
+                          prepare_megakernel_tables):
+        types = em.reprocessed_types or (em.incident_type,)
+        sed_table = sum(self._components[t].astype(jnp.float32)
+                        for t in types)
+        c, n_l = sed_table.shape
+        kf = int(self._pallas_table[1].shape[1])
+        f8 = kf // self._n_knots
+        block_b = 256
+        while (block_b >= 64
+               and megakernel_vmem_bytes(
+                   c, n_l, kf, f8, block_b,
+                   compute_bytes=jnp.dtype(self.compute_dtype).itemsize)
+               > 110 * 1024 * 1024):
+            block_b //= 2
+        if block_b < 64:
+            self._mega_cache = None
+            return None
+        tables = prepare_megakernel_tables(
+            sed_table, self._wlam, self._dust_curve,
+            self._pallas_table[1], self._den_table,
+            self._n_knots, self._knot_delta,
+            kf // self._n_knots, compute_dtype=self.compute_dtype)
+        self._mega_cache = (tables, block_b)
+        return self._mega_cache
+
+    def _photometry_mega(self, sfzh, z, tau_v):
+        """(B, C) SFZH + (B,) z/τ_v -> (B, F) nJy via the single-pass
+        megakernel — contraction, dust, knot matmul, cubic shift interp and
+        the den ratio all in one VMEM-resident Pallas program."""
+        from .ops.fused_sed import fused_sed_photometry
+
+        tables, block_b = self._mega_setup()
+        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+        zp1 = 1.0 + z
+        d19 = self._d19_of_z(z)
+        scale = zp1 * 1.0e-6 / (_FOUR_PI * d19**2)
+        f8 = tables["dims"][2] // self._n_knots
+        out = fused_sed_photometry(
+            sfzh, s, tau_v, scale, tables, self._n_knots,
+            self._knot_delta, f8, order=self._interp_order,
+            fesc=float(self.emission.fesc), block_b=block_b)
+        return out[:, : len(self.filters)]
+
     def _photometry_fused(self, lnu, z):
         """(B, L) rest L_ν + (B,) z -> (B, F) nJy, IGM baked into the knot
         matmul; the observed-frame scale zp1·1e-6/(4π d19²) is scalar per
@@ -777,24 +867,47 @@ class BatchSEDSimulator:
         scale = zp1 * 1.0e-6 / (_FOUR_PI * d19**2)
         return (num / jnp.maximum(den, 1.0e-30)) * scale[:, None]
 
-    def simulate(self, theta, want_spectra: bool = False):
+    def simulate(self, theta, want_spectra: bool = False, row_offset=0):
         """Run the batch: θ (B, P) -> dict of (B, ...) outputs.
 
         Not jitted here so callers can wrap it in jit/shard_map with their own
         sharding (see `parallel/generate.py`). The filter convolution runs
         batch-level (outside the vmap) so the Pallas kernel sees the whole
         batch.
+
+        Args:
+            row_offset: added to the per-row index that seeds stochastic
+                realizations (particle SFZH). Inside shard_map the local
+                arange restarts at 0 on every shard — pass
+                `axis_index · local_B` so shards draw independent particles
+                (`parallel/generate.py` does).
         """
         theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        row_ids = (jnp.arange(theta.shape[0], dtype=jnp.int32)
+                   + jnp.asarray(row_offset, jnp.int32))
         fused = (
             not want_spectra
             and self.photometry_backend == "pallas"
             and self._pallas_variant == "interp"
         )
+        if fused and self._mega_supported():
+            em = self.emission
+
+            def weights_one(row, i):
+                p = self.theta_dict(row)
+                p["_row_idx"] = i
+                w, _ = self._sfzh(p)
+                zz = p.get("redshift", jnp.asarray(0.0))
+                tv = (p[em.tau_v_param] if em.tau_v_param is not None
+                      else jnp.asarray(0.0))
+                return w, zz, tv
+
+            w, z, tau_v = jax.vmap(weights_one)(theta, row_ids)
+            return {"photometry_njy": self._photometry_mega(w, z, tau_v)}
         res = jax.vmap(
             lambda row, i: self._core(row, want_spectra, fused=fused,
                                       row_idx=i)
-        )(theta, jnp.arange(theta.shape[0], dtype=jnp.int32))
+        )(theta, row_ids)
         z = res.pop("_z")
         if fused:
             return {"photometry_njy": self._photometry_fused(res["_lnu"], z)}
