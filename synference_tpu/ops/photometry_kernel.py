@@ -413,10 +413,17 @@ KNOT_DELTA = 8  # knot spacing in λ columns
 
 def build_knot_matrix_device(filter_set, lam_rest, dlog: float,
                              max_shift: int, n_wav: int,
-                             delta: int = KNOT_DELTA):
+                             delta: int = KNOT_DELTA, l_range=None):
     """(L, K·F8) knot table M[l, k·F8+f] = T_f(λ0·10^{(l + kδ)Δ}), built on
     device (only the raw filter curves cross the host link). Returns
-    (M, n_knots)."""
+    (M, n_knots).
+
+    l_range=(l_lo, l_hi) builds only those rows: rows outside the union
+    filter support over every knot shift are identically zero and
+    contribute nothing to any band numerator, so trimming them is exact —
+    it just shrinks the MXU matmul and the captured constant (the red tail
+    of the rest grid no filter ever redshifts onto is typically 30-40% of
+    a production grid). Callers must slice fnu_w to the same rows."""
     f = len(filter_set)
     f8 = int(np.ceil(f / 8) * 8)
     n_knots = int(max_shift // delta) + 2  # cover s ∈ [0, max_shift]
@@ -431,18 +438,19 @@ def build_knot_matrix_device(filter_set, lam_rest, dlog: float,
         if n < k_len:
             last = float(filt.lam[-1])
             filt_lam[i, n:] = last * (1.0 + 1.0e-6 * np.arange(1, k_len - n + 1))
+    l_lo, l_hi = (0, n_wav) if l_range is None else l_range
     return _knot_matrix_on_device(
         jnp.asarray(filt_lam), jnp.asarray(filt_tr), jnp.float32(lam0),
-        jnp.float32(dlog), n_wav=n_wav, n_knots=n_knots, f8=f8,
-        delta=delta,
+        jnp.float32(dlog), l_lo=int(l_lo), l_hi=int(l_hi), n_knots=n_knots,
+        f8=f8, delta=delta,
     ), n_knots
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_wav", "n_knots", "f8", "delta"))
-def _knot_matrix_on_device(filt_lam, filt_tr, lam0, dlog, n_wav: int,
-                           n_knots: int, f8: int, delta: int):
-    l_idx = jnp.arange(n_wav, dtype=jnp.float32)
+                   static_argnames=("l_lo", "l_hi", "n_knots", "f8", "delta"))
+def _knot_matrix_on_device(filt_lam, filt_tr, lam0, dlog, l_lo: int,
+                           l_hi: int, n_knots: int, f8: int, delta: int):
+    l_idx = jnp.arange(l_lo, l_hi, dtype=jnp.float32)
 
     def one_knot(k):
         lam_eval = lam0 * 10.0 ** ((l_idx + k * delta) * dlog)
@@ -458,7 +466,7 @@ def _knot_matrix_on_device(filt_lam, filt_tr, lam0, dlog, n_wav: int,
 
     m = jax.vmap(one_knot)(jnp.arange(n_knots, dtype=jnp.float32))
     # (K, F8, L) -> (L, K*F8)
-    return jnp.transpose(m, (2, 0, 1)).reshape(n_wav, n_knots * f8)
+    return jnp.transpose(m, (2, 0, 1)).reshape(l_hi - l_lo, n_knots * f8)
 
 
 KNOT_INTERP_ORDER = 3  # Catmull-Rom cubic across knots (1 = linear)
@@ -597,7 +605,8 @@ def conv_photometry_num(fnu_w, ext_table, n_knots: int, s,
                         delta: int = KNOT_DELTA,
                         matmul_dtype=jnp.bfloat16,
                         order: int = KNOT_INTERP_ORDER,
-                        chunk_knots: int = 16):
+                        chunk_knots: int = 16, l_offset: int = 0,
+                        filter_cols=None, group_filters: int = 8):
     """Numerators via chunked on-the-fly knot matmuls — mathematically
     identical to the interp variant (knot-matrix row k IS ext_table sliced
     at offset k·δ: M[l, k, f] = G[l + kδ, f]) without a materialized
@@ -611,23 +620,40 @@ def conv_photometry_num(fnu_w, ext_table, n_knots: int, s,
     kernel-length-L convs ran ~7× slower than these plain matmuls.)
 
     Args:
-        fnu_w: (B, L) flux × dλ/λ weights.
+        fnu_w: (B, L) flux × dλ/λ weights; rows l_offset..l_offset+L-1 of
+            the rest grid (pre-sliced to the union filter support — see
+            `build_knot_matrix_device`'s l_range note).
         ext_table: (F, n_cols) transmissions at λ0·10^{jΔ}
             (`FilterSet.shifted_table` output).
         s: (B,) real column shifts log10(1+z)/Δ.
+        l_offset: absolute rest-grid column of fnu_w[:, 0].
+        filter_cols: optional static tuple of per-filter (c0, c1) nonzero
+            column ranges on ext_table. When given, switches to the
+            WINDOWED engine: filters are sorted by support start and
+            grouped; each (group, knot-chunk) matmul reads only the λ
+            window that can reach that group at those shifts. Dense the
+            numerator is ~2% nonzero at paper scale (63 filters × 10⁴ λ),
+            so the windowed engine cuts the MXU work ~5× with bit-identical
+            G values (only the summation grouping changes).
+        group_filters: filters per window group (windowed engine only).
     Returns:
         (B, F) numerators (same shift-space knot interpolation as the
         interp variant; pair with `interp_photometry_den`).
     """
     b, n_l = fnu_w.shape
     f = ext_table.shape[0]
-    need = n_l + (n_knots - 1) * delta + 1
+    need = l_offset + n_l + (n_knots - 1) * delta + 1
     if ext_table.shape[1] < need:
         ext_table = jnp.pad(
             ext_table, ((0, 0), (0, need - ext_table.shape[1])))
     g_t = ext_table.T.astype(matmul_dtype)  # (n_cols, F)
     fw = fnu_w.astype(matmul_dtype)
-    l_idx = jnp.arange(n_l)[:, None]  # (L, 1)
+    if filter_cols is not None:
+        num_all = _conv_num_windowed(
+            fw, g_t, n_knots, delta, chunk_knots, l_offset,
+            filter_cols, group_filters)
+        return _knot_interp(num_all, s, n_knots, delta, order)
+    l_idx = jnp.arange(l_offset, l_offset + n_l)[:, None]  # (L, 1)
     chunks = []
     for k0 in range(0, n_knots, chunk_knots):
         kc = min(chunk_knots, n_knots - k0)
@@ -638,3 +664,65 @@ def conv_photometry_num(fnu_w, ext_table, n_knots: int, s,
         chunks.append(out.reshape(b, kc, f))
     num_all = jnp.concatenate(chunks, axis=1)  # (B, K, F)
     return _knot_interp(num_all, s, n_knots, delta, order)
+
+
+def _conv_num_windowed(fw, g_t, n_knots: int, delta: int, chunk_knots: int,
+                       l_offset: int, filter_cols, group_filters: int):
+    """Windowed conv numerators: (B, K, F) knot samples.
+
+    For filter f with support cols [c0_f, c1_f) on the extended table,
+    num[b, k, f] = Σ_l fw[b, l]·G[f, l + kδ] is nonzero only for
+    l ∈ [c0_f - kδ, c1_f - kδ). Sorting filters by c0 and grouping ~8
+    neighbours, each (group, knot-chunk) needs one window of
+    V_g = span_g + (Kc-1)δ columns — a (B, V_g) @ (V_g, Kc·Fg) matmul —
+    instead of the full (B, L) @ (L, Kc·F). All indices are static; fw is
+    zero-padded on the blue side so every window has the same width per
+    group (shape reuse across chunks; out-of-range lanes multiply zeros).
+    """
+    b, n_l = fw.shape
+    f = g_t.shape[1]
+    c0 = np.array([c[0] for c in filter_cols])
+    c1 = np.array([c[1] for c in filter_cols])
+    order_f = np.argsort(c0, kind="stable")
+    groups = []
+    for gi in range(0, f, group_filters):
+        idx = order_f[gi:gi + group_filters]
+        groups.append((idx, int(c0[idx].min()), int(c1[idx].max())))
+    # ONE window width for every (group, chunk): widened lanes only meet
+    # zero transmission for that group's filters, so padding to a common V
+    # is exact — and it collapses the program to ≤4 matmul shapes (full /
+    # tail chunk × full / tail group) instead of one per pair, which keeps
+    # the remote compile fast
+    v_win = (max(a1 - a0 for _, a0, a1 in groups)
+             + (chunk_knots - 1) * delta)
+    plan = []  # (k0, kc, [(idx, w_start), ...])
+    w_min = l_offset
+    for k0 in range(0, n_knots, chunk_knots):
+        kc = min(chunk_knots, n_knots - k0)
+        row = []
+        for idx, a0, a1 in groups:
+            w_end = min(a1 - k0 * delta, l_offset + n_l)
+            w_start = w_end - v_win
+            w_min = min(w_min, w_start)
+            row.append((idx, w_start))
+        plan.append((k0, kc, row))
+    pad_left = l_offset - w_min
+    fw_pad = jnp.pad(fw, ((0, 0), (pad_left, 0)))  # covers cols ≥ w_min
+    chunk_outs = []
+    for k0, kc, row in plan:
+        col = (k0 + jnp.arange(kc)) * delta  # (Kc,)
+        per_group = []
+        for idx, w_start in row:
+            win = fw_pad[:, w_start - w_min:w_start - w_min + v_win]
+            # absolute cols of the window; cols < l_offset sit in the
+            # zero pad, so the clamped G rows they gather multiply zeros
+            j = jnp.maximum(
+                jnp.arange(w_start, w_start + v_win), 0)[:, None]
+            m = g_t[:, idx][j + col[None, :]]  # (V, Kc, Fg) transient
+            out = jnp.matmul(win, m.reshape(v_win, kc * len(idx)),
+                             preferred_element_type=jnp.float32)
+            per_group.append(out.reshape(b, kc, len(idx)))
+        chunk_outs.append(jnp.concatenate(per_group, axis=2))
+    num_sorted = jnp.concatenate(chunk_outs, axis=1)  # (B, K, F sorted)
+    inv = np.argsort(order_f)
+    return num_sorted[:, :, inv]

@@ -336,3 +336,124 @@ def test_interp_cache_not_contaminated_across_igm_models():
     p_igm = float(np.asarray(sim_igm.photometry(theta))[0, 0])
     p_none = float(np.asarray(sim_none.photometry(theta))[0, 0])
     assert p_none > 1.15 * p_igm, (p_none, p_igm)
+
+
+class TestLambdaSupportTrimming:
+    """λ-support trimming: knot-matrix rows (and fused-contraction columns)
+    outside the union filter support are identically zero, so dropping them
+    must be EXACT — and the trimmed paths must agree with the untrimmed
+    exact XLA backend across the full z range including both endpoints."""
+
+    def _sims(self, variant):
+        import synference_tpu as st
+
+        # red-tail-heavy grid: filters end at ~5 µm but the grid runs far
+        # redder, so a large fraction of rows is trimmable
+        grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=2048,
+                                      lam_min=150.0)
+        centers = [9000., 15000., 27700., 44400.]
+        widths = [2000., 3300., 7000., 10200.]
+        filters = st.FilterSet([
+            st.tophat_filter(f"F{i}", c, w)
+            for i, (c, w) in enumerate(zip(centers, widths))])
+        kw = dict(
+            grid=grid, filters=filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig(igm="inoue14"))
+        sim_x = st.BatchSEDSimulator(photometry_backend="xla", **kw)
+        sim_p = st.BatchSEDSimulator(
+            photometry_backend="pallas", photometry_variant=variant, **kw)
+        return sim_x, sim_p
+
+    @pytest.mark.parametrize("variant", ["interp", "conv"])
+    def test_trimming_active_and_matches_xla(self, variant, rng):
+        sim_x, sim_p = self._sims(variant)
+        assert sim_p._lam_support is not None
+        l0, l1 = sim_p._lam_support
+        assert l1 < sim_p.grid.n_wav  # red tail actually trimmed
+        B = 256
+        theta = np.stack([
+            rng.uniform(7.5, 11, B), rng.uniform(0.0, 11.5, B),
+            rng.uniform(5e7, 1e9, B), rng.uniform(0.1, 1.2, B),
+            rng.uniform(-3.9, -1.5, B), rng.uniform(0, 3, B),
+        ], 1).astype(np.float32)
+        theta[0, 1] = 0.0  # z endpoints
+        theta[1, 1] = 11.9
+        px = np.asarray(sim_x.photometry(theta))
+        pp = np.asarray(sim_p.photometry(theta))  # fused path
+        scale = np.abs(px).max(axis=1, keepdims=True)
+        sig = np.abs(px) > 0.01 * scale
+        rel = np.abs(pp - px) / np.maximum(np.abs(px), 1e-3 * scale)
+        assert np.median(rel[sig]) < 2e-3
+        assert np.quantile(rel[sig], 0.99) < 2e-2
+        # spectra-requested path exercises _photometry_batch's sliced fw
+        out = sim_p.simulate(theta[:32], want_spectra=True)
+        pb = np.asarray(out["photometry_njy"])
+        rel_b = (np.abs(pb - px[:32])
+                 / np.maximum(np.abs(px[:32]), 1e-3 * scale[:32]))
+        assert np.quantile(rel_b[sig[:32]], 0.99) < 2e-2
+        # spectra stay FULL length (trimming is photometry-internal only)
+        assert out["lnu"].shape[1] == sim_p.grid.n_wav
+
+    def test_fused_conv_matches_nonfused(self, rng):
+        """The conv-fused path (contraction over support columns + batched
+        IGM lerp + scalar distance) must reproduce the spectra-path conv
+        photometry (full _observe) to fp32 round-off."""
+        _, sim_p = self._sims("conv")
+        B = 128
+        theta = np.stack([
+            rng.uniform(7.5, 11, B), rng.uniform(0.05, 11, B),
+            rng.uniform(5e7, 1e9, B), rng.uniform(0.1, 1.2, B),
+            rng.uniform(-3.9, -1.5, B), rng.uniform(0, 3, B),
+        ], 1).astype(np.float32)
+        p_fused = np.asarray(sim_p.photometry(theta))
+        p_spec = np.asarray(
+            sim_p.simulate(theta, want_spectra=True)["photometry_njy"])
+        scale = np.abs(p_spec).max(axis=1, keepdims=True)
+        rel = np.abs(p_fused - p_spec) / np.maximum(np.abs(p_spec),
+                                                    1e-3 * scale)
+        assert np.quantile(rel, 0.99) < 5e-3
+
+
+def test_windowed_conv_matches_dense(rng):
+    """The windowed conv engine must reproduce the dense chunked engine:
+    identical G values and fp32 accumulation, only the summation grouping
+    changes (windows exclude only zero-transmission lanes)."""
+    import jax.numpy as jnp
+
+    from synference_tpu.ops.photometry_kernel import conv_photometry_num
+
+    n_l, n_knots, delta, f = 700, 23, 9, 13
+    ncols = n_l + (n_knots - 1) * delta + 1
+    ext = np.zeros((f, ncols), np.float32)
+    cols = []
+    starts = rng.integers(40, ncols - 160, f)
+    for i, st0 in enumerate(sorted(starts)):
+        w = int(rng.integers(30, 140))
+        ext[i, st0:st0 + w] = rng.random(w).astype(np.float32)
+        cols.append((st0, st0 + w))
+    fw = jnp.asarray(rng.random((64, n_l)).astype(np.float32))
+    s = jnp.asarray(rng.random(64).astype(np.float32)
+                    * (n_knots - 1) * delta)
+    ext_j = jnp.asarray(ext)
+    dense = np.asarray(conv_photometry_num(
+        fw, ext_j, n_knots, s, delta=delta, matmul_dtype=jnp.float32))
+    for gf in (4, 8, 32):
+        win = np.asarray(conv_photometry_num(
+            fw, ext_j, n_knots, s, delta=delta, matmul_dtype=jnp.float32,
+            filter_cols=tuple(cols), group_filters=gf))
+        np.testing.assert_allclose(win[:, :f], dense[:, :f],
+                                   rtol=2e-5, atol=1e-6)
+    # and with a trimmed/offset flux slab (interp-style support slicing)
+    l0 = 30
+    dense_off = np.asarray(conv_photometry_num(
+        fw[:, l0:], ext_j, n_knots, s, delta=delta,
+        matmul_dtype=jnp.float32, l_offset=l0))
+    win_off = np.asarray(conv_photometry_num(
+        fw[:, l0:], ext_j, n_knots, s, delta=delta,
+        matmul_dtype=jnp.float32, l_offset=l0,
+        filter_cols=tuple(cols)))
+    np.testing.assert_allclose(win_off[:, :f], dense_off[:, :f],
+                               rtol=2e-5, atol=1e-6)
