@@ -70,7 +70,11 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
         p = fn(theta)
     p.block_until_ready()
     dt = (time.time() - t0) / iters
-    return batch / dt
+    engine = sim._pallas_variant if sim.photometry_backend == "pallas" \
+        else sim.photometry_backend
+    if sim.photometry_backend == "pallas" and sim._mega_supported():
+        engine = "megakernel"
+    return batch / dt, engine, sim._lam_support
 
 
 def bench_training(n=100_000, batch=1024, epochs=3):
@@ -138,18 +142,18 @@ def bench_sampling(n_objects=256, n_samples=1000):
 
 
 def main():
-    seds_per_sec = bench_generation()
+    seds_per_sec, eng_h, sup_h = bench_generation()
     # realistic grid size: a real BPASS/BC03 grid is ~[50-100] ages x [10+]
     # metallicities x ~1e4 λ points (VERDICT r1 #3) — bench that too
-    realsize_seds = bench_generation(batch=16384, iters=4,
-                                     n_ages=64, n_mets=12, n_wav=10_000)
+    realsize_seds, eng_r, sup_r = bench_generation(
+        batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000)
     # paper scale: the reference paper's 63-filter GENERAL_SURVEY config
     # (realistic measured-morphology curves, instruments.py) on the
     # realistic-size grid — photometry auto-selects the table-free conv
     # engine (the knot matrix would be ~400 MB of captured constants here)
     from synference_tpu.instruments import load_instrument_filters
 
-    paper63_seds = bench_generation(
+    paper63_seds, eng_p, sup_p = bench_generation(
         batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000,
         filters=load_instrument_filters(), lam_min=150.0)
     train_steps = bench_training()
@@ -163,12 +167,16 @@ def main():
         # ESTIMATED 13.9 SEDs/s cluster rate derived in the module docstring
         "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),
         "vs_baseline_is_estimated": True,
+        "headline_engine": f"{eng_h} support={sup_h}",
         "realsize_seds_per_sec": round(realsize_seds, 1),
         "realsize_grid": "64x12x10000 lambda, batch 16384",
+        "realsize_engine": f"{eng_r} support={sup_r}",
         "paper63_seds_per_sec": round(paper63_seds, 1),
         "paper63_config": ("63 realistic survey filters "
                            "(VISTA+HSC+MegaCam+Euclid+HST+JWST+IRAC), "
-                           "64x12x10000 lambda, batch 16384, conv engine"),
+                           "64x12x10000 lambda, batch 16384, windowed "
+                           "conv engine"),
+        "paper63_engine": f"{eng_p} support={sup_p}",
         "npe_train_steps_per_sec": round(train_steps, 1),
         "posterior_samples_per_sec": round(samples_per_sec, 1),
     }

@@ -181,3 +181,43 @@ class TestShardedSampling:
             jax.random.PRNGKey(9), jnp.asarray(x[:11]), 400))
         q_ref = np.quantile(s, [0.16, 0.5, 0.84], axis=1)
         np.testing.assert_allclose(q, np.moveaxis(q_ref, 0, 1), atol=1e-4)
+
+
+class TestShardedConvEngine:
+    """The windowed conv engine inside shard_map: the per-shard program
+    must compile and match the single-device result (paper-scale filter
+    counts run conv, which GSPMD can't partition through the dense jit
+    route — parallel/generate shard_maps the whole simulator)."""
+
+    def test_conv_shard_map_matches_single(self, test_grid):
+        from synference_tpu.parallel.generate import (
+            make_sharded_photometry_fn,
+        )
+
+        centers = [9000., 11500., 15000., 20000., 27700., 35600., 44400.,
+                   56000., 70000.]
+        widths = [2000., 2600., 3300., 4600., 7000., 7800., 10200.,
+                  11000., 14000.]
+        filters = FilterSet([
+            tophat_filter(f"F{i}", c, w)
+            for i, (c, w) in enumerate(zip(centers, widths))])
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="conv",
+        )
+        assert sim._pallas_variant == "conv"
+        theta = _theta(64, np.random.default_rng(3))
+        mesh = make_mesh()
+        fn = make_sharded_photometry_fn(sim, mesh, "data")
+        theta_dev = jax.device_put(
+            jnp.asarray(theta),
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data", None)))
+        p_sharded = np.asarray(fn(theta_dev)["photometry_njy"])
+        p_single = np.asarray(sim.photometry(theta))
+        atol = 1e-5 * np.abs(p_single).max(axis=1, keepdims=True)
+        assert np.all(
+            np.abs(p_sharded - p_single) <= 1e-3 * np.abs(p_single) + atol)
