@@ -96,4 +96,26 @@ def igm_only(z_):
 
 
 timeit(igm_only, z, label="igm batch lerp")
+
+# (g) windowed engine tuning sweep: chunk_knots x group_filters
+import functools  # noqa: E402
+
+for ck in (16, 32, 52):
+    for gf in (8, 16):
+        f_n = jax.jit(functools.partial(
+            conv_photometry_num, n_knots=sim._n_knots,
+            delta=sim._knot_delta, l_offset=sim._lam_support[0],
+            chunk_knots=ck, group_filters=gf,
+            filter_cols=sim._filter_cols))
+        try:
+            timeit(lambda fw_, s_: f_n(fw_, sim._filter_table, s=s_),
+                   fw, s, label=f"windowed ck={ck} gf={gf}")
+        except Exception as e:  # noqa: BLE001
+            print(f"windowed ck={ck} gf={gf}: FAILED {e}", flush=True)
+# dense engine for comparison
+f_d = jax.jit(functools.partial(
+    conv_photometry_num, n_knots=sim._n_knots, delta=sim._knot_delta,
+    l_offset=sim._lam_support[0]))
+timeit(lambda fw_, s_: f_d(fw_, sim._filter_table, s=s_), fw, s,
+       label="dense conv num")
 print("DONE", flush=True)

@@ -54,6 +54,7 @@ from .library import (
 from .hpo import MedianPruner, SearchSpace, Study, optimize_sbi
 from .mcmc import (
     dirichlet_cumsum_transform,
+    fit_observation_hmc,
     fit_observation_mcmc,
     gaussian_loglike,
     model_comparison,
@@ -154,7 +155,8 @@ __all__ = [
     # hpo
     "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
     # mcmc / online / recovery
-    "run_ensemble_mcmc", "fit_observation_mcmc", "gaussian_loglike",
+    "run_ensemble_mcmc", "fit_observation_mcmc", "fit_observation_hmc",
+    "gaussian_loglike",
     "run_batched_mcmc", "run_smc", "model_comparison",
     "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",
     # spectra

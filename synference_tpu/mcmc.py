@@ -27,6 +27,7 @@ __all__ = [
     "gaussian_loglike",
     "dirichlet_cumsum_transform",
     "fit_observation_mcmc",
+    "fit_observation_hmc",
 ]
 
 
@@ -439,3 +440,131 @@ def fit_observation_mcmc(
         loglike, prior, key=key, n_walkers=n_walkers,
         n_steps=n_steps, burn_in=burn_in,
     )
+
+
+def fit_observation_hmc(
+    simulator,
+    x_obs_njy,
+    sigma_njy,
+    prior: BoxUniform,
+    key=None,
+    n_chains: int = 16,
+    n_warmup: int = 150,
+    n_samples: int = 400,
+    n_leapfrog: int = 12,
+    target_accept: float = 0.8,
+):
+    """Gradient-based HMC straight through the DIFFERENTIABLE simulator.
+
+    A capability the reference cannot have: its forward model is
+    Synthesizer's C/OpenMP pipeline, opaque to autodiff, so its
+    simulator-space cross-checks are gradient-free nested sampling
+    (`/root/reference/src/synference/sbi_runner.py:5148-5578`). Here the
+    whole θ → photometry chain is pure jnp (the distance and Fritsch–
+    Butland VJPs are written scale-safely — see `_observe` and
+    `_knot_interp.slope`), so ∂flux/∂θ costs one backward pass and HMC
+    explores the exact likelihood with O(√d) scaling instead of random
+    walks.
+
+    Runs `n_chains` chains as ONE batched program: every leapfrog step is
+    a single (n_chains, P) batched photometry + VJP evaluation on the
+    MXU, and the whole trajectory is a `lax.scan`. Chains sample in the
+    unconstrained logit space of the prior box (exact Jacobian term), so
+    no proposal ever leaves the support. Step size is dual-averaged to
+    `target_accept` during warmup.
+
+    Returns:
+        samples (n_chains·n_samples, P), log-likelihoods (same length),
+        mean acceptance probability (float).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dim = prior.dim
+    lo, hi = prior.low, prior.high
+    width = hi - lo
+
+    # the Pallas megakernel has no AD rule; route through the staged paths
+    had_flag = getattr(simulator, "_mega_off", False)
+    simulator._mega_off = True
+    loglike = gaussian_loglike(
+        lambda th: simulator.photometry(th), x_obs_njy, sigma_njy)
+
+    def theta_of(u):  # (C, P) unconstrained -> box
+        return lo + width * jax.nn.sigmoid(u)
+
+    def logpost(u):
+        """(C, P) -> (C,) log posterior in u-space (flat prior + Jacobian)."""
+        s = jax.nn.sigmoid(u)
+        log_jac = jnp.sum(
+            jnp.log(width) + jnp.log(s) + jnp.log1p(-s), axis=-1)
+        return loglike(theta_of(u)) + log_jac
+
+    val_grad = jax.value_and_grad(lambda u: jnp.sum(logpost(u)))
+
+    def leapfrog(u, p, eps):
+        lp, g = val_grad(u)
+        p = p + 0.5 * eps * g
+        for _ in range(n_leapfrog - 1):
+            u = u + eps * p
+            _, g = val_grad(u)
+            p = p + eps * g
+        u = u + eps * p
+        lp_new, g = val_grad(u)
+        p = p + 0.5 * eps * g
+        return u, p, lp_new
+
+    def hmc_step(u, lp_vec, key_s, eps):
+        k1, k2 = jax.random.split(key_s)
+        p0 = jax.random.normal(k1, u.shape)
+        u_new, p_new, _ = leapfrog(u, p0, eps)
+        lp_new = logpost(u_new)
+        h0 = lp_vec - 0.5 * jnp.sum(p0**2, axis=-1)
+        h1 = lp_new - 0.5 * jnp.sum(p_new**2, axis=-1)
+        # a diverged trajectory (logit saturation, overflow) gives a
+        # non-finite Hamiltonian; treat as a rejection, never a NaN
+        log_alpha = jnp.where(jnp.isfinite(h1 - h0),
+                              jnp.minimum(h1 - h0, 0.0), -jnp.inf)
+        accept = (jnp.log(jax.random.uniform(k2, (u.shape[0],)))
+                  < log_alpha)
+        u = jnp.where(accept[:, None], u_new, u)
+        lp_vec = jnp.where(accept, lp_new, lp_vec)
+        return u, lp_vec, jnp.exp(log_alpha).mean()
+
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    theta0 = prior.sample(k_init, n_chains)
+    frac = jnp.clip((theta0 - lo) / width, 1.0e-4, 1.0 - 1.0e-4)
+    u = jnp.log(frac) - jnp.log1p(-frac)
+    lp_vec = logpost(u)
+
+    # dual-averaging warmup (Hoffman & Gelman 2014 defaults)
+    mu = jnp.log(10.0 * 0.1)
+    state0 = (u, lp_vec, jnp.log(0.1), 0.0, 0.0)
+
+    def warm_step(carry, xs):
+        u, lp_vec, log_eps, h_bar, log_eps_bar = carry
+        i, kw = xs
+        i = i.astype(jnp.float32)
+        u, lp_vec, a_mean = hmc_step(u, lp_vec, kw, jnp.exp(log_eps))
+        h_bar = ((1.0 - 1.0 / (i + 11.0)) * h_bar
+                 + (target_accept - a_mean) / (i + 11.0))
+        log_eps = mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar
+        w = (i + 1.0) ** -0.75
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (u, lp_vec, log_eps, h_bar, log_eps_bar), a_mean
+
+    idx = jnp.arange(n_warmup)
+    kws = jax.random.split(k_warm, n_warmup)
+    (u, lp_vec, _, _, log_eps_bar), _ = jax.lax.scan(
+        warm_step, state0, (idx, kws))
+    eps = jnp.exp(log_eps_bar)
+
+    def run_step(carry, kr):
+        u, lp_vec = carry
+        u, lp_vec, a_mean = hmc_step(u, lp_vec, kr, eps)
+        return (u, lp_vec), (u, lp_vec, a_mean)
+
+    (_, _), (chain_u, chain_lp, accs) = jax.lax.scan(
+        run_step, (u, lp_vec), jax.random.split(k_run, n_samples))
+    samples = theta_of(chain_u).reshape(-1, dim)
+    simulator._mega_off = had_flag
+    return (np.asarray(samples), np.asarray(chain_lp.reshape(-1)),
+            float(accs.mean()))

@@ -538,14 +538,21 @@ def _knot_interp(vals, s, n_knots: int, delta: int, order: int):
     def slope(da, db):
         # Fritsch–Butland harmonic mean: zero at sign changes (kinks),
         # ≈ centered difference in smooth monotone regions. Written in
-        # reciprocal form 2/(1/da + 1/db): the product form da·db
-        # overflows fp32 when the knot values carry L_ν-scale magnitudes
-        # (~1e30 in the fused photometry path), and a sign-based guard
-        # keeps the where-branch NaN-free at da == db == 0.
+        # SCALE-NORMALIZED form m·2·n_a·n_b/(n_a+n_b) with n = d/m,
+        # m = |da|+|db|: the product form da·db overflows fp32 forward at
+        # L_ν-scale knot values (~1e30 in the fused photometry path), and
+        # the reciprocal form 2/(1/da+1/db) overflows in the BACKWARD pass
+        # (the VJP forms 1/r² with r ~ 1e-29 → 1e58; its partner −da⁻²
+        # underflows to 0 → inf·0 = NaN — this is why the simulator is
+        # differentiable: see mcmc.fit_observation_hmc). Normalized,
+        # |n_a + n_b| = 1 exactly for same-sign inputs, so both passes are
+        # perfectly conditioned at any magnitude.
         same = ((da > 0.0) & (db > 0.0)) | ((da < 0.0) & (db < 0.0))
-        da_s = jnp.where(same, da, 1.0)
-        db_s = jnp.where(same, db, 1.0)
-        return jnp.where(same, 2.0 / (1.0 / da_s + 1.0 / db_s), 0.0)
+        m = jnp.abs(da) + jnp.abs(db)
+        m_s = jnp.where(same, m, 1.0)
+        na = jnp.where(same, da / m_s, 0.5)
+        nb = jnp.where(same, db / m_s, 0.5)
+        return jnp.where(same, m_s * (2.0 * na * nb) / (na + nb), 0.0)
 
     m0, m1 = slope(d0, d1), slope(d1, d2)
     t2 = t * t

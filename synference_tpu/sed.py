@@ -685,7 +685,12 @@ class BatchSEDSimulator:
         d19 = self._d19_of_z(z)
         lam_obs = self._lam * zp1
         t_igm = self._igm_transmission(zp1)
-        fnu_njy = lnu * t_igm * (zp1 * 1.0e-6 / (_FOUR_PI * d19**2))
+        # two separate 1/d19 factors, NOT /d19²: the combined form's VJP
+        # computes −numer/denom² ≈ 1e-46, which underflows fp32 to zero and
+        # silently kills ∂flux/∂z through the distance (the simulator is
+        # advertised differentiable — mcmc.fit_observation_hmc relies on it)
+        inv_d = 1.0 / d19
+        fnu_njy = lnu * t_igm * (zp1 * (1.0e-6 / _FOUR_PI) * inv_d * inv_d)
         return fnu_njy, lam_obs
 
     def _igm_transmission(self, zp1, table=None):
@@ -840,7 +845,11 @@ class BatchSEDSimulator:
         em = self.emission
         if (self.photometry_backend != "pallas"
                 or self._pallas_variant != "interp"
-                or self._interp_order not in (1, 3)):
+                or self._interp_order not in (1, 3)
+                # pallas_call has no autodiff rule; gradient-based fitters
+                # (mcmc.fit_observation_hmc) set _mega_off to route through
+                # the staged XLA path, which is differentiable end to end
+                or getattr(self, "_mega_off", False)):
             return False
         if isinstance(em.fesc, str):  # traced fesc -> per-galaxy channel mix
             return False
@@ -916,7 +925,8 @@ class BatchSEDSimulator:
         s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
         zp1 = 1.0 + z
         d19 = self._d19_of_z(z)
-        scale = zp1 * 1.0e-6 / (_FOUR_PI * d19**2)
+        inv_d = 1.0 / d19  # split 1/d19 factors: see _observe's VJP note
+        scale = zp1 * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
         f8 = tables["dims"][2] // self._n_knots
         out = fused_sed_photometry(
             sfzh, s, tau_v, scale, tables, self._n_knots,
@@ -961,7 +971,8 @@ class BatchSEDSimulator:
             self._den_table, self._n_knots, s, delta=self._knot_delta,
             order=self._interp_order)
         d19 = self._d19_of_z(z)
-        scale = zp1 * 1.0e-6 / (_FOUR_PI * d19**2)
+        inv_d = 1.0 / d19  # split 1/d19 factors: see _observe's VJP note
+        scale = zp1 * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
         return (num / jnp.maximum(den, 1.0e-30)) * scale[:, None]
 
     def simulate(self, theta, want_spectra: bool = False, row_offset=0):
@@ -1118,7 +1129,8 @@ class BatchSEDSimulator:
             # the prefactor is 1e10·1e-38/(4π d19²) ≈ 1e-47 — underflows
             # fp32 on its own, so stage the multiply: divide by d19² first
             # (keeps every intermediate within fp32 range)
-            flux = (lum * t_l / d19**2) * (1.0e-28 / _FOUR_PI)
+            inv_d = 1.0 / d19  # split factors: see _observe's VJP note
+            flux = (lum * t_l * inv_d * inv_d) * (1.0e-28 / _FOUR_PI)
             # EW = L_line / L_cont_λ = L_line λ²/(c L_cont); 1e10 scales
             # cancel. Divide by the continuum FIRST — c·L_cont overflows fp32
             ew_rest = (lum / jnp.maximum(cont_total, 1.0e-30)) * (

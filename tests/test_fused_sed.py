@@ -104,3 +104,37 @@ class TestSupportGate:
         sim = _make_sim(photometry_backend="xla")
         out = sim.photometry(_theta(16))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMegaWithTrimming:
+    def test_trimmed_large_grid_engages_mega(self):
+        """λ-support trimming can bring a large grid under the megakernel
+        gate; the mega tables must then align with the l_lo>0 knot matrix
+        (absolute-column agreement between sed slice and knot rows)."""
+        grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=6000,
+                                      lam_min=150.0)
+        # narrow blue filter set: support well under 4096 columns
+        filters = st.FilterSet([
+            st.tophat_filter("F090W", 9000.0, 2000.0),
+            st.tophat_filter("F115W", 11500.0, 2600.0),
+        ])
+        kw = dict(
+            grid=grid, filters=filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig(igm="inoue14"),
+            photometry_backend="pallas", photometry_variant="interp")
+        sim = st.BatchSEDSimulator(**kw)
+        assert sim._lam_support is not None
+        l0, l1 = sim._lam_support
+        assert l0 > 0 and (l1 - l0) <= 4096 < grid.n_wav
+        assert sim._mega_supported()
+        theta = _theta(64, seed=5)
+        mega = np.asarray(jax.jit(sim.photometry)(theta))
+        sim_ref = st.BatchSEDSimulator(**kw)
+        sim_ref._mega_cache = None  # force the staged path
+        ref = np.asarray(jax.jit(sim_ref.photometry)(theta))
+        rel = np.abs(mega - ref) / np.maximum(np.abs(ref), 1e-30)
+        assert np.median(rel) < 2e-3
+        assert np.quantile(rel, 0.99) < 2e-2

@@ -306,3 +306,49 @@ class TestSMC:
         assert np.isfinite(out["const"]["log_z"])
         # the generating model should not be decisively disfavored
         assert out["exp"]["log_z"] - out["const"]["log_z"] > -5.0
+
+
+class TestHMC:
+    def test_hmc_recovers_truth_through_simulator(self):
+        """Gradient-based HMC through the differentiable simulator: the
+        posterior over (log10_mass, tau_v) given clean mock photometry
+        must concentrate on the generating parameters. Exercises the
+        scale-safe VJPs (distance inv·inv split, normalized FB slope) —
+        regression for the fp32 backward-pass under/overflows."""
+        import synference_tpu as st
+
+        grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                      lam_min=300.0)
+        filters = st.FilterSet([
+            st.tophat_filter("F115W", 11500.0, 2600.0),
+            st.tophat_filter("F200W", 20000.0, 4600.0),
+            st.tophat_filter("F356W", 35600.0, 7800.0),
+        ])
+        sim = st.BatchSEDSimulator(
+            grid=grid, filters=filters,
+            param_names=("log10_mass", "tau_v"),
+            fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                          "log10_metallicity": -2.5},
+            sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig(igm="inoue14"))
+        theta_true = np.array([[9.3, 0.6]], np.float32)
+        x_obs = np.asarray(sim.photometry(jnp.asarray(theta_true)))[0]
+        sigma = 0.05 * x_obs
+        prior = st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0],
+                              names=("log10_mass", "tau_v"))
+        samples, lps, acc = st.fit_observation_hmc(
+            sim, x_obs, sigma, prior, key=jax.random.PRNGKey(3),
+            n_chains=8, n_warmup=80, n_samples=150, n_leapfrog=8)
+        assert samples.shape == (8 * 150, 2)
+        assert np.isfinite(samples).all() and np.isfinite(lps).all()
+        assert 0.3 < acc <= 1.0, f"acceptance {acc}"
+        med = np.median(samples, axis=0)
+        std = samples.std(axis=0)
+        # posterior concentrates on truth within ~3 posterior widths
+        assert abs(med[0] - 9.3) < max(3 * std[0], 0.15), (med, std)
+        assert abs(med[1] - 0.6) < max(3 * std[1], 0.25), (med, std)
+        # and it is actually informative vs the prior (flat prior stds:
+        # 3.0/sqrt(12)=0.87 for mass, 2.0/sqrt(12)=0.58 for tau_v; the
+        # mass-dust degeneracy with 3 bands keeps the joint width finite
+        # but well under the prior's)
+        assert std[0] < 0.7 and std[1] < 0.45
