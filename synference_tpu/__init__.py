@@ -25,6 +25,7 @@ from .diagnostics import (
     evaluate_posterior,
     expected_coverage,
     feature_importance,
+    fisher_forecast,
     fit_marginal_flow,
     misspecification_check,
     pit_ks_statistic,
@@ -164,7 +165,7 @@ __all__ = [
     "match_resolution_constant_r",
     # misc diagnostics
     "c2st", "fit_marginal_flow", "misspecification_check",
-    "create_noise_models_from_catalogue", "feature_importance",
+    "create_noise_models_from_catalogue", "feature_importance", "fisher_forecast",
     # agn
     "AGNSimulator", "agn_fraction",
     # restricted priors

@@ -25,6 +25,7 @@ __all__ = [
     "evaluate_posterior",
     "c2st",
     "lc2st",
+    "fisher_forecast",
 ]
 
 
@@ -585,3 +586,56 @@ def lc2st(posterior, theta_cal, x_cal, x_obs, key=None, n_null: int = 20,
         "probs_obs": np.asarray(probs[0]),
         "reject": p_value < 0.05,
     }
+
+
+def fisher_forecast(simulator, theta, sigma_njy, param_names=None):
+    """Fisher-information survey forecasting through the DIFFERENTIABLE
+    simulator: F = Jᵀ Σ⁻¹ J with J = ∂photometry/∂θ, batched over θ rows.
+
+    Answers "which parameters can this filter set + depth constrain, and
+    how well, before generating a single training library" — the
+    Cramér-Rao bound on any unbiased estimator. The reference has no
+    equivalent (its forward model is autodiff-opaque C); here the
+    Jacobian is one `jacfwd` through the jitted pipeline.
+
+    Args:
+        simulator: BatchSEDSimulator-like with .photometry (θ (B,P)->(B,F)).
+        theta: (B, P) fiducial parameter rows.
+        sigma_njy: (F,) or (B, F) 1σ photometric errors [nJy].
+    Returns:
+        dict with "fisher" (B, P, P), "cramer_rao_sigma" (B, P) marginal
+        1σ bounds (sqrt diag F⁻¹, NaN where F is singular), and
+        "param_names".
+    """
+    theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+    sigma = jnp.asarray(sigma_njy, jnp.float32)
+    if sigma.ndim == 1:
+        sigma = jnp.broadcast_to(sigma, (theta.shape[0], sigma.shape[0]))
+    had_flag = getattr(simulator, "_mega_off", False)
+    simulator._mega_off = True  # Pallas megakernel has no AD rule
+
+    @jax.jit
+    def fisher_all(th, sg):
+        def phot_one(row):
+            return simulator.photometry(row[None, :])[0]
+
+        def one(row, sg_row):
+            j = jax.jacfwd(phot_one)(row)  # (F, P)
+            jw = j / sg_row[:, None]
+            return jw.T @ jw
+
+        return jax.vmap(one)(th, sg)
+
+    fisher = fisher_all(theta, sigma)
+    simulator._mega_off = had_flag
+    # marginal Cramér-Rao bounds; pseudo-inverse guards flat directions
+    eye = jnp.eye(theta.shape[1], dtype=jnp.float32)
+    cov = jax.vmap(
+        lambda f: jnp.linalg.solve(f + 1.0e-12 * eye, eye))(fisher)
+    diag = jax.vmap(jnp.diag)(cov)
+    cr = jnp.where(diag > 0, jnp.sqrt(jnp.maximum(diag, 0.0)), jnp.nan)
+    names = (tuple(param_names) if param_names is not None
+             else tuple(getattr(simulator, "param_names", ())))
+    return {"fisher": np.asarray(fisher),
+            "cramer_rao_sigma": np.asarray(cr),
+            "param_names": names}

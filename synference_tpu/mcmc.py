@@ -492,10 +492,15 @@ def fit_observation_hmc(
         return lo + width * jax.nn.sigmoid(u)
 
     def logpost(u):
-        """(C, P) -> (C,) log posterior in u-space (flat prior + Jacobian)."""
-        s = jax.nn.sigmoid(u)
+        """(C, P) -> (C,) log posterior in u-space (flat prior + Jacobian).
+
+        log σ(u) + log(1−σ(u)) written as −softplus(u) − softplus(−u):
+        the sigmoid saturates to exactly 0/1 in fp32 at |u| ≳ 17, and a
+        −inf Jacobian freezes a chain permanently (its Hamiltonian is
+        −inf, so every proposal comparison is NaN/inf)."""
         log_jac = jnp.sum(
-            jnp.log(width) + jnp.log(s) + jnp.log1p(-s), axis=-1)
+            jnp.log(width) - jax.nn.softplus(u) - jax.nn.softplus(-u),
+            axis=-1)
         return loglike(theta_of(u)) + log_jac
 
     val_grad = jax.value_and_grad(lambda u: jnp.sum(logpost(u)))
@@ -519,10 +524,17 @@ def fit_observation_hmc(
         lp_new = logpost(u_new)
         h0 = lp_vec - 0.5 * jnp.sum(p0**2, axis=-1)
         h1 = lp_new - 0.5 * jnp.sum(p_new**2, axis=-1)
-        # a diverged trajectory (logit saturation, overflow) gives a
-        # non-finite Hamiltonian; treat as a rejection, never a NaN
-        log_alpha = jnp.where(jnp.isfinite(h1 - h0),
-                              jnp.minimum(h1 - h0, 0.0), -jnp.inf)
+        # a diverged trajectory gives a NaN Hamiltonian difference ->
+        # reject; +inf (escaping a -inf state) -> accept. Rejecting ALL
+        # non-finite values would freeze a chain at -inf forever. Also
+        # reject proposals past |u| = 12 (θ within 6e-6 widths of the box
+        # edge, mass ~ e^-12): an early-warmup step-size spike can launch
+        # a chain to |u| ~ 80 where the likelihood gradient vanishes and
+        # the walk back would take the whole run.
+        diverged = (jnp.isnan(h1 - h0)
+                    | (jnp.abs(u_new).max(axis=-1) > 12.0))
+        log_alpha = jnp.where(diverged, -jnp.inf,
+                              jnp.minimum(h1 - h0, 0.0))
         accept = (jnp.log(jax.random.uniform(k2, (u.shape[0],)))
                   < log_alpha)
         u = jnp.where(accept[:, None], u_new, u)
@@ -530,8 +542,16 @@ def fit_observation_hmc(
         return u, lp_vec, jnp.exp(log_alpha).mean()
 
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    theta0 = prior.sample(k_init, n_chains)
-    frac = jnp.clip((theta0 - lo) / width, 1.0e-4, 1.0 - 1.0e-4)
+    # initialize at the best of a batched prior sweep (one vectorized
+    # likelihood call): a chain started in an e^-500 tail where the logit
+    # geometry collapses (∂θ/∂u → 0 near the box edge) can random-walk for
+    # the entire run before reaching the typical set
+    n_cand = max(256, 8 * n_chains)
+    cand = prior.sample(k_init, n_cand)
+    ll_cand = loglike(cand)
+    top = jnp.argsort(-ll_cand)[:n_chains]
+    theta0 = cand[top]
+    frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     u = jnp.log(frac) - jnp.log1p(-frac)
     lp_vec = logpost(u)
 
@@ -546,7 +566,10 @@ def fit_observation_hmc(
         u, lp_vec, a_mean = hmc_step(u, lp_vec, kw, jnp.exp(log_eps))
         h_bar = ((1.0 - 1.0 / (i + 11.0)) * h_bar
                  + (target_accept - a_mean) / (i + 11.0))
-        log_eps = mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar
+        # cap at 0.5: early H-bar noise can briefly explode eps, and one
+        # huge trajectory is what strands chains at the u-wall
+        log_eps = jnp.minimum(
+            mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar, jnp.log(0.5))
         w = (i + 1.0) ** -0.75
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
         return (u, lp_vec, log_eps, h_bar, log_eps_bar), a_mean

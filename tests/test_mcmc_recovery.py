@@ -344,11 +344,52 @@ class TestHMC:
         assert 0.3 < acc <= 1.0, f"acceptance {acc}"
         med = np.median(samples, axis=0)
         std = samples.std(axis=0)
-        # posterior concentrates on truth within ~3 posterior widths
-        assert abs(med[0] - 9.3) < max(3 * std[0], 0.15), (med, std)
-        assert abs(med[1] - 0.6) < max(3 * std[1], 0.25), (med, std)
-        # and it is actually informative vs the prior (flat prior stds:
-        # 3.0/sqrt(12)=0.87 for mass, 2.0/sqrt(12)=0.58 for tau_v; the
-        # mass-dust degeneracy with 3 bands keeps the joint width finite
-        # but well under the prior's)
-        assert std[0] < 0.7 and std[1] < 0.45
+        # posterior concentrates on truth within ~4 posterior widths
+        assert abs(med[0] - 9.3) < max(4 * std[0], 0.05), (med, std)
+        assert abs(med[1] - 0.6) < max(4 * std[1], 0.08), (med, std)
+        # every chain converged (best-of-prior init + u-wall divergence
+        # rejection): widths at the Cramér-Rao scale, far inside the
+        # prior's 0.87 / 0.58
+        assert std[0] < 0.1 and std[1] < 0.3, std
+
+
+def test_fisher_forecast_matches_posterior_scale():
+    """Cramér-Rao marginal bounds from the differentiable-simulator
+    Fisher matrix must be finite, positive, and consistent in scale with
+    an actual likelihood fit's posterior width (same order of magnitude;
+    CR is a lower bound up to MCMC error and non-Gaussianity)."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    theta = np.array([[9.3, 0.6], [8.5, 0.1]], np.float32)
+    x = np.asarray(sim.photometry(jnp.asarray(theta)))
+    sigma = 0.05 * x  # (B, F) 5% errors
+    out = st.fisher_forecast(sim, theta, sigma)
+    assert out["fisher"].shape == (2, 2, 2)
+    cr = out["cramer_rao_sigma"]
+    assert np.isfinite(cr).all() and (cr > 0).all()
+    assert out["param_names"] == ("log10_mass", "tau_v")
+    # scale agreement with the HMC posterior at the first fiducial
+    prior = st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0])
+    samples, _, _ = st.fit_observation_hmc(
+        sim, x[0], sigma[0], prior, key=jax.random.PRNGKey(1),
+        n_chains=8, n_warmup=80, n_samples=150, n_leapfrog=8)
+    post_std = samples.std(axis=0)
+    # the likelihood is near-Gaussian at 5% errors: the HMC width should
+    # LAND ON the Cramér-Rao bound (measured ratio ~1.0 for mass)
+    for i in range(2):
+        assert 0.4 * cr[0, i] < post_std[i] < 5.0 * cr[0, i], (
+            cr[0], post_std)
