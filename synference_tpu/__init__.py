@@ -55,6 +55,7 @@ from .library import (
 from .hpo import MedianPruner, SearchSpace, Study, optimize_sbi
 from .mcmc import (
     dirichlet_cumsum_transform,
+    fit_catalogue_map,
     fit_observation_hmc,
     fit_observation_mcmc,
     gaussian_loglike,
@@ -157,6 +158,7 @@ __all__ = [
     "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
     # mcmc / online / recovery
     "run_ensemble_mcmc", "fit_observation_mcmc", "fit_observation_hmc",
+    "fit_catalogue_map",
     "gaussian_loglike",
     "run_batched_mcmc", "run_smc", "model_comparison",
     "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",

@@ -28,6 +28,7 @@ __all__ = [
     "dirichlet_cumsum_transform",
     "fit_observation_mcmc",
     "fit_observation_hmc",
+    "fit_catalogue_map",
 ]
 
 
@@ -591,3 +592,120 @@ def fit_observation_hmc(
     simulator._mega_off = had_flag
     return (np.asarray(samples), np.asarray(chain_lp.reshape(-1)),
             float(accs.mean()))
+
+
+def fit_catalogue_map(
+    simulator,
+    x_obs_njy,
+    sigma_njy,
+    prior: BoxUniform,
+    key=None,
+    n_steps: int = 400,
+    n_restarts: int = 4,
+    learning_rate: float = 0.05,
+):
+    """Batched MAP + Laplace fits straight through the differentiable
+    simulator: gradient descent in the prior's logit space for EVERY
+    object and EVERY restart simultaneously — one jitted program whose
+    each step is a single (M·R, P) batched photometry + VJP.
+
+    The reference fits catalogues only through trained posteriors or
+    per-object nested sampling; an exact-likelihood point fit with a
+    curvature error bar for 10⁴ objects is a few seconds here.
+
+    Args:
+        x_obs_njy: (M, F) observed fluxes; sigma_njy: (M, F) 1σ errors.
+    Returns:
+        dict: "theta_map" (M, P), "laplace_sigma" (M, P) (sqrt diag of
+        the inverse θ-space Hessian at the MAP; NaN where not positive
+        definite), "log_like" (M,) at the MAP.
+    """
+    import optax
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    x_obs = jnp.atleast_2d(jnp.asarray(x_obs_njy, jnp.float32))
+    sigma = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(sigma_njy, jnp.float32), x_obs.shape),
+        1.0e-12)
+    m, n_f = x_obs.shape
+    dim = prior.dim
+    lo, width = prior.low, prior.high - prior.low
+
+    had_flag = getattr(simulator, "_mega_off", False)
+    simulator._mega_off = True
+
+    def theta_of(u):
+        return lo + width * jax.nn.sigmoid(u)
+
+    def neg_logpost_rows(u_rows, x_rows, sg_rows):
+        """(B, P) u + (B, F) obs -> (B,) -log posterior (logit space)."""
+        model = simulator.photometry(theta_of(u_rows))
+        chi2 = jnp.sum(((model - x_rows) / sg_rows) ** 2, axis=-1)
+        log_jac = jnp.sum(
+            jnp.log(width) - jax.nn.softplus(u_rows)
+            - jax.nn.softplus(-u_rows), axis=-1)
+        return 0.5 * chi2 - log_jac
+
+    # best-of-prior init per (object, restart)
+    r = int(n_restarts)
+    n_cand = max(64, 8 * r)
+    cand = prior.sample(key, n_cand)  # shared candidate set
+    model_c = simulator.photometry(cand)  # (n_cand, F)
+    chi2_c = jnp.sum(
+        ((model_c[None, :, :] - x_obs[:, None, :])
+         / sigma[:, None, :]) ** 2, axis=-1)  # (M, n_cand)
+    top = jnp.argsort(chi2_c, axis=1)[:, :r]  # (M, R)
+    theta0 = cand[top]  # (M, R, P)
+    frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
+    u0 = (jnp.log(frac) - jnp.log1p(-frac)).reshape(m * r, dim)
+    x_rep = jnp.repeat(x_obs, r, axis=0)
+    sg_rep = jnp.repeat(sigma, r, axis=0)
+
+    tx = optax.adam(learning_rate)
+
+    @jax.jit
+    def optimize(u0):
+        opt0 = tx.init(u0)
+
+        def step(carry, _):
+            u, opt = carry
+            g = jax.grad(
+                lambda uu: jnp.sum(neg_logpost_rows(uu, x_rep, sg_rep)))(u)
+            upd, opt = tx.update(g, opt, u)
+            return (optax.apply_updates(u, upd), opt), None
+
+        (u, _), _ = jax.lax.scan(step, (u0, opt0), None, length=n_steps)
+        nlp = neg_logpost_rows(u, x_rep, sg_rep)
+        return u, nlp
+
+    u_fit, nlp = optimize(u0)
+    nlp = nlp.reshape(m, r)
+    best = jnp.argmin(nlp, axis=1)  # (M,)
+    u_best = u_fit.reshape(m, r, dim)[jnp.arange(m), best]
+    theta_map = theta_of(u_best)
+
+    # Laplace in θ space: per-object Gauss-Newton Hessian J^T Σ^-1 J of
+    # the χ² term (exact for Gaussian noise up to model curvature), same
+    # scale-safe Jacobian path as diagnostics.fisher_forecast
+    @jax.jit
+    def laplace(th, sg_rows):
+        def one(row, sg_row):
+            j = jax.jacfwd(
+                lambda p: simulator.photometry(p[None, :])[0])(row)
+            jw = j / sg_row[:, None]
+            return jw.T @ jw
+
+        h = jax.vmap(one)(th, sg_rows)  # (M, P, P)
+        eye = jnp.eye(dim, dtype=jnp.float32)
+        cov = jax.vmap(lambda f: jnp.linalg.solve(f + 1e-12 * eye, eye))(h)
+        d = jax.vmap(jnp.diag)(cov)
+        return jnp.where(d > 0, jnp.sqrt(jnp.maximum(d, 0.0)), jnp.nan)
+
+    lap = laplace(theta_map, sigma)
+    model_map = simulator.photometry(theta_map)
+    ll = -0.5 * jnp.sum(((model_map - x_obs) / sigma) ** 2, axis=-1)
+    simulator._mega_off = had_flag
+    return {"theta_map": np.asarray(theta_map),
+            "laplace_sigma": np.asarray(lap),
+            "neg_logpost": np.asarray(nlp[jnp.arange(m), best]),
+            "log_like": np.asarray(ll)}

@@ -393,3 +393,44 @@ def test_fisher_forecast_matches_posterior_scale():
     for i in range(2):
         assert 0.4 * cr[0, i] < post_std[i] < 5.0 * cr[0, i], (
             cr[0], post_std)
+
+
+def test_catalogue_map_recovers_truths():
+    """Batched MAP+Laplace through the differentiable simulator: every
+    object's point fit lands on its generating parameters, with Laplace
+    error bars at the Fisher (Cramér-Rao) scale."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    rng = np.random.default_rng(0)
+    truths = np.stack([rng.uniform(8.5, 10.5, 12),
+                       rng.uniform(0.1, 1.5, 12)], axis=1).astype(np.float32)
+    x = np.asarray(sim.photometry(jnp.asarray(truths)))
+    sigma = 0.05 * x
+    prior = st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0])
+    out = st.fit_catalogue_map(sim, x, sigma, prior,
+                               key=jax.random.PRNGKey(2))
+    tm = out["theta_map"]
+    assert tm.shape == (12, 2)
+    assert np.isfinite(tm).all()
+    # noiseless data -> MAP ~ truth for every object
+    assert np.abs(tm[:, 0] - truths[:, 0]).max() < 0.1, tm[:, 0] - truths[:, 0]
+    assert np.abs(tm[:, 1] - truths[:, 1]).max() < 0.2
+    # Laplace widths near the Fisher forecast at the same points
+    fr = st.fisher_forecast(sim, truths, sigma)
+    ratio = out["laplace_sigma"] / fr["cramer_rao_sigma"]
+    assert np.nanmedian(ratio) < 2.0 and np.nanmedian(ratio) > 0.5
+    assert (out["log_like"] > -10.0).all()  # chi2 ~ 0 at the optimum
