@@ -29,6 +29,7 @@ from .diagnostics import (
     fit_marginal_flow,
     misspecification_check,
     pit_ks_statistic,
+    score_compression,
     pit_values,
     point_metrics,
     sbc_ranks,
@@ -167,7 +168,7 @@ __all__ = [
     "match_resolution_constant_r",
     # misc diagnostics
     "c2st", "fit_marginal_flow", "misspecification_check",
-    "create_noise_models_from_catalogue", "feature_importance", "fisher_forecast",
+    "create_noise_models_from_catalogue", "feature_importance", "fisher_forecast", "score_compression",
     # agn
     "AGNSimulator", "agn_fraction",
     # restricted priors

@@ -26,6 +26,7 @@ __all__ = [
     "c2st",
     "lc2st",
     "fisher_forecast",
+    "score_compression",
 ]
 
 
@@ -639,3 +640,53 @@ def fisher_forecast(simulator, theta, sigma_njy, param_names=None):
     return {"fisher": np.asarray(fisher),
             "cramer_rao_sigma": np.asarray(cr),
             "param_names": names}
+
+
+def score_compression(simulator, theta_fid, sigma_njy, x_fid=None):
+    """MOPED/score compression through the differentiable simulator:
+    t(x) = θ_fid + F⁻¹ Jᵀ Σ⁻¹ (x − x_fid), the asymptotically sufficient
+    linear summaries near the fiducial (Heavens, Jimenez & Lahav 2000;
+    Alsing & Wandelt 2018). Compresses F bands to P numbers with no
+    information loss to first order — train NPE on t instead of x to
+    shrink the feature space to the parameter dimension.
+
+    The reference cannot form these (J needs ∂flux/∂θ through its C
+    pipeline); here it is the same one-jacfwd pass as `fisher_forecast`.
+
+    Args:
+        theta_fid: (P,) fiducial parameters.
+        sigma_njy: (F,) 1σ errors defining Σ.
+        x_fid: (F,) fiducial model fluxes; computed if None.
+    Returns:
+        dict: "compress" (callable x (N, F) -> t (N, P)), "weights"
+        (P, F) compression matrix, "x_fid" (F,), "theta_fid" (P,),
+        "fisher" (P, P).
+    """
+    theta_fid = jnp.asarray(theta_fid, jnp.float32).reshape(-1)
+    sigma = jnp.maximum(jnp.asarray(sigma_njy, jnp.float32), 1.0e-12)
+    had_flag = getattr(simulator, "_mega_off", False)
+    simulator._mega_off = True
+
+    def phot_one(row):
+        return simulator.photometry(row[None, :])[0]
+
+    if x_fid is None:
+        x_fid = phot_one(theta_fid)
+    x_fid = jnp.asarray(x_fid, jnp.float32)
+    j = jax.jacfwd(phot_one)(theta_fid)  # (F, P)
+    simulator._mega_off = had_flag
+    jw = j / sigma[:, None]
+    fisher = jw.T @ jw  # (P, P)
+    p = theta_fid.shape[0]
+    eye = jnp.eye(p, dtype=jnp.float32)
+    f_inv = jnp.linalg.solve(fisher + 1.0e-12 * eye, eye)
+    weights = f_inv @ (jw.T / sigma[None, :])  # (P, F): F^-1 J^T Σ^-1
+
+    def compress(x):
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        return theta_fid[None, :] + (x - x_fid[None, :]) @ weights.T
+
+    return {"compress": compress, "weights": np.asarray(weights),
+            "x_fid": np.asarray(x_fid),
+            "theta_fid": np.asarray(theta_fid),
+            "fisher": np.asarray(fisher)}

@@ -434,3 +434,38 @@ def test_catalogue_map_recovers_truths():
     ratio = out["laplace_sigma"] / fr["cramer_rao_sigma"]
     assert np.nanmedian(ratio) < 2.0 and np.nanmedian(ratio) > 0.5
     assert (out["log_like"] > -10.0).all()  # chi2 ~ 0 at the optimum
+
+
+def test_score_compression_recovers_parameter_shifts():
+    """MOPED summaries: t(x(θ_fid)) = θ_fid exactly, and t of a slightly
+    perturbed model recovers the perturbation to first order."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F277W", 27700.0, 7000.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    theta_fid = np.array([9.3, 0.6], np.float32)
+    x_fid = np.asarray(sim.photometry(jnp.asarray(theta_fid[None])))[0]
+    sc = st.score_compression(sim, theta_fid, 0.05 * x_fid)
+    # exact at the fiducial
+    t0 = np.asarray(sc["compress"](x_fid[None]))[0]
+    np.testing.assert_allclose(t0, theta_fid, rtol=1e-4, atol=1e-4)
+    # first-order recovery of parameter shifts (4 bands -> 2 summaries)
+    for delta in ([0.05, 0.0], [0.0, 0.05], [0.03, -0.04]):
+        th = theta_fid + np.asarray(delta, np.float32)
+        x = np.asarray(sim.photometry(jnp.asarray(th[None])))[0]
+        t = np.asarray(sc["compress"](x[None]))[0]
+        np.testing.assert_allclose(t, th, atol=0.01)
+    assert sc["weights"].shape == (2, 4)
