@@ -28,6 +28,7 @@ __all__ = [
     "dirichlet_cumsum_transform",
     "fit_observation_mcmc",
     "fit_observation_hmc",
+    "fit_catalogue_hmc",
     "fit_catalogue_map",
 ]
 
@@ -465,44 +466,79 @@ def fit_observation_hmc(
     Butland VJPs are written scale-safely — see `_observe` and
     `_knot_interp.slope`), so ∂flux/∂θ costs one backward pass and HMC
     explores the exact likelihood with O(√d) scaling instead of random
-    walks.
-
-    Runs `n_chains` chains as ONE batched program: every leapfrog step is
-    a single (n_chains, P) batched photometry + VJP evaluation on the
-    MXU, and the whole trajectory is a `lax.scan`. Chains sample in the
-    unconstrained logit space of the prior box (exact Jacobian term), so
-    no proposal ever leaves the support. Step size is dual-averaged to
-    `target_accept` during warmup.
+    walks. One-observation wrapper over `fit_catalogue_hmc`.
 
     Returns:
-        samples (n_chains·n_samples, P), log-likelihoods (same length),
+        samples (n_chains·n_samples, P), log-posteriors (same length),
         mean acceptance probability (float).
+    """
+    samples, lps, acc = fit_catalogue_hmc(
+        simulator, jnp.atleast_2d(jnp.asarray(x_obs_njy, jnp.float32)),
+        sigma_njy, prior, key=key, n_chains=n_chains, n_warmup=n_warmup,
+        n_samples=n_samples, n_leapfrog=n_leapfrog,
+        target_accept=target_accept)
+    return samples[0], lps[0], acc
+
+
+def fit_catalogue_hmc(
+    simulator,
+    x_obs_njy,
+    sigma_njy,
+    prior: BoxUniform,
+    key=None,
+    n_chains: int = 8,
+    n_warmup: int = 150,
+    n_samples: int = 400,
+    n_leapfrog: int = 12,
+    target_accept: float = 0.8,
+):
+    """Exact-likelihood HMC posteriors for a WHOLE CATALOGUE at once:
+    M objects × C chains advance as one `lax.scan` program — every
+    leapfrog step is a single (M·C, P) batched photometry + VJP on the
+    MXU. Chains sample in the prior box's logit space (softplus-stable
+    Jacobian), start at each object's best-of-prior-sweep candidates,
+    and share one dual-averaged step size (the χ² scales are comparable
+    across objects of a common survey; divergent trajectories reject).
+
+    Args:
+        x_obs_njy: (M, F) observed fluxes; sigma_njy: (F,) or (M, F).
+    Returns:
+        samples (M, n_chains·n_samples, P), log-posteriors
+        (M, n_chains·n_samples), mean acceptance (float).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     dim = prior.dim
     lo, hi = prior.low, prior.high
     width = hi - lo
+    x_obs = jnp.atleast_2d(jnp.asarray(x_obs_njy, jnp.float32))
+    sigma = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(sigma_njy, jnp.float32), x_obs.shape),
+        1.0e-12)
+    m = x_obs.shape[0]
+    c = n_chains
+    x_rep = jnp.repeat(x_obs, c, axis=0)  # (M·C, F)
+    sg_rep = jnp.repeat(sigma, c, axis=0)
 
     # the Pallas megakernel has no AD rule; route through the staged paths
     had_flag = getattr(simulator, "_mega_off", False)
     simulator._mega_off = True
-    loglike = gaussian_loglike(
-        lambda th: simulator.photometry(th), x_obs_njy, sigma_njy)
 
-    def theta_of(u):  # (C, P) unconstrained -> box
+    def theta_of(u):  # (B, P) unconstrained -> box
         return lo + width * jax.nn.sigmoid(u)
 
     def logpost(u):
-        """(C, P) -> (C,) log posterior in u-space (flat prior + Jacobian).
+        """(M·C, P) -> (M·C,) log posterior in u-space.
 
         log σ(u) + log(1−σ(u)) written as −softplus(u) − softplus(−u):
         the sigmoid saturates to exactly 0/1 in fp32 at |u| ≳ 17, and a
         −inf Jacobian freezes a chain permanently (its Hamiltonian is
         −inf, so every proposal comparison is NaN/inf)."""
+        model = simulator.photometry(theta_of(u))
+        chi2 = jnp.sum(((model - x_rep) / sg_rep) ** 2, axis=-1)
         log_jac = jnp.sum(
             jnp.log(width) - jax.nn.softplus(u) - jax.nn.softplus(-u),
             axis=-1)
-        return loglike(theta_of(u)) + log_jac
+        return -0.5 * chi2 + log_jac
 
     val_grad = jax.value_and_grad(lambda u: jnp.sum(logpost(u)))
 
@@ -543,15 +579,18 @@ def fit_observation_hmc(
         return u, lp_vec, jnp.exp(log_alpha).mean()
 
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    # initialize at the best of a batched prior sweep (one vectorized
-    # likelihood call): a chain started in an e^-500 tail where the logit
-    # geometry collapses (∂θ/∂u → 0 near the box edge) can random-walk for
-    # the entire run before reaching the typical set
-    n_cand = max(256, 8 * n_chains)
+    # initialize each object's chains at its best-of-prior-sweep points
+    # (one vectorized forward pass): a chain started in an e^-500 tail
+    # where the logit geometry collapses (∂θ/∂u → 0 near the box edge)
+    # can random-walk for the entire run before reaching the typical set
+    n_cand = max(256, 8 * c)
     cand = prior.sample(k_init, n_cand)
-    ll_cand = loglike(cand)
-    top = jnp.argsort(-ll_cand)[:n_chains]
-    theta0 = cand[top]
+    model_c = simulator.photometry(cand)  # (n_cand, F)
+    chi2_c = jnp.sum(
+        ((model_c[None, :, :] - x_obs[:, None, :])
+         / sigma[:, None, :]) ** 2, axis=-1)  # (M, n_cand)
+    top = jnp.argsort(chi2_c, axis=1)[:, :c]  # (M, C)
+    theta0 = cand[top].reshape(m * c, dim)
     frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     u = jnp.log(frac) - jnp.log1p(-frac)
     lp_vec = logpost(u)
@@ -588,10 +627,13 @@ def fit_observation_hmc(
 
     (_, _), (chain_u, chain_lp, accs) = jax.lax.scan(
         run_step, (u, lp_vec), jax.random.split(k_run, n_samples))
-    samples = theta_of(chain_u).reshape(-1, dim)
+    # (S, M·C, P) -> (M, C·S, P)
+    theta_chain = theta_of(chain_u).reshape(n_samples, m, c, dim)
+    samples = jnp.moveaxis(theta_chain, 0, 2).reshape(m, c * n_samples, dim)
+    lps = jnp.moveaxis(
+        chain_lp.reshape(n_samples, m, c), 0, 2).reshape(m, c * n_samples)
     simulator._mega_off = had_flag
-    return (np.asarray(samples), np.asarray(chain_lp.reshape(-1)),
-            float(accs.mean()))
+    return np.asarray(samples), np.asarray(lps), float(accs.mean())
 
 
 def fit_catalogue_map(

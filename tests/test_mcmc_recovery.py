@@ -469,3 +469,39 @@ def test_score_compression_recovers_parameter_shifts():
         t = np.asarray(sc["compress"](x[None]))[0]
         np.testing.assert_allclose(t, th, atol=0.01)
     assert sc["weights"].shape == (2, 4)
+
+
+def test_catalogue_hmc_all_objects_converge():
+    """Whole-catalogue HMC: every object's chains concentrate on its own
+    generating parameters at the Cramér-Rao scale, in ONE program."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    rng = np.random.default_rng(4)
+    truths = np.stack([rng.uniform(8.5, 10.5, 6),
+                       rng.uniform(0.1, 1.5, 6)], 1).astype(np.float32)
+    x = np.asarray(sim.photometry(jnp.asarray(truths)))
+    samples, lps, acc = st.fit_catalogue_hmc(
+        sim, x, 0.05 * x, st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0]),
+        key=jax.random.PRNGKey(1), n_chains=6, n_warmup=80,
+        n_samples=120, n_leapfrog=8)
+    assert samples.shape == (6, 720, 2)
+    assert 0.5 < acc <= 1.0
+    med = np.median(samples, axis=1)
+    std = samples.std(axis=1)
+    assert np.abs(med[:, 0] - truths[:, 0]).max() < 0.05
+    assert np.abs(med[:, 1] - truths[:, 1]).max() < 0.15
+    assert (std[:, 0] < 0.1).all()  # Cramér-Rao scale, not prior scale
