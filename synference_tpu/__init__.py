@@ -29,6 +29,7 @@ from .diagnostics import (
     fit_marginal_flow,
     misspecification_check,
     pit_ks_statistic,
+    posterior_crosscheck,
     score_compression,
     pit_values,
     point_metrics,
@@ -170,6 +171,7 @@ __all__ = [
     # misc diagnostics
     "c2st", "fit_marginal_flow", "misspecification_check",
     "create_noise_models_from_catalogue", "feature_importance", "fisher_forecast", "score_compression",
+    "posterior_crosscheck",
     # agn
     "AGNSimulator", "agn_fraction",
     # restricted priors

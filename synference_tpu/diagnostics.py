@@ -27,6 +27,7 @@ __all__ = [
     "lc2st",
     "fisher_forecast",
     "score_compression",
+    "posterior_crosscheck",
 ]
 
 
@@ -690,3 +691,46 @@ def score_compression(simulator, theta_fid, sigma_njy, x_fid=None):
             "x_fid": np.asarray(x_fid),
             "theta_fid": np.asarray(theta_fid),
             "fisher": np.asarray(fisher)}
+
+
+def posterior_crosscheck(posterior, simulator, xs_features, x_obs_njy,
+                         sigma_njy, prior, key=None, n_samples: int = 512,
+                         n_chains: int = 8, n_warmup: int = 120,
+                         theta_transform=None):
+    """Cross-check trained SBI posteriors against exact-likelihood HMC
+    posteriors, per object (the reference's nested-sampling cross-check
+    workflow, `/root/reference/src/synference/sbi_runner.py:5148-5578`,
+    with gradient-based HMC instead of dynesty and a C2ST verdict
+    instead of eyeballing corner plots).
+
+    Args:
+        posterior: trained posterior with sample_batch(key, xs, n).
+        xs_features: (M, D) featurized conditions for the flow.
+        x_obs_njy / sigma_njy: (M, F) raw fluxes + errors for the
+            simulator likelihood.
+        prior: BoxUniform over the SIMULATOR's θ.
+        theta_transform: optional fn mapping flow θ samples -> simulator
+            θ space (when the flow was trained on transformed parameters).
+    Returns:
+        dict: "c2st" (M,) per-object classifier accuracy (0.5 = posteriors
+        indistinguishable), "hmc_acceptance", plus both sample sets.
+    """
+    from .mcmc import fit_catalogue_hmc
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_flow, k_hmc = jax.random.split(key)
+    xs_features = jnp.atleast_2d(jnp.asarray(xs_features, jnp.float32))
+    flow_samples = np.asarray(
+        posterior.sample_batch(k_flow, xs_features, n_samples))
+    if theta_transform is not None:
+        flow_samples = np.asarray(theta_transform(flow_samples))
+    per_chain = max(1, n_samples // n_chains)
+    hmc_samples, _, acc = fit_catalogue_hmc(
+        simulator, x_obs_njy, sigma_njy, prior, key=k_hmc,
+        n_chains=n_chains, n_warmup=n_warmup, n_samples=per_chain)
+    scores = np.array([
+        c2st(flow_samples[i], hmc_samples[i][: flow_samples[i].shape[0]])
+        for i in range(flow_samples.shape[0])
+    ])
+    return {"c2st": scores, "hmc_acceptance": acc,
+            "flow_samples": flow_samples, "hmc_samples": hmc_samples}

@@ -505,3 +505,60 @@ def test_catalogue_hmc_all_objects_converge():
     assert np.abs(med[:, 0] - truths[:, 0]).max() < 0.05
     assert np.abs(med[:, 1] - truths[:, 1]).max() < 0.15
     assert (std[:, 0] < 0.1).all()  # Cramér-Rao scale, not prior scale
+
+
+def test_posterior_crosscheck_flow_vs_hmc():
+    """The reference's cross-check workflow, closed-loop: an NPE flow
+    trained on simulator draws must be much closer (C2ST) to the exact
+    HMC posterior than prior samples are."""
+    import synference_tpu as st
+    from synference_tpu.flows import build_flow
+    from synference_tpu.posterior import DirectPosterior
+    from synference_tpu.train import TrainConfig, train_npe
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    prior = st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0])
+    rng = np.random.default_rng(0)
+    n_train = 8000
+    theta = prior.sample(jax.random.PRNGKey(0), n_train)
+    flux = np.asarray(sim.photometry(theta))
+    sigma_tr = 0.05 * flux
+    x_train = np.log10(np.maximum(
+        flux + sigma_tr * rng.standard_normal(flux.shape).astype(np.float32),
+        1e-3))
+    flow = build_flow("nsf", 2, 3, hidden_features=48, num_transforms=6)
+    res = train_npe(flow, np.asarray(theta), x_train, jax.random.PRNGKey(1),
+                    TrainConfig(max_epochs=25, stop_after_epochs=6,
+                                batch_size=512, learning_rate=1e-3))
+    post = DirectPosterior(flow, res.params, prior)
+
+    truths = np.array([[9.4, 0.5], [10.0, 1.1]], np.float32)
+    x_obs = np.asarray(sim.photometry(jnp.asarray(truths)))
+    sig_obs = 0.05 * x_obs
+    obs = x_obs + sig_obs * rng.standard_normal(x_obs.shape).astype(
+        np.float32)
+    out = st.posterior_crosscheck(
+        post, sim, np.log10(np.maximum(obs, 1e-3)), obs, sig_obs, prior,
+        key=jax.random.PRNGKey(2), n_samples=256, n_chains=8, n_warmup=80)
+    assert out["c2st"].shape == (2,)
+    assert 0.3 < out["hmc_acceptance"] <= 1.0
+    # prior samples vs HMC: near-perfectly separable
+    from synference_tpu.diagnostics import c2st as _c2st
+    prior_draws = np.asarray(prior.sample(jax.random.PRNGKey(5), 256))
+    c_prior = _c2st(prior_draws, out["hmc_samples"][0][:256])
+    assert c_prior > 0.8
+    # the trained flow must be far closer to the exact posterior
+    assert (out["c2st"] < c_prior - 0.1).all(), (out["c2st"], c_prior)
