@@ -543,7 +543,7 @@ def fit_catalogue_hmc(
     val_grad = jax.value_and_grad(lambda u: jnp.sum(logpost(u)))
 
     def leapfrog(u, p, eps):
-        lp, g = val_grad(u)
+        _, g = val_grad(u)
         p = p + 0.5 * eps * g
         for _ in range(n_leapfrog - 1):
             u = u + eps * p
@@ -669,7 +669,7 @@ def fit_catalogue_map(
     sigma = jnp.maximum(
         jnp.broadcast_to(jnp.asarray(sigma_njy, jnp.float32), x_obs.shape),
         1.0e-12)
-    m, n_f = x_obs.shape
+    m = x_obs.shape[0]
     dim = prior.dim
     lo, width = prior.low, prior.high - prior.low
 
