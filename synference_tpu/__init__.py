@@ -59,6 +59,7 @@ from .mcmc import (
     dirichlet_cumsum_transform,
     fit_catalogue_hmc,
     fit_catalogue_map,
+    fit_catalogue_vi,
     fit_observation_hmc,
     fit_observation_mcmc,
     gaussian_loglike,
@@ -161,7 +162,7 @@ __all__ = [
     "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
     # mcmc / online / recovery
     "run_ensemble_mcmc", "fit_observation_mcmc", "fit_observation_hmc",
-    "fit_catalogue_map", "fit_catalogue_hmc",
+    "fit_catalogue_map", "fit_catalogue_hmc", "fit_catalogue_vi",
     "gaussian_loglike",
     "run_batched_mcmc", "run_smc", "model_comparison",
     "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",

@@ -30,6 +30,7 @@ __all__ = [
     "fit_observation_hmc",
     "fit_catalogue_hmc",
     "fit_catalogue_map",
+    "fit_catalogue_vi",
 ]
 
 
@@ -751,3 +752,113 @@ def fit_catalogue_map(
             "laplace_sigma": np.asarray(lap),
             "neg_logpost": np.asarray(nlp[jnp.arange(m), best]),
             "log_like": np.asarray(ll)}
+
+
+def fit_catalogue_vi(
+    simulator,
+    x_obs_njy,
+    sigma_njy,
+    prior: BoxUniform,
+    key=None,
+    n_steps: int = 500,
+    n_mc: int = 8,
+    learning_rate: float = 0.03,
+):
+    """Batched full-rank Gaussian variational inference through the
+    differentiable simulator: maximize the reparameterized ELBO of
+    q(u) = N(m, L Lᵀ) in the prior's logit space for EVERY object
+    simultaneously — each step is one (M·n_mc, P) batched photometry +
+    VJP. Sits between `fit_catalogue_map` (point + curvature) and
+    `fit_catalogue_hmc` (exact sampling): a full posterior approximation
+    that captures correlations and skewness-through-the-logit at a fixed,
+    small step count.
+
+    Returns:
+        dict: "mean"/"sigma" (M, P) θ-space posterior mean and std from
+        q-samples, "samples" (M, 256, P), "elbo" (M,) final per-object
+        ELBO (up to the constant entropy of the base normal).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    x_obs = jnp.atleast_2d(jnp.asarray(x_obs_njy, jnp.float32))
+    sigma = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(sigma_njy, jnp.float32), x_obs.shape),
+        1.0e-12)
+    m_obj = x_obs.shape[0]
+    dim = prior.dim
+    lo, width = prior.low, prior.high - prior.low
+
+    had_flag = getattr(simulator, "_mega_off", False)
+    simulator._mega_off = True
+
+    def theta_of(u):
+        return lo + width * jax.nn.sigmoid(u)
+
+    def logpost_rows(u_rows, x_rows, sg_rows):
+        model = simulator.photometry(theta_of(u_rows))
+        chi2 = jnp.sum(((model - x_rows) / sg_rows) ** 2, axis=-1)
+        log_jac = jnp.sum(
+            jnp.log(width) - jax.nn.softplus(u_rows)
+            - jax.nn.softplus(-u_rows), axis=-1)
+        return -0.5 * chi2 + log_jac
+
+    # init q at the best prior candidate per object, unit-ish covariance
+    k_init, k_run = jax.random.split(key)
+    cand = prior.sample(k_init, 256)
+    model_c = simulator.photometry(cand)
+    chi2_c = jnp.sum(
+        ((model_c[None] - x_obs[:, None]) / sigma[:, None]) ** 2, axis=-1)
+    theta0 = cand[jnp.argmin(chi2_c, axis=1)]  # (M, P)
+    frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
+    mean0 = jnp.log(frac) - jnp.log1p(-frac)
+    # L parameterized as diag-softplus + strictly-lower triangle
+    tril0 = jnp.zeros((m_obj, dim, dim), jnp.float32)
+    raw_diag0 = jnp.full((m_obj, dim), -1.0, jnp.float32)  # softplus ~ 0.31
+
+    import optax
+
+    tx = optax.adam(learning_rate)
+    x_rep = jnp.repeat(x_obs, n_mc, axis=0)
+    sg_rep = jnp.repeat(sigma, n_mc, axis=0)
+
+    def build_l(tril, raw_diag):
+        l_mat = jnp.tril(tril, -1)
+        return l_mat + jax.vmap(jnp.diag)(jax.nn.softplus(raw_diag))
+
+    def neg_elbo(params, eps):
+        mean, tril, raw_diag = params
+        l_mat = build_l(tril, raw_diag)  # (M, P, P)
+        # eps (M, n_mc, P) -> u = m + L eps, entropy = sum log diag L
+        u = mean[:, None, :] + jnp.einsum("mij,mnj->mni", l_mat, eps)
+        lp = logpost_rows(u.reshape(m_obj * n_mc, dim), x_rep, sg_rep)
+        ent = jnp.sum(jnp.log(jax.nn.softplus(raw_diag)), axis=-1)  # (M,)
+        elbo = lp.reshape(m_obj, n_mc).mean(axis=1) + ent
+        return -jnp.sum(elbo), elbo
+
+    @jax.jit
+    def optimize(params, key):
+        opt = tx.init(params)
+
+        def step(carry, k):
+            params, opt = carry
+            eps = jax.random.normal(k, (m_obj, n_mc, dim))
+            (_, elbo), g = jax.value_and_grad(
+                neg_elbo, has_aux=True)(params, eps)
+            upd, opt = tx.update(g, opt, params)
+            return (optax.apply_updates(params, upd), opt), elbo
+
+        keys = jax.random.split(key, n_steps)
+        (params, _), elbos = jax.lax.scan(step, (params, opt), keys)
+        return params, elbos[-1]
+
+    params, elbo = optimize((mean0, tril0, raw_diag0), k_run)
+    mean, tril, raw_diag = params
+    l_mat = build_l(tril, raw_diag)
+    k_samp = jax.random.fold_in(k_run, 1)
+    eps = jax.random.normal(k_samp, (m_obj, 256, dim))
+    u = mean[:, None, :] + jnp.einsum("mij,mnj->mni", l_mat, eps)
+    th = theta_of(u)  # (M, 256, P)
+    simulator._mega_off = had_flag
+    return {"mean": np.asarray(th.mean(axis=1)),
+            "sigma": np.asarray(th.std(axis=1)),
+            "samples": np.asarray(th),
+            "elbo": np.asarray(elbo)}

@@ -562,3 +562,38 @@ def test_posterior_crosscheck_flow_vs_hmc():
     assert c_prior > 0.8
     # the trained flow must be far closer to the exact posterior
     assert (out["c2st"] < c_prior - 0.1).all(), (out["c2st"], c_prior)
+
+
+def test_catalogue_vi_matches_fisher_scale():
+    """Full-rank Gaussian VI through the simulator: per-object means on
+    the truths, widths at the Fisher scale (loose factor for the ELBO's
+    MC noise)."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    rng = np.random.default_rng(0)
+    truths = np.stack([rng.uniform(8.5, 10.5, 4),
+                       rng.uniform(0.1, 1.5, 4)], 1).astype(np.float32)
+    x = np.asarray(sim.photometry(jnp.asarray(truths)))
+    out = st.fit_catalogue_vi(
+        sim, x, 0.05 * x, st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0]),
+        key=jax.random.PRNGKey(1))
+    assert out["samples"].shape == (4, 256, 2)
+    assert np.isfinite(out["elbo"]).all()
+    assert np.abs(out["mean"][:, 0] - truths[:, 0]).max() < 0.08
+    fr = st.fisher_forecast(sim, truths, 0.05 * x)
+    ratio = out["sigma"] / fr["cramer_rao_sigma"]
+    assert (ratio > 0.6).all() and (ratio < 4.0).all(), ratio
