@@ -541,25 +541,31 @@ def fit_catalogue_hmc(
             axis=-1)
         return -0.5 * chi2 + log_jac
 
-    val_grad = jax.value_and_grad(lambda u: jnp.sum(logpost(u)))
+    def _lp_sum(u):
+        lp = logpost(u)
+        return jnp.sum(lp), lp
+
+    # has_aux threads the PER-CHAIN log-posteriors out of the same forward
+    # pass the gradient needs — without it the acceptance test would spend
+    # one extra full batched photometry pass per HMC step
+    val_grad = jax.value_and_grad(_lp_sum, has_aux=True)
 
     def leapfrog(u, p, eps):
-        _, g = val_grad(u)
+        (_, _), g = val_grad(u)
         p = p + 0.5 * eps * g
         for _ in range(n_leapfrog - 1):
             u = u + eps * p
-            _, g = val_grad(u)
+            (_, _), g = val_grad(u)
             p = p + eps * g
         u = u + eps * p
-        lp_new, g = val_grad(u)
+        (_, lp_new), g = val_grad(u)
         p = p + 0.5 * eps * g
         return u, p, lp_new
 
     def hmc_step(u, lp_vec, key_s, eps):
         k1, k2 = jax.random.split(key_s)
         p0 = jax.random.normal(k1, u.shape)
-        u_new, p_new, _ = leapfrog(u, p0, eps)
-        lp_new = logpost(u_new)
+        u_new, p_new, lp_new = leapfrog(u, p0, eps)
         h0 = lp_vec - 0.5 * jnp.sum(p0**2, axis=-1)
         h1 = lp_new - 0.5 * jnp.sum(p_new**2, axis=-1)
         # a diverged trajectory gives a NaN Hamiltonian difference ->
