@@ -57,6 +57,7 @@ from .library import (
 from .hpo import MedianPruner, SearchSpace, Study, optimize_sbi
 from .mcmc import (
     dirichlet_cumsum_transform,
+    censored_gaussian_loglike_rows,
     fit_catalogue_hmc,
     fit_catalogue_map,
     fit_catalogue_vi,
@@ -163,6 +164,7 @@ __all__ = [
     # mcmc / online / recovery
     "run_ensemble_mcmc", "fit_observation_mcmc", "fit_observation_hmc",
     "fit_catalogue_map", "fit_catalogue_hmc", "fit_catalogue_vi",
+    "censored_gaussian_loglike_rows",
     "gaussian_loglike",
     "run_batched_mcmc", "run_smc", "model_comparison",
     "dirichlet_cumsum_transform", "run_online_snpe", "recover_sed",

@@ -25,6 +25,7 @@ __all__ = [
     "run_smc",
     "model_comparison",
     "gaussian_loglike",
+    "censored_gaussian_loglike_rows",
     "dirichlet_cumsum_transform",
     "fit_observation_mcmc",
     "fit_observation_hmc",
@@ -50,6 +51,21 @@ def gaussian_loglike(sim_fn, x_obs, sigma):
         return -0.5 * chi2
 
     return loglike
+
+
+def censored_gaussian_loglike_rows(model, x_obs, sigma, upper_limits=None):
+    """(B, F) model vs observed -> (B,) log-likelihood with optional
+    censoring: bands flagged in `upper_limits` carry only the one-sided
+    information "flux below the limit", L = Φ((x_lim − model)/σ), written
+    with `log_ndtr` so it stays differentiable and finite however far the
+    model overshoots the limit (a plain log(Φ) underflows to −inf at
+    ~8σ and kills the gradient the fitters need to walk back down)."""
+    resid = (model - x_obs) / sigma
+    gauss = -0.5 * resid**2
+    if upper_limits is None:
+        return jnp.sum(gauss, axis=-1)
+    cens = jax.scipy.special.log_ndtr(-resid)
+    return jnp.sum(jnp.where(upper_limits, cens, gauss), axis=-1)
 
 
 def run_ensemble_mcmc(
@@ -456,6 +472,7 @@ def fit_observation_hmc(
     n_samples: int = 400,
     n_leapfrog: int = 12,
     target_accept: float = 0.8,
+    upper_limits=None,
 ):
     """Gradient-based HMC straight through the DIFFERENTIABLE simulator.
 
@@ -477,7 +494,9 @@ def fit_observation_hmc(
         simulator, jnp.atleast_2d(jnp.asarray(x_obs_njy, jnp.float32)),
         sigma_njy, prior, key=key, n_chains=n_chains, n_warmup=n_warmup,
         n_samples=n_samples, n_leapfrog=n_leapfrog,
-        target_accept=target_accept)
+        target_accept=target_accept,
+        upper_limits=(None if upper_limits is None
+                      else jnp.atleast_2d(jnp.asarray(upper_limits, bool))))
     return samples[0], lps[0], acc
 
 
@@ -492,6 +511,7 @@ def fit_catalogue_hmc(
     n_samples: int = 400,
     n_leapfrog: int = 12,
     target_accept: float = 0.8,
+    upper_limits=None,
 ):
     """Exact-likelihood HMC posteriors for a WHOLE CATALOGUE at once:
     M objects × C chains advance as one `lax.scan` program — every
@@ -519,6 +539,10 @@ def fit_catalogue_hmc(
     c = n_chains
     x_rep = jnp.repeat(x_obs, c, axis=0)  # (M·C, F)
     sg_rep = jnp.repeat(sigma, c, axis=0)
+    lim = (None if upper_limits is None
+           else jnp.broadcast_to(jnp.asarray(upper_limits, bool),
+                                 x_obs.shape))
+    lim_rep = None if lim is None else jnp.repeat(lim, c, axis=0)
 
     # the Pallas megakernel has no AD rule; route through the staged paths
     had_flag = getattr(simulator, "_mega_off", False)
@@ -535,11 +559,11 @@ def fit_catalogue_hmc(
         −inf Jacobian freezes a chain permanently (its Hamiltonian is
         −inf, so every proposal comparison is NaN/inf)."""
         model = simulator.photometry(theta_of(u))
-        chi2 = jnp.sum(((model - x_rep) / sg_rep) ** 2, axis=-1)
+        ll = censored_gaussian_loglike_rows(model, x_rep, sg_rep, lim_rep)
         log_jac = jnp.sum(
             jnp.log(width) - jax.nn.softplus(u) - jax.nn.softplus(-u),
             axis=-1)
-        return -0.5 * chi2 + log_jac
+        return ll + log_jac
 
     def _lp_sum(u):
         lp = logpost(u)
@@ -593,10 +617,14 @@ def fit_catalogue_hmc(
     n_cand = max(256, 8 * c)
     cand = prior.sample(k_init, n_cand)
     model_c = simulator.photometry(cand)  # (n_cand, F)
-    chi2_c = jnp.sum(
-        ((model_c[None, :, :] - x_obs[:, None, :])
-         / sigma[:, None, :]) ** 2, axis=-1)  # (M, n_cand)
-    top = jnp.argsort(chi2_c, axis=1)[:, :c]  # (M, C)
+    ll_c = censored_gaussian_loglike_rows(
+        jnp.broadcast_to(model_c[None], (m,) + model_c.shape
+                         ).reshape(m * n_cand, -1),
+        jnp.repeat(x_obs, n_cand, axis=0),
+        jnp.repeat(sigma, n_cand, axis=0),
+        None if lim is None else jnp.repeat(lim, n_cand, axis=0),
+    ).reshape(m, n_cand)
+    top = jnp.argsort(-ll_c, axis=1)[:, :c]  # (M, C)
     theta0 = cand[top].reshape(m * c, dim)
     frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     u = jnp.log(frac) - jnp.log1p(-frac)
@@ -652,6 +680,7 @@ def fit_catalogue_map(
     n_steps: int = 400,
     n_restarts: int = 4,
     learning_rate: float = 0.05,
+    upper_limits=None,
 ):
     """Batched MAP + Laplace fits straight through the differentiable
     simulator: gradient descent in the prior's logit space for EVERY
@@ -679,6 +708,9 @@ def fit_catalogue_map(
     m = x_obs.shape[0]
     dim = prior.dim
     lo, width = prior.low, prior.high - prior.low
+    lim = (None if upper_limits is None
+           else jnp.broadcast_to(jnp.asarray(upper_limits, bool),
+                                 x_obs.shape))
 
     had_flag = getattr(simulator, "_mega_off", False)
     simulator._mega_off = True
@@ -686,29 +718,35 @@ def fit_catalogue_map(
     def theta_of(u):
         return lo + width * jax.nn.sigmoid(u)
 
-    def neg_logpost_rows(u_rows, x_rows, sg_rows):
+    def neg_logpost_rows(u_rows, x_rows, sg_rows, lim_rows=None):
         """(B, P) u + (B, F) obs -> (B,) -log posterior (logit space)."""
         model = simulator.photometry(theta_of(u_rows))
-        chi2 = jnp.sum(((model - x_rows) / sg_rows) ** 2, axis=-1)
+        ll = censored_gaussian_loglike_rows(model, x_rows, sg_rows,
+                                            lim_rows)
         log_jac = jnp.sum(
             jnp.log(width) - jax.nn.softplus(u_rows)
             - jax.nn.softplus(-u_rows), axis=-1)
-        return 0.5 * chi2 - log_jac
+        return -ll - log_jac
 
     # best-of-prior init per (object, restart)
     r = int(n_restarts)
     n_cand = max(64, 8 * r)
     cand = prior.sample(key, n_cand)  # shared candidate set
     model_c = simulator.photometry(cand)  # (n_cand, F)
-    chi2_c = jnp.sum(
-        ((model_c[None, :, :] - x_obs[:, None, :])
-         / sigma[:, None, :]) ** 2, axis=-1)  # (M, n_cand)
-    top = jnp.argsort(chi2_c, axis=1)[:, :r]  # (M, R)
+    ll_c = censored_gaussian_loglike_rows(
+        jnp.broadcast_to(model_c[None], (m,) + model_c.shape
+                         ).reshape(m * n_cand, -1),
+        jnp.repeat(x_obs, n_cand, axis=0),
+        jnp.repeat(sigma, n_cand, axis=0),
+        None if lim is None else jnp.repeat(lim, n_cand, axis=0),
+    ).reshape(m, n_cand)
+    top = jnp.argsort(-ll_c, axis=1)[:, :r]  # (M, R)
     theta0 = cand[top]  # (M, R, P)
     frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     u0 = (jnp.log(frac) - jnp.log1p(-frac)).reshape(m * r, dim)
     x_rep = jnp.repeat(x_obs, r, axis=0)
     sg_rep = jnp.repeat(sigma, r, axis=0)
+    lim_rep = None if lim is None else jnp.repeat(lim, r, axis=0)
 
     tx = optax.adam(learning_rate)
 
@@ -719,12 +757,13 @@ def fit_catalogue_map(
         def step(carry, _):
             u, opt = carry
             g = jax.grad(
-                lambda uu: jnp.sum(neg_logpost_rows(uu, x_rep, sg_rep)))(u)
+                lambda uu: jnp.sum(neg_logpost_rows(
+                    uu, x_rep, sg_rep, lim_rep)))(u)
             upd, opt = tx.update(g, opt, u)
             return (optax.apply_updates(u, upd), opt), None
 
         (u, _), _ = jax.lax.scan(step, (u0, opt0), None, length=n_steps)
-        nlp = neg_logpost_rows(u, x_rep, sg_rep)
+        nlp = neg_logpost_rows(u, x_rep, sg_rep, lim_rep)
         return u, nlp
 
     u_fit, nlp = optimize(u0)
@@ -752,7 +791,7 @@ def fit_catalogue_map(
 
     lap = laplace(theta_map, sigma)
     model_map = simulator.photometry(theta_map)
-    ll = -0.5 * jnp.sum(((model_map - x_obs) / sigma) ** 2, axis=-1)
+    ll = censored_gaussian_loglike_rows(model_map, x_obs, sigma, lim)
     simulator._mega_off = had_flag
     return {"theta_map": np.asarray(theta_map),
             "laplace_sigma": np.asarray(lap),
@@ -769,6 +808,7 @@ def fit_catalogue_vi(
     n_steps: int = 500,
     n_mc: int = 8,
     learning_rate: float = 0.03,
+    upper_limits=None,
 ):
     """Batched full-rank Gaussian variational inference through the
     differentiable simulator: maximize the reparameterized ELBO of
@@ -799,21 +839,30 @@ def fit_catalogue_vi(
     def theta_of(u):
         return lo + width * jax.nn.sigmoid(u)
 
-    def logpost_rows(u_rows, x_rows, sg_rows):
+    lim = (None if upper_limits is None
+           else jnp.broadcast_to(jnp.asarray(upper_limits, bool),
+                                 x_obs.shape))
+
+    def logpost_rows(u_rows, x_rows, sg_rows, lim_rows=None):
         model = simulator.photometry(theta_of(u_rows))
-        chi2 = jnp.sum(((model - x_rows) / sg_rows) ** 2, axis=-1)
+        ll = censored_gaussian_loglike_rows(model, x_rows, sg_rows,
+                                            lim_rows)
         log_jac = jnp.sum(
             jnp.log(width) - jax.nn.softplus(u_rows)
             - jax.nn.softplus(-u_rows), axis=-1)
-        return -0.5 * chi2 + log_jac
+        return ll + log_jac
 
     # init q at the best prior candidate per object, unit-ish covariance
     k_init, k_run = jax.random.split(key)
     cand = prior.sample(k_init, 256)
     model_c = simulator.photometry(cand)
-    chi2_c = jnp.sum(
-        ((model_c[None] - x_obs[:, None]) / sigma[:, None]) ** 2, axis=-1)
-    theta0 = cand[jnp.argmin(chi2_c, axis=1)]  # (M, P)
+    ll_c = censored_gaussian_loglike_rows(
+        jnp.broadcast_to(model_c[None], (m_obj,) + model_c.shape
+                         ).reshape(m_obj * 256, -1),
+        jnp.repeat(x_obs, 256, axis=0), jnp.repeat(sigma, 256, axis=0),
+        None if lim is None else jnp.repeat(lim, 256, axis=0),
+    ).reshape(m_obj, 256)
+    theta0 = cand[jnp.argmax(ll_c, axis=1)]  # (M, P)
     frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     mean0 = jnp.log(frac) - jnp.log1p(-frac)
     # L parameterized as diag-softplus + strictly-lower triangle
@@ -825,6 +874,7 @@ def fit_catalogue_vi(
     tx = optax.adam(learning_rate)
     x_rep = jnp.repeat(x_obs, n_mc, axis=0)
     sg_rep = jnp.repeat(sigma, n_mc, axis=0)
+    lim_rep = None if lim is None else jnp.repeat(lim, n_mc, axis=0)
 
     def build_l(tril, raw_diag):
         l_mat = jnp.tril(tril, -1)
@@ -835,7 +885,8 @@ def fit_catalogue_vi(
         l_mat = build_l(tril, raw_diag)  # (M, P, P)
         # eps (M, n_mc, P) -> u = m + L eps, entropy = sum log diag L
         u = mean[:, None, :] + jnp.einsum("mij,mnj->mni", l_mat, eps)
-        lp = logpost_rows(u.reshape(m_obj * n_mc, dim), x_rep, sg_rep)
+        lp = logpost_rows(u.reshape(m_obj * n_mc, dim), x_rep, sg_rep,
+                          lim_rep)
         ent = jnp.sum(jnp.log(jax.nn.softplus(raw_diag)), axis=-1)  # (M,)
         elbo = lp.reshape(m_obj, n_mc).mean(axis=1) + ent
         return -jnp.sum(elbo), elbo

@@ -597,3 +597,59 @@ def test_catalogue_vi_matches_fisher_scale():
     fr = st.fisher_forecast(sim, truths, 0.05 * x)
     ratio = out["sigma"] / fr["cramer_rao_sigma"]
     assert (ratio > 0.6).all() and (ratio < 4.0).all(), ratio
+
+
+def test_gradient_fitters_respect_upper_limits():
+    """Censored-likelihood bands: with the reddest band replaced by an
+    upper LIMIT well below the true flux, the fitters must push the mass
+    down relative to the detected-only fit, and gradients stay finite
+    (log_ndtr keeps the censored term differentiable arbitrarily deep
+    into the rejection region)."""
+    import synference_tpu as st
+
+    grid = st.make_synthetic_grid(n_ages=12, n_mets=4, n_wav=512,
+                                  lam_min=300.0)
+    filters = st.FilterSet([
+        st.tophat_filter("F115W", 11500.0, 2600.0),
+        st.tophat_filter("F200W", 20000.0, 4600.0),
+        st.tophat_filter("F356W", 35600.0, 7800.0),
+    ])
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "tau_v"),
+        fixed_params={"redshift": 1.0, "peak_age": 3e8, "tau": 0.5,
+                      "log10_metallicity": -2.5},
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(igm="inoue14"))
+    prior = st.BoxUniform(low=[8.0, 0.0], high=[11.0, 2.0])
+    truth = np.array([[9.5, 0.3]], np.float32)
+    flux = np.asarray(sim.photometry(jnp.asarray(truth)))
+    sigma = 0.05 * flux
+    # the typical survey case: a NON-detection whose limiting flux sits
+    # ABOVE the true flux (limit consistent with the truth). Censored:
+    # zero tension, recovers the truth. Gaussian (treating the limit as a
+    # detection 2x the true flux, 20σ high): dragged away from it.
+    x = flux.copy()
+    x[0, -1] = 2.0 * flux[0, -1]
+    lim = np.zeros_like(x, bool)
+    lim[0, -1] = True
+    out_cen = st.fit_catalogue_map(sim, x, sigma, prior,
+                                   key=jax.random.PRNGKey(0),
+                                   upper_limits=lim)
+    out_gau = st.fit_catalogue_map(sim, x, sigma, prior,
+                                   key=jax.random.PRNGKey(0))
+    assert np.isfinite(out_cen["theta_map"]).all()
+    # censored MAP recovers the generating parameters
+    assert abs(out_cen["theta_map"][0, 0] - 9.5) < 0.05
+    # Gaussian is pulled toward the fake bright detection
+    err_cen = abs(out_cen["theta_map"][0, 0] - 9.5)
+    err_gau = abs(out_gau["theta_map"][0, 0] - 9.5)
+    assert err_gau > 3.0 * max(err_cen, 1e-3)
+    # HMC with the same censoring recovers the truth too
+    samples, _, acc = st.fit_observation_hmc(
+        sim, x[0], sigma[0], prior, key=jax.random.PRNGKey(1),
+        n_chains=8, n_warmup=80, n_samples=120, n_leapfrog=8,
+        upper_limits=lim[0])
+    assert np.isfinite(samples).all() and 0.3 < acc <= 1.0
+    med = np.median(samples, axis=0)
+    assert abs(med[0] - 9.5) < 0.1
