@@ -35,20 +35,23 @@ __all__ = [
 ]
 
 
-def gaussian_loglike(sim_fn, x_obs, sigma):
+def gaussian_loglike(sim_fn, x_obs, sigma, upper_limits=None):
     """Batched Gaussian χ² log-likelihood through a forward model.
 
     Args:
         sim_fn: θ (B, P) -> model x (B, D).
         x_obs: (D,) observed values; sigma: (D,) 1σ errors.
+        upper_limits: optional (D,) bool mask — those bands are treated
+            as non-detections at limiting flux x_obs (censored term, see
+            `censored_gaussian_loglike_rows`).
     """
     x_obs = jnp.asarray(x_obs, jnp.float32)
     sigma = jnp.maximum(jnp.asarray(sigma, jnp.float32), 1.0e-12)
+    lim = None if upper_limits is None else jnp.asarray(upper_limits, bool)
 
     def loglike(theta):
         model = sim_fn(theta)
-        chi2 = jnp.sum(((model - x_obs) / sigma) ** 2, axis=-1)
-        return -0.5 * chi2
+        return censored_gaussian_loglike_rows(model, x_obs, sigma, lim)
 
     return loglike
 
