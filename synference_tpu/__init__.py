@@ -10,7 +10,7 @@ Public API mirrors the reference's flat namespace
 (`/root/reference/src/synference/__init__.py:49-115`).
 """
 
-from .agn import AGNSimulator, agn_fraction
+from .agn import AGNGridSimulator, AGNSimulator, agn_fraction
 from .catalogue import (
     MissingPhotometryHandler,
     fit_catalogue,
@@ -44,7 +44,8 @@ from .filters import Filter, FilterSet, tophat_filter
 from .config import load_config, run_from_config
 from .fitter import SBIFitter
 from .flows import ConditionalFlow, build_flow
-from .grids import SPSGrid, make_synthetic_grid
+from .grids import (SPSGrid, make_synthetic_agn_grid, make_synthetic_grid,
+                    make_synthetic_multiaxis_grid)
 from .igm import igm_transmission
 from .library import (
     LibraryCreator,
@@ -123,6 +124,7 @@ __all__ = [
     "igm_transmission",
     # filters / grids
     "Filter", "FilterSet", "tophat_filter", "SPSGrid", "make_synthetic_grid",
+    "make_synthetic_multiaxis_grid", "make_synthetic_agn_grid",
     # SED simulator
     "BatchSEDSimulator", "EmissionConfig",
     "SFH_FAMILIES", "ZDIST_FAMILIES", "sfh_weights", "zdist_weights",
@@ -176,7 +178,7 @@ __all__ = [
     "create_noise_models_from_catalogue", "feature_importance", "fisher_forecast", "score_compression",
     "posterior_crosscheck",
     # agn
-    "AGNSimulator", "agn_fraction",
+    "AGNSimulator", "AGNGridSimulator", "agn_fraction",
     # restricted priors
     "RestrictedPrior", "restricted_prior_from_simulations",
 ]

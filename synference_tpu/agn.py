@@ -24,12 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dust import greybody_emission
-from .sed import BatchSEDSimulator
+from .sed import BatchSEDSimulator, register_simulator
 from .units import C_AA_S
 
-__all__ = ["AGNSimulator", "agn_fraction"]
+__all__ = ["AGNSimulator", "AGNGridSimulator", "agn_fraction"]
 
 
+@register_simulator
 class AGNSimulator(BatchSEDSimulator):
     """Analytic AGN SED through the standard observe/photometry pipeline."""
 
@@ -44,8 +45,9 @@ class AGNSimulator(BatchSEDSimulator):
         self._dnu_phz_agn = jnp.asarray(-np.gradient(nu_phz), jnp.float32)
         # disk band: Lyman limit to 1 µm, smooth rolloffs
         self._disk_window = jnp.asarray(
-            1.0 / (1.0 + np.exp(-(lam - 700.0) / 60.0))
-            * 1.0 / (1.0 + np.exp((lam - 12000.0) / 1200.0)),
+            1.0 / (1.0 + np.exp(np.clip(-(lam - 700.0) / 60.0, -60, 60)))
+            * 1.0 / (1.0 + np.exp(np.clip((lam - 12000.0) / 1200.0,
+                                          -60, 60))),
             jnp.float32,
         )
 
@@ -97,3 +99,121 @@ def agn_fraction(stellar_lnu, agn_lnu, lam, band=(4000.0, 6000.0)):
     a = (agn_lnu * m).sum(-1)
     s = (stellar_lnu * m).sum(-1)
     return a / jnp.maximum(a + s, 1.0e-30)
+
+
+@register_simulator
+class AGNGridSimulator(BatchSEDSimulator):
+    """AGN forward model from a Cloudy-processed AGN grid (disk incident +
+    NLR/BLR reprocessing).
+
+    The reference gets AGN line-region reprocessing by attaching
+    Synthesizer BlackHole components whose emission models consume Cloudy
+    AGN grids (reference library.py:1361-1419). Here the grid's AGN
+    physics axes (ionisation parameter, hydrogen density, ...) ride
+    `BatchSEDSimulator`'s generic extra-axis lerp-delta machinery — the
+    stellar (age, Z) axes are degenerate 1×1 — and the Pacman fesc split
+    generalizes to per-region covering fractions:
+
+        L_ν = (1 − Σ_r c_r) · incident + Σ_r c_r · region_r
+
+    with c_r = θ ``covering_fraction_<region>`` (default 0.1) and one
+    foreground dust screen over everything. `emission.dust_emission=True`
+    re-emits the absorbed energy as a greybody (set ``dust_temperature``
+    to a few hundred K for a torus). Grid spectra/line tables are per
+    unit 10**l_norm erg/s of bolometric disk luminosity and scale by
+    10**(log10_l_agn − l_norm); line quantities scale by their emitting
+    region's covering fraction (``grid.lines["region"]`` tags).
+
+    θ names: log10_l_agn [erg/s], redshift, the grid's extra-axis names,
+    covering_fraction_<region> per reprocessed type, tau_v.
+
+    The single-pass megakernel is disabled: it implements one
+    static-fesc channel mix, not per-galaxy traced covering fractions;
+    photometry uses the staged fused paths instead.
+    """
+
+    def __init__(self, grid, filters, param_names=None, l_norm: float = 45.0,
+                 emission=None, **kwargs):
+        from .sed import EmissionConfig
+
+        if emission is None:
+            regions = tuple(sorted(t for t in grid.spectra
+                                   if t != "incident"))
+            emission = EmissionConfig(
+                incident_type="incident", reprocessed_types=regions,
+                fesc=0.0)
+        if param_names is None:
+            param_names = (
+                "log10_l_agn", "redshift", *grid.extra_axis_names,
+                *(f"covering_fraction_{t}"
+                  for t in emission.reprocessed_types),
+                "tau_v",
+            )
+        kwargs.setdefault("sfh", "constant")  # unused; _sfzh is overridden
+        kwargs.setdefault("zdist", "delta")
+        super().__init__(grid, filters, param_names, emission=emission,
+                         **kwargs)
+        self._mega_off = True
+        self._log10_l_norm = float(l_norm)
+        regs = (grid.lines or {}).get("region") if grid.lines else None
+        self._line_regions = tuple(regs) if regs is not None else None
+
+    def model_extra(self) -> dict:
+        """Extra ctor kwargs persisted in the Model group."""
+        return {"l_norm": self._log10_l_norm}
+
+    # -- weights: pure axis interpolation × bolometric scale -------------
+    def _sfzh(self, params):
+        w = jnp.ones((1, 1), jnp.float32)
+        for ax_name, ax_vals in self._extra_axes:
+            w = w[..., None] * self._axis_delta_weights(
+                ax_vals, params[ax_name])
+        scale = 10.0 ** (params["log10_l_agn"] - self._log10_l_norm)
+        flat = w.reshape(-1) * scale
+        return flat, flat.sum(keepdims=True)
+
+    def _covering_fractions(self, params):
+        return [
+            jnp.clip(params.get(f"covering_fraction_{t}",
+                                jnp.asarray(0.1)), 0.0, 1.0)
+            for t in self.emission.reprocessed_types
+        ]
+
+    # -- channel mixing: covering fractions instead of fesc --------------
+    def _apply_emission(self, params, sfzh_flat, trimmed: bool = False):
+        em = self.emission
+        dust_curve = self._dust_curve_sup if trimmed else self._dust_curve
+        comp = self._components_sup if trimmed else self._components
+        w = sfzh_flat.astype(self.compute_dtype)
+
+        def contract(stype):
+            return jnp.matmul(w, comp[stype],
+                              preferred_element_type=jnp.float32)
+
+        covs = self._covering_fractions(params)
+        cov_tot = jnp.clip(sum(covs), 0.0, 1.0)
+        intrinsic = (1.0 - cov_tot) * contract(em.incident_type)
+        for c, t in zip(covs, em.reprocessed_types):
+            intrinsic = intrinsic + c * contract(t)
+        tau_v = (
+            params[em.tau_v_param] if em.tau_v_param is not None
+            else jnp.asarray(0.0)
+        )
+        lnu = intrinsic * jnp.exp(-tau_v * dust_curve)
+        if em.dust_emission:
+            assert not trimmed, "dust_emission needs the full λ grid"
+            lnu = self._add_dust_emission(lnu, intrinsic)
+        return lnu, intrinsic
+
+    def _line_mixing(self, params, lum, cont, inc_cont, sel):
+        covs = self._covering_fractions(params)
+        cov_tot = jnp.clip(sum(covs), 0.0, 1.0)
+        cont_real = (1.0 - cov_tot) * inc_cont + cov_tot * cont
+        if self._line_regions is None:
+            return cov_tot * lum, cont_real
+        types = list(self.emission.reprocessed_types)
+        idx = np.asarray(
+            [types.index(self._line_regions[int(i)])
+             for i in np.asarray(sel)], np.int32)
+        cov_vec = jnp.stack(covs)[jnp.asarray(idx)]
+        return cov_vec * lum, cont_real

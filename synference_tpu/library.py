@@ -550,6 +550,9 @@ def _write_model_group(grp: h5py.Group, sim: BatchSEDSimulator,
                        param_ranges=None, unlog_keys=None,
                        embed_grid: bool = False) -> None:
     grp.attrs["grid_name"] = sim.grid.name
+    grp.attrs["simulator_class"] = type(sim).__name__
+    if hasattr(sim, "model_extra"):
+        grp.attrs["simulator_extra"] = json.dumps(sim.model_extra())
     grp.attrs["sfh"] = sim.sfh_name
     grp.attrs["zdist"] = sim.zdist_name
     grp.attrs["param_names"] = list(sim.param_names)
@@ -613,6 +616,14 @@ def simulator_from_library(path: str, grid: SPSGrid | None = None,
         cosmology = Cosmology.from_dict(json.loads(grp.attrs["cosmology"]))
         fixed = json.loads(grp.attrs["fixed_params"])
         filters = FilterSet.from_hdf5(grp["instrument"])
+        # subclass dispatch (AGN simulators etc.): stored class name ->
+        # registry; importing .agn registers its classes
+        from . import agn  # noqa: F401  (populates SIMULATOR_REGISTRY)
+        from .sed import SIMULATOR_REGISTRY
+        cls_name = str(grp.attrs.get("simulator_class",
+                                     "BatchSEDSimulator"))
+        sim_cls = SIMULATOR_REGISTRY.get(cls_name, BatchSEDSimulator)
+        extra = json.loads(str(grp.attrs.get("simulator_extra", "{}")))
         gg = grp["grid"]
         stored_hash = str(gg.attrs.get("content_hash", ""))
         if grid is None:
@@ -648,5 +659,6 @@ def simulator_from_library(path: str, grid: SPSGrid | None = None,
         zdist=zdist, emission=emission, cosmology=cosmology,
         fixed_params=fixed,
     )
+    kwargs.update(extra)
     kwargs.update(overrides)
-    return BatchSEDSimulator(**kwargs)
+    return sim_cls(**kwargs)

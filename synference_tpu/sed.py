@@ -32,7 +32,21 @@ from .igm import igm_transmission
 from .sfh import make_age_sampling, sfh_weights, zdist_weights
 from .units import C_AA_S
 
-__all__ = ["EmissionConfig", "BatchSEDSimulator"]
+__all__ = ["EmissionConfig", "BatchSEDSimulator", "SIMULATOR_REGISTRY",
+           "register_simulator"]
+
+# named simulator classes for Model-group persistence: the reference
+# reconstructs its GalaxySimulator from stored class names + exec'd source
+# (library.py:5218-5551); here reconstruction goes through this registry
+# (subclasses register on import — see agn.py)
+SIMULATOR_REGISTRY: dict = {}
+
+
+def register_simulator(cls):
+    """Class decorator: make `cls` reconstructible by
+    `library.simulator_from_library` via its stored class name."""
+    SIMULATOR_REGISTRY[cls.__name__] = cls
+    return cls
 
 _FOUR_PI = 4.0 * np.pi
 
@@ -98,6 +112,7 @@ class EmissionConfig:
         return cls(**d)
 
 
+@register_simulator
 class BatchSEDSimulator:
     """θ → photometry/spectra forward model over galaxy batches.
 
@@ -663,17 +678,22 @@ class BatchSEDSimulator:
 
         if em.dust_emission:
             assert not trimmed, "dust_emission needs the full λ grid"
-            # Energy balance: re-emit the absorbed luminosity as a greybody.
-            # Scaled arithmetic (L_ν in 1e30 erg/s/Hz, ν in PHz) keeps the
-            # energy integral inside fp32 range; the 1e45 restores erg/s.
-            absorbed30 = jnp.sum((intrinsic - lnu) * 1.0e-30 * self._dnu_phz)
-            grey = greybody_emission(
-                self._lam, em.dust_temperature, em.dust_emissivity
-            )
-            # split the 1e45 rescale across both factors: the literal 1e45 is
-            # inf in fp32, and absorbed30*1e45 alone would overflow
-            lnu = lnu + (jnp.maximum(absorbed30, 0.0) * 1.0e23) * (grey * 1.0e22)
+            lnu = self._add_dust_emission(lnu, intrinsic)
         return lnu, intrinsic
+
+    def _add_dust_emission(self, lnu, intrinsic):
+        """Energy balance: re-emit the absorbed luminosity as a greybody.
+
+        Scaled arithmetic (L_ν in 1e30 erg/s/Hz, ν in PHz) keeps the
+        energy integral inside fp32 range; the 1e45 restores erg/s."""
+        em = self.emission
+        absorbed30 = jnp.sum((intrinsic - lnu) * 1.0e-30 * self._dnu_phz)
+        grey = greybody_emission(
+            self._lam, em.dust_temperature, em.dust_emissivity
+        )
+        # split the 1e45 rescale across both factors: the literal 1e45 is
+        # inf in fp32, and absorbed30*1e45 alone would overflow
+        return lnu + (jnp.maximum(absorbed30, 0.0) * 1.0e23) * (grey * 1.0e22)
 
     def _observe(self, params, lnu):
         """Rest L_ν -> observed f_ν [nJy] on λ_obs = λ_rest (1+z)."""
@@ -1096,10 +1116,6 @@ class BatchSEDSimulator:
             params = self.theta_dict(row)
             params["_row_idx"] = idx
             sfzh_flat, _ = self._sfzh(params)
-            fesc = (
-                params[em.fesc] if isinstance(em.fesc, str)
-                else jnp.asarray(em.fesc, jnp.float32)
-            )
             tau_v = (
                 params[em.tau_v_param] if em.tau_v_param is not None
                 else jnp.asarray(0.0)
@@ -1115,10 +1131,8 @@ class BatchSEDSimulator:
                 att = jnp.exp(-tau_v * curve_l)
                 lum = (sfzh_flat @ lum10) * att
                 cont = (sfzh_flat @ cont10) * att
-            lum = (1.0 - fesc) * lum
-            # realized continuum = escaped incident (no dust, matching
-            # _apply_emission) + dust-attenuated reprocessed channel
-            cont_total = fesc * (sfzh_flat @ inc10) + (1.0 - fesc) * cont
+            lum, cont_total = self._line_mixing(
+                params, lum, cont, sfzh_flat @ inc10, sel)
             z = params.get("redshift", jnp.asarray(0.0))
             zp1 = 1.0 + z
             t_igm_grid = self._igm_transmission(zp1)
@@ -1155,6 +1169,22 @@ class BatchSEDSimulator:
             "ew_rest": np.asarray(ew_rest),
             "ew_obs": np.asarray(ew_rest * zp1[:, None]),
         }
+
+    def _line_mixing(self, params, lum, cont, inc_cont, sel):
+        """Channel mixing for line quantities (Pacman semantics, matching
+        `_apply_emission`): line emission rides the reprocessed channel;
+        the realized continuum adds the escaped incident component.
+
+        Args: per-line dust-attenuated contractions `lum`/`cont`, the
+        incident continuum contraction `inc_cont` (all (Nl,), 1e-10
+        scaled), and the static numpy index `sel` of the chosen lines.
+        Returns (realized line luminosity, realized continuum)."""
+        em = self.emission
+        fesc = (
+            params[em.fesc] if isinstance(em.fesc, str)
+            else jnp.asarray(em.fesc, jnp.float32)
+        )
+        return (1.0 - fesc) * lum, fesc * inc_cont + (1.0 - fesc) * cont
 
     def __call__(self, theta):
         return self.photometry(theta)

@@ -87,3 +87,182 @@ class TestAGN:
         agn_l = 3.0 * jnp.ones((1, test_grid.n_wav))
         f = np.asarray(agn_fraction(stellar, agn_l, lam))
         np.testing.assert_allclose(f, 0.75, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Grid-based AGN (Cloudy NLR/BLR reprocessing)
+# ---------------------------------------------------------------------------
+
+from synference_tpu.agn import AGNGridSimulator  # noqa: E402
+from synference_tpu.grids import make_synthetic_agn_grid  # noqa: E402
+from synference_tpu.library import (LibraryGenerator,  # noqa: E402
+                                    simulator_from_library)
+
+
+@pytest.fixture(scope="module")
+def agn_grid():
+    return make_synthetic_agn_grid(n_wav=1024)
+
+
+@pytest.fixture(scope="module")
+def grid_agn(agn_grid, nircam_filters):
+    return AGNGridSimulator(agn_grid, nircam_filters)
+
+
+class TestAGNGrid:
+    """AGN Cloudy-grid reprocessing through the standard pipeline
+    (ref: BlackHole components w/ Cloudy NLR/BLR, library.py:1361-1419)."""
+
+    def _theta(self, grid_agn, **over):
+        base = {
+            "log10_l_agn": 45.0, "redshift": 1.0,
+            "ionisation_parameter": -2.0, "hydrogen_density": 4.0,
+            "covering_fraction_blr": 0.1, "covering_fraction_nlr": 0.15,
+            "tau_v": 0.1,
+        }
+        base.update(over)
+        return np.asarray(
+            [[base[p] for p in grid_agn.param_names]], np.float32)
+
+    def test_param_names_autoderived(self, grid_agn):
+        assert grid_agn.param_names == (
+            "log10_l_agn", "redshift", "ionisation_parameter",
+            "hydrogen_density", "covering_fraction_blr",
+            "covering_fraction_nlr", "tau_v")
+
+    def test_photometry_finite_positive(self, grid_agn):
+        theta = np.vstack([
+            self._theta(grid_agn),
+            self._theta(grid_agn, log10_l_agn=46.5, redshift=4.0,
+                        ionisation_parameter=-0.5, hydrogen_density=5.5,
+                        covering_fraction_nlr=0.4, tau_v=0.8),
+        ])
+        p = np.asarray(grid_agn.photometry(theta))
+        assert p.shape == (2, 7)
+        assert np.isfinite(p).all() and (p > 0).all()
+
+    def test_luminosity_scaling(self, grid_agn):
+        p1 = np.asarray(grid_agn.photometry(self._theta(grid_agn)))
+        p2 = np.asarray(grid_agn.photometry(
+            self._theta(grid_agn, log10_l_agn=46.0)))
+        np.testing.assert_allclose(p2 / p1, 10.0, rtol=1e-3)
+
+    def test_axis_interp_matches_fixed_grid(self, agn_grid, grid_agn,
+                                            nircam_filters):
+        """θ at interior (off-node) axis values must match a grid collapsed
+        there with fix_axes — the lerp-delta weights ARE the lerp."""
+        u, nh = -1.7, 3.3
+        fixed = agn_grid.fix_axes({"ionisation_parameter": u,
+                                   "hydrogen_density": nh})
+        sim_fixed = AGNGridSimulator(fixed, nircam_filters)
+        th_full = self._theta(grid_agn, ionisation_parameter=u,
+                              hydrogen_density=nh)
+        th_fixed = np.asarray([[45.0, 1.0, 0.1, 0.15, 0.1]], np.float32)
+        assert sim_fixed.param_names == (
+            "log10_l_agn", "redshift", "covering_fraction_blr",
+            "covering_fraction_nlr", "tau_v")
+        p_full = np.asarray(grid_agn.photometry(th_full))
+        p_fixed = np.asarray(sim_fixed.photometry(th_fixed))
+        np.testing.assert_allclose(p_full, p_fixed, rtol=2e-3)
+
+    def test_zero_covering_is_bare_disk(self, grid_agn):
+        """cov=0 must reproduce a hand-built incident-only forward model
+        (contract incident, dust screen, observe, convolve)."""
+        import jax
+
+        th = self._theta(grid_agn, covering_fraction_blr=0.0,
+                         covering_fraction_nlr=0.0)
+        p_cov0 = np.asarray(grid_agn.photometry(th))
+
+        def disk_fnu(row):
+            params = grid_agn.theta_dict(jnp.asarray(row))
+            sfzh, _ = grid_agn._sfzh(params)
+            lnu = jnp.matmul(sfzh, grid_agn._components["incident"],
+                             preferred_element_type=jnp.float32)
+            lnu = lnu * jnp.exp(-params["tau_v"] * grid_agn._dust_curve)
+            fnu, _ = grid_agn._observe(params, lnu)
+            return fnu
+
+        fnu = jax.jit(jax.vmap(disk_fnu))(th)
+        p_bands = np.asarray(grid_agn._photometry_batch(
+            fnu, jnp.asarray(th[:, 1])))
+        np.testing.assert_allclose(p_cov0, p_bands, rtol=2e-3)
+
+    def test_covering_fraction_line_scaling(self, grid_agn, agn_grid):
+        """NLR lines scale with cov_nlr; BLR lines don't."""
+        lq1 = grid_agn.line_quantities(self._theta(grid_agn))
+        lq2 = grid_agn.line_quantities(
+            self._theta(grid_agn, covering_fraction_nlr=0.3))
+        ids = lq1["ids"]
+        regions = agn_grid.lines["region"]
+        for i, (lid, reg) in enumerate(zip(ids, regions)):
+            ratio = lq2["luminosity"][0, i] / lq1["luminosity"][0, i]
+            if reg == "nlr":
+                np.testing.assert_allclose(ratio, 2.0, rtol=1e-3,
+                                           err_msg=lid)
+            else:
+                np.testing.assert_allclose(ratio, 1.0, rtol=1e-3,
+                                           err_msg=lid)
+
+    def test_line_physics_monotonic(self, grid_agn):
+        """[OIII]/Hβ rises with U (the BPT-style response baked into the
+        grid tables survives the simulator plumbing)."""
+        lo = grid_agn.line_quantities(
+            self._theta(grid_agn, ionisation_parameter=-2.8))
+        hi = grid_agn.line_quantities(
+            self._theta(grid_agn, ionisation_parameter=-1.2))
+        ids = lo["ids"]
+        i_o3 = ids.index("O 3 5006.84A")
+        i_hb = ids.index("H 1 4861.32A")
+        r_lo = lo["luminosity"][0, i_o3] / lo["luminosity"][0, i_hb]
+        r_hi = hi["luminosity"][0, i_o3] / hi["luminosity"][0, i_hb]
+        assert r_hi > 1.5 * r_lo
+
+    def test_gradients_finite(self, grid_agn):
+        """The AGN path is differentiable (gradient fitters use it)."""
+        import jax
+
+        th = jnp.asarray(self._theta(grid_agn)[0])
+
+        def f(t):
+            return jnp.log(grid_agn.photometry(t[None])[0]).sum()
+
+        g = np.asarray(jax.grad(f)(th))
+        assert np.isfinite(g).all()
+        assert abs(g[0]) > 0.1  # log-luminosity derivative ~ n_bands·ln10
+
+    def test_library_roundtrip(self, grid_agn, agn_grid, tmp_path):
+        """LibraryGenerator + simulator_from_library reconstruct the AGN
+        simulator class through the Model-group registry."""
+        gen = LibraryGenerator(grid_agn, {
+            "log10_l_agn": (44.0, 47.0),
+            "redshift": (0.1, 6.0),
+            "ionisation_parameter": (-3.0, 0.0),
+            "hydrogen_density": (2.0, 6.0),
+            "covering_fraction_blr": (0.0, 0.3),
+            "covering_fraction_nlr": (0.0, 0.5),
+            "tau_v": (0.0, 1.5),
+        })
+        path = str(tmp_path / "agn_lib.h5")
+        lib = gen.generate(n=32, batch_size=32, seed=7, out_path=path)
+        sim2 = simulator_from_library(path, grid=agn_grid)
+        assert isinstance(sim2, AGNGridSimulator)
+        assert sim2._log10_l_norm == grid_agn._log10_l_norm
+        p_rec = np.asarray(sim2.photometry(lib["parameters"].T))
+        np.testing.assert_allclose(p_rec, lib["photometry"].T, rtol=2e-3)
+
+    def test_grid_hdf5_roundtrip(self, agn_grid, tmp_path):
+        """AGN grid survives the Synthesizer-layout HDF5 round trip,
+        including region tags and fp32-unsafe line luminosities."""
+        from synference_tpu.grids import SPSGrid
+        path = str(tmp_path / "agn_grid.h5")
+        agn_grid.to_hdf5(path)
+        g2 = SPSGrid.from_hdf5(path)
+        assert g2.extra_axis_names == ("ionisation_parameter",
+                                       "hydrogen_density")
+        assert list(g2.lines["region"]) == list(agn_grid.lines["region"])
+        np.testing.assert_allclose(g2.lines["luminosity"],
+                                   agn_grid.lines["luminosity"], rtol=1e-6)
+        for t in ("incident", "nlr", "blr"):
+            np.testing.assert_allclose(g2.spectra[t], agn_grid.spectra[t],
+                                       rtol=1e-6)
