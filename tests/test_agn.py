@@ -266,3 +266,35 @@ class TestAGNGrid:
         for t in ("incident", "nlr", "blr"):
             np.testing.assert_allclose(g2.spectra[t], agn_grid.spectra[t],
                                        rtol=1e-6)
+
+    def test_composite_stellar_plus_grid_agn(self, test_grid,
+                                             nircam_filters, agn_grid):
+        """Grid-AGN component sums with a stellar component inside one
+        CompositeSEDSimulator program (the reference's Galaxy = Stars +
+        BlackHole composition, library.py:1421-1424)."""
+        stellar = BatchSEDSimulator(
+            test_grid, nircam_filters,
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+        )
+        agn = AGNGridSimulator(agn_grid, nircam_filters)
+        comp = CompositeSEDSimulator(
+            {"stars": stellar, "agn": agn}, shared=("redshift",))
+        idx = {p: i for i, p in enumerate(comp.param_names)}
+        theta = np.zeros((2, len(comp.param_names)), np.float32)
+        theta[:, idx["redshift"]] = 1.0
+        theta[:, idx["stars.log10_mass"]] = 9.5
+        theta[:, idx["stars.peak_age"]] = 3e8
+        theta[:, idx["stars.tau"]] = 0.5
+        theta[:, idx["stars.log10_metallicity"]] = -2.5
+        theta[:, idx["stars.tau_v"]] = 0.3
+        theta[:, idx["agn.ionisation_parameter"]] = -2.0
+        theta[:, idx["agn.hydrogen_density"]] = 4.0
+        theta[:, idx["agn.covering_fraction_nlr"]] = 0.3
+        theta[:, idx["agn.covering_fraction_blr"]] = 0.15
+        theta[0, idx["agn.log10_l_agn"]] = 38.0   # negligible AGN
+        theta[1, idx["agn.log10_l_agn"]] = 46.5   # AGN-dominated
+        p = np.asarray(comp.photometry(theta))
+        assert np.isfinite(p).all()
+        assert p[1].sum() > 3.0 * p[0].sum()
