@@ -386,6 +386,10 @@ class BatchSEDSimulator:
                 l_hi = int(np.clip(m1, l_lo + 1, grid.n_wav))
                 if (l_lo, l_hi) != (0, grid.n_wav):
                     self._lam_support = (l_lo, l_hi)
+                # global rest-column range [m0, m1) the filters occupy at
+                # z=0 — the z-sorted window engine derives its per-chunk
+                # λ windows from it (photometry_zsorted)
+                self._filter_support_cols = (int(m0), int(m1))
             # cache tables per (filters, λ grid) so composite models and
             # repeated constructions share one device buffer
             cache_key = (
@@ -419,34 +423,7 @@ class BatchSEDSimulator:
                         delta=self._knot_delta,
                         l_range=self._lam_support,
                     )
-                    if self._igm_table is not None:
-                        # bake the IGM into the knot matrix: knot k IS a
-                        # definite redshift 1+z_k = 10^{kδΔ}, so
-                        # T_igm(λ_rest, z_k) folds into the same matmul and
-                        # the per-galaxy IGM row gather disappears from the
-                        # photometry-only path (see _photometry_fused)
-                        delta_k = self._knot_delta
-                        zp1_k = 10.0 ** (
-                            delta_k * self._filter_dlog
-                            * jnp.arange(self._n_knots, dtype=jnp.float32))
-                        igm_model = self.emission.igm
-                        lam_dev = self._lam
-                        if self._lam_support is not None:
-                            lam_dev = lam_dev[
-                                self._lam_support[0]:self._lam_support[1]]
-                        n_rows = table.shape[0]
-                        igm_rows = jax.jit(jax.vmap(
-                            lambda zp: igm_transmission(
-                                lam_dev * zp, zp - 1.0, igm_model)
-                        ))(zp1_k)  # (K, L)
-                        f8 = table.shape[1] // self._n_knots
-                        table_igm = (
-                            table.reshape(n_rows, self._n_knots, f8)
-                            * igm_rows.T[:, :, None]
-                        ).reshape(n_rows, self._n_knots * f8)
-                    else:
-                        table_igm = table
-                    table = (table, table_igm)
+                    table = (table, self._bake_igm_into_knots(table))
                 elif self._pallas_variant == "bank":
                     table = build_shift_bank_device(
                         filters, grid.lam, self._filter_dlog,
@@ -994,6 +971,275 @@ class BatchSEDSimulator:
         inv_d = 1.0 / d19  # split 1/d19 factors: see _observe's VJP note
         scale = zp1 * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
         return (num / jnp.maximum(den, 1.0e-30)) * scale[:, None]
+
+    def _bake_igm_into_knots(self, table):
+        """Bake the IGM into a knot matrix: knot k IS a definite redshift
+        1+z_k = 10^{kδΔ}, so T_igm(λ_rest, z_k) folds into the same matmul
+        and the per-galaxy IGM row gather disappears from the
+        photometry-only paths (see _photometry_fused)."""
+        if self._igm_table is None:
+            return table
+        zp1_k = 10.0 ** (
+            self._knot_delta * self._filter_dlog
+            * jnp.arange(self._n_knots, dtype=jnp.float32))
+        igm_model = self.emission.igm
+        lam_dev = self._lam
+        if self._lam_support is not None:
+            lam_dev = lam_dev[
+                self._lam_support[0]:self._lam_support[1]]
+        n_rows = table.shape[0]
+        igm_rows = jax.jit(jax.vmap(
+            lambda zp: igm_transmission(
+                lam_dev * zp, zp - 1.0, igm_model)
+        ))(zp1_k)  # (K, L)
+        f8 = table.shape[1] // self._n_knots
+        return (
+            table.reshape(n_rows, self._n_knots, f8)
+            * igm_rows.T[:, :, None]
+        ).reshape(n_rows, self._n_knots * f8)
+
+    # ------------------------------------------------------------------
+    # z-sorted window engine (photometry-only generation fast path)
+    # ------------------------------------------------------------------
+    def _window_supported(self) -> bool:
+        """Static gate for `photometry_zsorted`: the windowed program
+        implements the standard Pacman mixing with a static fesc and one
+        dust screen over the trimmed λ support (same envelope as the
+        megakernel), and needs a materialized knot matrix."""
+        em = self.emission
+        return (
+            self.photometry_backend == "pallas"
+            and self._pallas_variant in ("interp", "conv")
+            # subclasses with custom channel mixing (AGNGridSimulator)
+            # fall back to their own paths
+            and type(self)._apply_emission is BatchSEDSimulator._apply_emission
+            and not isinstance(em.fesc, str)
+            and em.tau_v_bc_param is None
+            and not em.dust_emission
+            and hasattr(self, "_filter_support_cols")
+        )
+
+    def _zsorted_tables(self):
+        """(T_mix, M_igm, den_knots) device tables for the window engine,
+        built lazily and cached. All three are passed as jit ARGUMENTS —
+        they never become HLO constants, so paper-scale knot matrices
+        (~270 MB at 63 filters × 10⁴ λ) stay clear of the axon
+        remote-compile request cap that forces the dense path onto the
+        table-free conv engine."""
+        cached = getattr(self, "_zsorted_cache", None)
+        if cached is not None:
+            return cached
+        em = self.emission
+        types = em.reprocessed_types or (em.incident_type,)
+        t_mix = sum(self._components_sup[t].astype(jnp.float32)
+                    for t in types)
+        if self._pallas_variant == "interp":
+            m_igm = self._pallas_table[1]
+        else:  # conv: no persistent knot matrix — build one on device
+            from .ops.photometry_kernel import build_knot_matrix_device
+
+            table, n_knots = build_knot_matrix_device(
+                self.filters, self.grid.lam, self._filter_dlog,
+                self._max_shift, self.grid.n_wav,
+                delta=self._knot_delta, l_range=self._lam_support,
+            )
+            assert n_knots == self._n_knots
+            m_igm = self._bake_igm_into_knots(table)
+        from .ops.photometry_kernel import N_SUB
+
+        n_max = self._den_table.shape[0] - 1
+        knot_rows = np.minimum(
+            np.arange(self._n_knots) * self._knot_delta * N_SUB, n_max)
+        den_knots = self._den_table[jnp.asarray(knot_rows)]
+        self._zsorted_cache = (t_mix, m_igm, den_knots)
+        return self._zsorted_cache
+
+    def _zsorted_program(self, sub: int, w_cols: int, kc: int):
+        """Compiled scan over z-ordered sub-chunks. Static: sub-chunk size,
+        λ-window width, knot-window count. Per sub-chunk the contraction
+        and the knot matmul touch ONLY the λ columns the filters can reach
+        at that chunk's redshifts and a `kc`-knot slice — at production
+        grid sizes that is ~6-8× fewer MXU FLOPs than the full-support
+        fused path (whose knot matmul evaluates all ~150 knots per galaxy
+        only to interpolate between 4 of them)."""
+        cache = self.__dict__.setdefault("_zsorted_jit", {})
+        fn = cache.get((sub, w_cols, kc))
+        if fn is not None:
+            return fn
+        from .ops.photometry_kernel import _knot_interp
+
+        em = self.emission
+        fesc = float(em.fesc)
+        n_c = self.grid.n_ages * self.grid.cells_per_age
+        f8 = int(np.ceil(len(self.filters) / 8) * 8)
+        n_f = len(self.filters)
+        delta = self._knot_delta
+        order = self._interp_order
+        mm_dtype = self._knot_matmul_dtype
+        cd = self.compute_dtype
+        tau_name = em.tau_v_param
+
+        def body(carry, xs, t_mix, m_igm, den_knots, dust_curve, wlam):
+            th, ids, l0, k0 = xs
+
+            def weights_one(row, i):
+                p = self.theta_dict(row)
+                p["_row_idx"] = i
+                sfzh, _ = self._sfzh(p)
+                zz = p.get("redshift", jnp.asarray(0.0))
+                tv = (p[tau_name] if tau_name is not None
+                      else jnp.asarray(0.0))
+                return sfzh, zz, tv
+
+            sfzh, z, tau_v = jax.vmap(weights_one)(th, ids)
+            t_w = jax.lax.dynamic_slice(t_mix, (0, l0), (n_c, w_cols))
+            lnu = jnp.matmul(sfzh.astype(cd), t_w.astype(cd),
+                             preferred_element_type=jnp.float32)
+            curve_w = jax.lax.dynamic_slice(dust_curve, (l0,), (w_cols,))
+            att = jnp.exp(-tau_v[:, None] * curve_w[None, :])
+            if em.reprocessed_types:
+                # gate guarantees fesc == 0 here when reprocessed
+                lnu = lnu * att
+            else:
+                lnu = lnu * (fesc + (1.0 - fesc) * att)
+            wl_w = jax.lax.dynamic_slice(wlam, (l0,), (w_cols,))
+            fw = lnu * wl_w[None, :]
+            m_w = jax.lax.dynamic_slice(
+                m_igm, (l0, k0 * f8), (w_cols, kc * f8))
+            num = jnp.matmul(
+                fw.astype(mm_dtype), m_w.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(sub, kc, f8)
+            s = (jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+                 - k0.astype(jnp.float32) * delta)
+            num_b = _knot_interp(num, s, kc, delta, order)
+            den_w = jax.lax.dynamic_slice(
+                den_knots, (k0, 0), (kc, den_knots.shape[1]))
+            den_b = _knot_interp(den_w, s, kc, delta, order)
+            d19 = self._d19_of_z(z)
+            inv_d = 1.0 / d19  # two factors: see _observe's VJP note
+            scale = (1.0 + z) * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
+            out = (num_b[:, :n_f] / jnp.maximum(den_b[:, :n_f], 1.0e-30)
+                   * scale[:, None])
+            return carry, out
+
+        @jax.jit
+        def run(theta_s, ids_s, l0_s, k0_s, t_mix, m_igm, den_knots,
+                dust_curve, wlam):
+            _, out = jax.lax.scan(
+                lambda c, xs: body(c, xs, t_mix, m_igm, den_knots,
+                                   dust_curve, wlam),
+                None, (theta_s, ids_s, l0_s, k0_s))
+            return out.reshape(-1, n_f)
+
+        cache[(sub, w_cols, kc)] = run
+        return run
+
+    def _zsorted_plan(self, max_span_knots: int):
+        """(kc, w_cols) static window sizes for a given max per-sub-chunk
+        knot span: the knot window (floor-knots k−1..k+2 of the cubic must
+        stay interior to the slice, so +5 and round up) and the λ window
+        (filter support + the window's shift reach)."""
+        kc = min(int(np.ceil((max_span_knots + 5) / 4) * 4), self._n_knots)
+        m0, m1 = self._filter_support_cols
+        l_sup = int(self._wlam_sup.shape[0])
+        w_cols = (m1 - m0) + kc * self._knot_delta
+        w_cols = min(int(np.ceil(w_cols / 256) * 256), l_sup)
+        return kc, w_cols
+
+    def zsorted_max_span(self, z_sorted, sub_chunk: int,
+                         batch_size: int | None = None) -> int:
+        """Max per-sub-chunk knot span for z-sorted rows — feed to
+        `_zsorted_plan` / pass its (kc, w_cols) to `photometry_zsorted`
+        so every batch of a long generation shares one compiled program."""
+        s = np.log10(1.0 + np.maximum(np.asarray(z_sorted), 0.0))
+        k = np.floor_divide((s / self._filter_dlog).astype(np.int64),
+                            self._knot_delta)
+        bs = batch_size or len(k)
+        span = 0
+        for i in range(0, len(k), bs):
+            kb = k[i:i + bs]
+            pad = int(np.ceil(len(kb) / sub_chunk) * sub_chunk) - len(kb)
+            if pad:
+                kb = np.concatenate([kb, np.repeat(kb[-1:], pad)])
+            span = max(span, int(
+                (kb[sub_chunk - 1::sub_chunk] - kb[::sub_chunk]).max()))
+        return span
+
+    def photometry_zsorted(self, theta, sub_chunk: int = 1024,
+                           row_offset: int = 0, kc: int | None = None,
+                           w_cols: int | None = None):
+        """θ (B, P), rows sorted by ascending redshift -> (B, F) nJy.
+
+        The z-ordered generation engine: consecutive sub-chunks span a
+        narrow redshift range, so each one reads only the λ window its
+        filters can reach and a few knot columns (`_zsorted_program`).
+        Numerically identical to the fused interp path (same knots, same
+        monotone-cubic shift interpolation, same denominators) up to bf16
+        summation order.
+
+        `library.LibraryGenerator` sorts its θ draws by redshift and calls
+        this automatically when the model supports it; call
+        `photometry(theta)` instead for unordered batches.
+        """
+        if not self._window_supported():
+            raise ValueError(
+                "model config unsupported by the z-sorted window engine; "
+                "call .photometry() instead (see _window_supported)")
+        theta = np.atleast_2d(np.asarray(theta, np.float32))
+        b = theta.shape[0]
+        if "redshift" in self.param_names:
+            z = theta[:, self.param_names.index("redshift")]
+        else:
+            z = np.full(b, float(self.fixed_params.get("redshift", 0.0)),
+                        np.float32)
+        if np.any(np.diff(z) < 0.0):
+            raise ValueError(
+                "photometry_zsorted needs rows sorted by ascending "
+                "redshift; sort θ (library row order is exchangeable) or "
+                "use .photometry()")
+        s = np.log10(1.0 + np.maximum(z, 0.0)) / self._filter_dlog
+        delta = self._knot_delta
+        sub = int(min(sub_chunk, b))
+        n_sub = int(np.ceil(b / sub))
+        pad = n_sub * sub - b
+        if pad:
+            theta = np.concatenate([theta, np.repeat(theta[-1:], pad, 0)])
+            s = np.concatenate([s, np.repeat(s[-1:], pad)])
+        k_flat = np.floor_divide(s.astype(np.int64), delta)
+        k_first = k_flat[::sub][:n_sub]
+        k_last = k_flat[sub - 1::sub][:n_sub]
+        kc_req, w_req = self._zsorted_plan(int((k_last - k_first).max()))
+        # callers batching many chunks pass the GLOBAL maxima so every
+        # chunk reuses one compiled program (LibraryGenerator does)
+        kc = kc_req if kc is None else int(kc)
+        w_cols = w_req if w_cols is None else int(w_cols)
+        l_lo = self._lam_support[0] if self._lam_support else 0
+        l_sup = int(self._wlam_sup.shape[0])
+        m0, _ = self._filter_support_cols
+        if kc >= self._n_knots or w_cols >= l_sup:
+            # nothing to win — the window IS the full table
+            return np.asarray(self.photometry(theta[:b]))
+        k0 = np.clip(k_first - 1, 0, self._n_knots - kc).astype(np.int32)
+        span_bad = k_last + 2 > k0 + kc - 1
+        if np.any(span_bad):
+            raise ValueError(
+                f"sub-chunk redshift span exceeds the {kc}-knot window; "
+                "lower sub_chunk or use .photometry()")
+        l0 = np.clip((m0 - l_lo) - (k0 + kc - 1) * delta, 0,
+                     l_sup - w_cols).astype(np.int32)
+        t_mix, m_igm, den_knots = self._zsorted_tables()
+        run = self._zsorted_program(sub, w_cols, kc)
+        ids = (np.arange(n_sub * sub, dtype=np.int32)
+               + np.int32(row_offset)).reshape(n_sub, sub)
+        out = run(
+            jnp.asarray(theta.reshape(n_sub, sub, -1)),
+            jnp.asarray(ids),
+            jnp.asarray(l0), jnp.asarray(k0),
+            t_mix, m_igm, den_knots,
+            self._dust_curve_sup, self._wlam_sup,
+        )
+        return out[:b]
 
     def simulate(self, theta, want_spectra: bool = False, row_offset=0):
         """Run the batch: θ (B, P) -> dict of (B, ...) outputs.

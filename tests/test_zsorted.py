@@ -1,0 +1,153 @@
+"""z-sorted window engine: per-chunk λ/knot-window photometry.
+
+Library rows are exchangeable, so `LibraryGenerator` sorts its draws by
+redshift and each narrow-z sub-chunk contracts only the λ columns its
+filters can reach plus a few knots — numerically identical to the fused
+interp path (same knots, same monotone-cubic shift interpolation, same
+denominators) at ~6-8× fewer MXU FLOPs on production grids."""
+
+import numpy as np
+import pytest
+
+from synference_tpu import (BatchSEDSimulator, EmissionConfig, FilterSet,
+                            LibraryGenerator, tophat_filter)
+from synference_tpu.grids import make_synthetic_grid
+
+PNAMES = ("log10_mass", "redshift", "peak_age", "tau",
+          "log10_metallicity", "tau_v")
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+
+
+@pytest.fixture(scope="module")
+def filters():
+    codes = ["F090W", "F115W", "F150W", "F200W", "F277W", "F356W", "F444W"]
+    centers = [9000., 11500., 15000., 20000., 27700., 35600., 44400.]
+    widths = [2000., 2600., 3300., 4600., 7000., 7800., 10200.]
+    return FilterSet([tophat_filter(c, ct, w)
+                      for c, ct, w in zip(codes, centers, widths)])
+
+
+def _sorted_theta(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.column_stack([
+        rng.uniform(7.5, 11, n), np.sort(rng.uniform(0.05, 8, n)),
+        rng.uniform(1e8, 1e9, n), rng.uniform(.1, 1.2, n),
+        rng.uniform(-3.9, -1.6, n), rng.uniform(0, 2, n),
+    ]).astype(np.float32)
+
+
+def _assert_parity(p_zs, p_ref, p99=2e-3):
+    rel = np.abs(p_zs - p_ref) / np.maximum(np.abs(p_ref), 1e-30)
+    sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
+    assert np.isfinite(p_zs).all()
+    assert np.quantile(rel[sig], 0.99) < p99, np.quantile(rel[sig], 0.99)
+
+
+class TestZSortedEngine:
+    @pytest.fixture(scope="class")
+    def sim(self, grid, filters):
+        return BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+
+    def test_parity_vs_fused(self, sim):
+        theta = _sorted_theta(1536)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=256))
+        _assert_parity(p_zs, p_ref)
+
+    def test_unsorted_raises(self, sim):
+        theta = _sorted_theta(64)[::-1].copy()
+        with pytest.raises(ValueError, match="sorted"):
+            sim.photometry_zsorted(theta)
+
+    def test_non_multiple_batch_padding(self, sim):
+        theta = _sorted_theta(300, seed=3)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
+        assert p_zs.shape == p_ref.shape
+        _assert_parity(p_zs, p_ref)
+
+    def test_fixed_redshift(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, tuple(p for p in PNAMES if p != "redshift"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+            fixed_params={"redshift": 2.0},
+            photometry_backend="pallas", photometry_variant="interp")
+        theta = _sorted_theta(128)[:, [0, 2, 3, 4, 5]]
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta))
+        _assert_parity(p_zs, p_ref, p99=1e-4)
+
+    def test_conv_variant_builds_matrix(self, grid, filters):
+        """The conv engine has no persistent knot matrix; the window
+        engine builds one lazily (as a jit argument, not a capture)."""
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="conv")
+        theta = _sorted_theta(512, seed=1)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=256))
+        _assert_parity(p_zs, p_ref)
+
+    def test_unsupported_config_raises(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES + ("fesc",), sfh="lognormal",
+            zdist="delta",
+            emission=EmissionConfig(fesc="fesc",
+                                    reprocessed_types=("total",)),
+            photometry_backend="pallas", photometry_variant="interp")
+        with pytest.raises(ValueError, match="unsupported"):
+            sim.photometry_zsorted(_sorted_theta(64)[:, :7])
+
+    def test_static_fesc_no_reprocessed(self, grid, filters):
+        """fesc ≠ 0 with no reprocessed channel: lnu = inc·(fesc+(1−f)att)
+        — the one non-trivial static mixing the gate admits."""
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(fesc=0.25),
+            photometry_backend="pallas", photometry_variant="interp")
+        theta = _sorted_theta(256, seed=2)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
+        _assert_parity(p_zs, p_ref)
+
+
+class TestGeneratorZSorted:
+    def test_generate_sorted_and_consistent(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (7.5, 11.0), "redshift": (0.1, 8.0),
+            "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
+            "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
+        }, unlog_keys=["log10_peak_age"])
+        lib = gen.generate(n=1500, batch_size=512, seed=5)
+        th = lib["parameters"].T
+        iz = PNAMES.index("redshift")
+        assert np.all(np.diff(th[:, iz]) >= 0)
+        p_ref = np.asarray(sim.photometry(th))
+        _assert_parity(lib["photometry"].T, p_ref)
+
+    def test_supplementary_path_unaffected(self, grid, filters):
+        """Supplementary quantities need spectra intermediates — the
+        generator must keep the standard path there."""
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 3.0),
+            "log10_peak_age": (7.8, 9.0), "tau": (0.2, 1.0),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, unlog_keys=["log10_peak_age"], supplementary=("m_uv",))
+        lib = gen.generate(n=96, batch_size=96, seed=2)
+        assert np.isfinite(lib["supplementary_parameters"]).all()
