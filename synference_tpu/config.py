@@ -24,7 +24,7 @@ block routed to the native HPO study) plus native top-level keys:
 
 from __future__ import annotations
 
-__all__ = ["load_config", "run_from_config"]
+__all__ = ["load_config", "main", "run_from_config"]
 
 
 def load_config(path: str) -> dict:
@@ -149,3 +149,25 @@ def run_from_config(config, fitter=None):
     if out:
         fitter.save_state(str(out))
     return fitter
+
+
+def main(argv=None):
+    """CLI: ``synference-tpu-train config.yaml`` — the counterpart of the
+    reference's console entry point + YAML-config training flow
+    (reference pyproject.toml:104-105, custom_runner.py:101-160)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="synference-tpu-train",
+        description="Train an SBI model from a reference-style YAML/JSON "
+                    "config (see synference_tpu.config).")
+    ap.add_argument("config", help="path to the YAML/JSON config")
+    args = ap.parse_args(argv)
+    fitter = run_from_config(args.config)
+    report = fitter.evaluate_model(n_samples=128, max_objects=128)
+    print("TARP deviation:", report["tarp_deviation"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
