@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["make_sharded_photometry_fn", "sharded_generate"]
+__all__ = ["make_sharded_photometry_fn", "make_sharded_zsorted_fn",
+           "sharded_generate"]
 
 
 def make_sharded_photometry_fn(sim, mesh, axis_name: str = "data",
@@ -49,6 +50,90 @@ def make_sharded_photometry_fn(sim, mesh, axis_name: str = "data",
                              out_specs=out_specs, check_vma=False)(theta)
 
     return jax.jit(fn)
+
+
+def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
+                            sub_chunk: int = 1024):
+    """Mesh-sharded z-sorted window engine (`sed.photometry_zsorted`).
+
+    Returns fn(θ (B, P) unsorted numpy) -> {"photometry_njy": (B, F)} in
+    INPUT row order: the batch is sorted by redshift host-side, split into
+    narrow-z sub-chunks, the sub-chunk axis is sharded over `axis_name`
+    (each device sweeps a contiguous z range of the batch), and the output
+    is unsorted back. Drop-in `pmapped_fn` for `LibraryGenerator.generate`.
+    """
+    axis_size = mesh.shape[axis_name]
+    if "redshift" in sim.param_names:
+        iz = sim.param_names.index("redshift")
+    else:
+        iz = None
+    delta = sim._knot_delta
+    jit_cache = {}
+
+    def fn(theta_np):
+        theta = np.atleast_2d(np.asarray(theta_np, np.float32))
+        b = theta.shape[0]
+        z = (theta[:, iz] if iz is not None
+             else np.full(b, float(sim.fixed_params.get("redshift", 0.0)),
+                          np.float32))
+        order = np.argsort(z, kind="stable")
+        th = theta[order]
+        zs = z[order]
+        sub = int(min(sub_chunk, b))
+        n_sub = int(np.ceil(b / sub))
+        # pad sub-chunk count to the mesh axis (repeat the top-z sub-chunk)
+        n_sub = int(np.ceil(n_sub / axis_size) * axis_size)
+        pad = n_sub * sub - b
+        if pad:
+            th = np.concatenate([th, np.repeat(th[-1:], pad, 0)])
+            zs = np.concatenate([zs, np.repeat(zs[-1:], pad)])
+        s = np.log10(1.0 + np.maximum(zs, 0.0)) / sim._filter_dlog
+        k_flat = np.floor_divide(s.astype(np.int64), delta)
+        k_first = k_flat[::sub]
+        k_last = k_flat[sub - 1::sub]
+        kc, w_cols = sim._zsorted_plan(int((k_last - k_first).max()))
+        l_sup = int(sim._wlam_sup.shape[0])
+        if kc >= sim._n_knots or w_cols >= l_sup:
+            # window is the whole table — fall back to the plain shard map
+            plain = make_sharded_photometry_fn(sim, mesh, axis_name)
+            return plain(jnp.asarray(theta))
+        k0 = np.clip(k_first - 1, 0, sim._n_knots - kc).astype(np.int32)
+        m0, _ = sim._filter_support_cols
+        l_lo = sim._lam_support[0] if sim._lam_support else 0
+        l0 = np.clip((m0 - l_lo) - (k0 + kc - 1) * delta, 0,
+                     l_sup - w_cols).astype(np.int32)
+        t_mix, m_igm, den_knots = sim._zsorted_tables()
+        key = (sub, w_cols, kc, n_sub)
+        run_sharded = jit_cache.get(key)
+        if run_sharded is None:
+            run = sim._zsorted_run_raw(sub, w_cols, kc)
+            ax = P(axis_name)
+            run_sharded = jax.jit(jax.shard_map(
+                run, mesh=mesh,
+                in_specs=(P(axis_name, None, None), P(axis_name, None),
+                          ax, ax, P(), P(), P(), P(), P()),
+                out_specs=P(axis_name, None), check_vma=False))
+            jit_cache[key] = run_sharded
+        shard = NamedSharding(mesh, P(axis_name))
+        rep = NamedSharding(mesh, P())
+        ids = np.arange(n_sub * sub, dtype=np.int32).reshape(n_sub, sub)
+        out = run_sharded(
+            jax.device_put(jnp.asarray(th.reshape(n_sub, sub, -1)),
+                           NamedSharding(mesh, P(axis_name, None, None))),
+            jax.device_put(jnp.asarray(ids),
+                           NamedSharding(mesh, P(axis_name, None))),
+            jax.device_put(jnp.asarray(l0), shard),
+            jax.device_put(jnp.asarray(k0), shard),
+            jax.device_put(t_mix, rep), jax.device_put(m_igm, rep),
+            jax.device_put(den_knots, rep),
+            jax.device_put(sim._dust_curve_sup, rep),
+            jax.device_put(sim._wlam_sup, rep),
+        )
+        inv = np.empty_like(order)
+        inv[order] = np.arange(b)
+        return {"photometry_njy": np.asarray(out)[:b][inv]}
+
+    return fn
 
 
 def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,

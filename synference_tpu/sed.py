@@ -1044,7 +1044,11 @@ class BatchSEDSimulator:
                 delta=self._knot_delta, l_range=self._lam_support,
             )
             assert n_knots == self._n_knots
-            m_igm = self._bake_igm_into_knots(table)
+            # store at matmul dtype: the body casts slices there anyway,
+            # and fp32 would double the HBM residency of a paper-scale
+            # (63-filter × 10⁴-λ) matrix (~270 MB)
+            m_igm = self._bake_igm_into_knots(table).astype(
+                self._knot_matmul_dtype)
         from .ops.photometry_kernel import N_SUB
 
         n_max = self._den_table.shape[0] - 1
@@ -1063,6 +1067,17 @@ class BatchSEDSimulator:
         fused path (whose knot matmul evaluates all ~150 knots per galaxy
         only to interpolate between 4 of them)."""
         cache = self.__dict__.setdefault("_zsorted_jit", {})
+        fn = cache.get((sub, w_cols, kc))
+        if fn is not None:
+            return fn
+        fn = jax.jit(self._zsorted_run_raw(sub, w_cols, kc))
+        cache[(sub, w_cols, kc)] = fn
+        return fn
+
+    def _zsorted_run_raw(self, sub: int, w_cols: int, kc: int):
+        """The un-jitted window-engine runner — `parallel/generate.py`
+        shard_maps it over the sub-chunk axis for multi-device meshes."""
+        cache = self.__dict__.setdefault("_zsorted_raw", {})
         fn = cache.get((sub, w_cols, kc))
         if fn is not None:
             return fn
@@ -1123,7 +1138,6 @@ class BatchSEDSimulator:
                    * scale[:, None])
             return carry, out
 
-        @jax.jit
         def run(theta_s, ids_s, l0_s, k0_s, t_mix, m_igm, den_knots,
                 dust_curve, wlam):
             _, out = jax.lax.scan(
