@@ -205,15 +205,30 @@ class AGNGridSimulator(BatchSEDSimulator):
             lnu = self._add_dust_emission(lnu, intrinsic)
         return lnu, intrinsic
 
-    def _line_mixing(self, params, lum, cont, inc_cont, sel):
+    def _line_mixing(self, params, lum, cont, inc_cont, sel,
+                     sfzh_flat=None, att=None):
+        """AGN mixing for line quantities: every channel sits behind the
+        same foreground screen (matching `_apply_emission`, which
+        attenuates the incident too — unlike Pacman's escaped channel), so
+        the realized continuum is att·((1−cov_tot)·inc + cov_tot·cont).
+        Known approximation: the grid's line table carries only the
+        EMITTING region's transmitted continuum, so other regions'
+        contributions use the same column (exact when regions share a
+        transmitted continuum, as Cloudy NLR/BLR tables typically nearly
+        do at line wavelengths)."""
         covs = self._covering_fractions(params)
         cov_tot = jnp.clip(sum(covs), 0.0, 1.0)
-        cont_real = (1.0 - cov_tot) * inc_cont + cov_tot * cont
+        att_l = att if att is not None else 1.0
+        # `cont` arrives pre-attenuated; only the incident needs the screen
+        cont_real = (1.0 - cov_tot) * inc_cont * att_l + cov_tot * cont
         if self._line_regions is None:
             return cov_tot * lum, cont_real
-        types = list(self.emission.reprocessed_types)
-        idx = np.asarray(
-            [types.index(self._line_regions[int(i)])
-             for i in np.asarray(sel)], np.int32)
-        cov_vec = jnp.stack(covs)[jnp.asarray(idx)]
+        # lines whose region is not among reprocessed_types are unmodelled:
+        # covering fraction 0 (the user chose not to include that region)
+        cov_by_region = {t: c for c, t in
+                         zip(covs, self.emission.reprocessed_types)}
+        cov_vec = jnp.stack([
+            cov_by_region.get(self._line_regions[int(i)], jnp.asarray(0.0))
+            for i in np.asarray(sel)
+        ])
         return cov_vec * lum, cont_real

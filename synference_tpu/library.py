@@ -367,15 +367,19 @@ class LibraryGenerator:
         zs_plan = None
         if use_zsorted:
             iz = sim.param_names.index("redshift")
-            theta = theta[np.argsort(theta[:, iz], kind="stable")]
+            z_sorted = np.sort(theta[:, iz], kind="stable")
             sub_chunk = min(1024, batch_size)
-            span = sim.zsorted_max_span(theta[:, iz], sub_chunk, batch_size)
+            span = sim.zsorted_max_span(z_sorted, sub_chunk, batch_size)
             kc, w_cols = sim._zsorted_plan(span)
             if kc >= sim._n_knots or w_cols >= sim._wlam_sup.shape[0]:
                 use_zsorted = False  # window is the whole table anyway
             else:
+                # sort only once the engine is confirmed ON, so row order
+                # observably matches the chunk files' `order` tag
+                theta = theta[np.argsort(theta[:, iz], kind="stable")]
                 zs_plan = (sub_chunk, kc, w_cols)
 
+        row_order = "zsorted" if use_zsorted else "input"
         n_pad = int(np.ceil(n / batch_size) * batch_size)
         theta_pad = np.zeros((n_pad, theta.shape[1]), np.float32)
         theta_pad[:n] = theta
@@ -408,10 +412,17 @@ class LibraryGenerator:
             # metadata matches this generation call
             while os.path.exists(_chunk_file(start_chunk)):
                 ck = np.load(_chunk_file(start_chunk), allow_pickle=True)
+                # `order` guards against merging chunks computed under a
+                # different row ordering (z-sorted vs input-order): the
+                # z-sorted engine permutes θ, so same-(n, seed) chunks from
+                # a run without it hold photometry for DIFFERENT rows
+                ck_order = (str(ck["order"]) if "order" in ck.files
+                            else "<pre-order-tag>")
                 if not (
                     int(ck["n"]) == n
                     and int(ck["batch_size"]) == batch_size
                     and int(ck["seed"]) == seed
+                    and ck_order == row_order
                 ):
                     break
                 phot_chunks.append(ck["phot"])
@@ -467,6 +478,7 @@ class LibraryGenerator:
             if resume_path is not None:
                 payload = {
                     "n": n, "batch_size": batch_size, "seed": seed,
+                    "order": row_order,
                     "phot": phot_chunks[-1],
                 }
                 if want_spectra:

@@ -67,8 +67,23 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
         iz = sim.param_names.index("redshift")
     else:
         iz = None
-    delta = sim._knot_delta
     jit_cache = {}
+    plain_cache = []
+
+    def plain_fallback(theta):
+        # window is the whole table — run the plain shard map ONCE-built
+        # (rebuilding per call would retrace/recompile every batch), with
+        # the batch padded to the mesh axis as shard_map requires
+        if not plain_cache:
+            plain_cache.append(
+                make_sharded_photometry_fn(sim, mesh, axis_name))
+        b = theta.shape[0]
+        bp = int(np.ceil(b / axis_size) * axis_size)
+        if bp != b:
+            theta = np.concatenate(
+                [theta, np.repeat(theta[-1:], bp - b, 0)])
+        out = plain_cache[0](jnp.asarray(theta))
+        return {k: np.asarray(v)[:b] for k, v in out.items()}
 
     def fn(theta_np):
         theta = np.atleast_2d(np.asarray(theta_np, np.float32))
@@ -87,21 +102,10 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
         if pad:
             th = np.concatenate([th, np.repeat(th[-1:], pad, 0)])
             zs = np.concatenate([zs, np.repeat(zs[-1:], pad)])
-        s = np.log10(1.0 + np.maximum(zs, 0.0)) / sim._filter_dlog
-        k_flat = np.floor_divide(s.astype(np.int64), delta)
-        k_first = k_flat[::sub]
-        k_last = k_flat[sub - 1::sub]
-        kc, w_cols = sim._zsorted_plan(int((k_last - k_first).max()))
-        l_sup = int(sim._wlam_sup.shape[0])
-        if kc >= sim._n_knots or w_cols >= l_sup:
-            # window is the whole table — fall back to the plain shard map
-            plain = make_sharded_photometry_fn(sim, mesh, axis_name)
-            return plain(jnp.asarray(theta))
-        k0 = np.clip(k_first - 1, 0, sim._n_knots - kc).astype(np.int32)
-        m0, _ = sim._filter_support_cols
-        l_lo = sim._lam_support[0] if sim._lam_support else 0
-        l0 = np.clip((m0 - l_lo) - (k0 + kc - 1) * delta, 0,
-                     l_sup - w_cols).astype(np.int32)
+        plan = sim._zsorted_window_plan(zs, sub)
+        if plan is None:
+            return plain_fallback(theta)
+        kc, w_cols, k0, l0 = plan
         t_mix, m_igm, den_knots = sim._zsorted_tables()
         key = (sub, w_cols, kc, n_sub)
         run_sharded = jit_cache.get(key)

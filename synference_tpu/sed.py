@@ -1010,10 +1010,18 @@ class BatchSEDSimulator:
         return (
             self.photometry_backend == "pallas"
             and self._pallas_variant in ("interp", "conv")
-            # subclasses with custom channel mixing (AGNGridSimulator)
-            # fall back to their own paths
+            # subclasses with custom channel mixing (AGNGridSimulator) or a
+            # custom forward model (AGNSimulator overrides _core) fall back
+            # to their own paths
             and type(self)._apply_emission is BatchSEDSimulator._apply_emission
+            and type(self)._core is BatchSEDSimulator._core
             and not isinstance(em.fesc, str)
+            # the windowed body computes lnu = reprocessed·att when
+            # reprocessed_types is set — with fesc != 0 the realized
+            # spectrum also carries the escaped incident channel, which
+            # needs the distinct-table staged path (same gate as
+            # _mega_supported)
+            and not (float(em.fesc) != 0.0 and em.reprocessed_types)
             and em.tau_v_bc_param is None
             and not em.dust_emission
             and hasattr(self, "_filter_support_cols")
@@ -1180,6 +1188,46 @@ class BatchSEDSimulator:
                 (kb[sub_chunk - 1::sub_chunk] - kb[::sub_chunk]).max()))
         return span
 
+    def _zsorted_window_plan(self, z_sorted_padded, sub: int,
+                             kc: int | None = None,
+                             w_cols: int | None = None):
+        """Host-side window planning shared by `photometry_zsorted` and the
+        mesh-sharded engine (`parallel.generate.make_sharded_zsorted_fn`):
+        per-sub-chunk knot windows (k0) and λ windows (l0) for z-ascending
+        redshifts already padded to a multiple of `sub`. Returns None when
+        the window would be the whole table (callers fall back to the dense
+        path), else (kc, w_cols, k0, l0)."""
+        delta = self._knot_delta
+        s = (np.log10(1.0 + np.maximum(z_sorted_padded, 0.0))
+             / self._filter_dlog)
+        # match _knot_interp's clamp: shifts in/past the top knot interval
+        # interpolate inside interval n_knots-2 with a hi-edge virtual
+        # neighbour, so plan with the clamped interval index
+        k_flat = np.minimum(
+            np.floor_divide(s.astype(np.int64), delta), self._n_knots - 2)
+        k_first = k_flat[::sub]
+        k_last = k_flat[sub - 1::sub]
+        kc_req, w_req = self._zsorted_plan(int((k_last - k_first).max()))
+        kc = kc_req if kc is None else int(kc)
+        w_cols = w_req if w_cols is None else int(w_cols)
+        l_sup = int(self._wlam_sup.shape[0])
+        if kc >= self._n_knots or w_cols >= l_sup:
+            return None  # nothing to win — the window IS the full table
+        k0 = np.clip(k_first - 1, 0, self._n_knots - kc).astype(np.int32)
+        # windows abutting the table end use _knot_interp's hi-edge virtual
+        # neighbour exactly as the dense path does — allow the cubic's k+2
+        # to overhang the last knot there
+        at_end = (k0.astype(np.int64) + kc == self._n_knots)
+        if np.any(k_last + 2 > k0 + kc - 1 + at_end):
+            raise ValueError(
+                f"sub-chunk redshift span exceeds the {kc}-knot window; "
+                "lower sub_chunk or use .photometry()")
+        m0, _ = self._filter_support_cols
+        l_lo = self._lam_support[0] if self._lam_support else 0
+        l0 = np.clip((m0 - l_lo) - (k0 + kc - 1) * delta, 0,
+                     l_sup - w_cols).astype(np.int32)
+        return kc, w_cols, k0, l0
+
     def photometry_zsorted(self, theta, sub_chunk: int = 1024,
                            row_offset: int = 0, kc: int | None = None,
                            w_cols: int | None = None):
@@ -1212,36 +1260,19 @@ class BatchSEDSimulator:
                 "photometry_zsorted needs rows sorted by ascending "
                 "redshift; sort θ (library row order is exchangeable) or "
                 "use .photometry()")
-        s = np.log10(1.0 + np.maximum(z, 0.0)) / self._filter_dlog
-        delta = self._knot_delta
         sub = int(min(sub_chunk, b))
         n_sub = int(np.ceil(b / sub))
         pad = n_sub * sub - b
         if pad:
             theta = np.concatenate([theta, np.repeat(theta[-1:], pad, 0)])
-            s = np.concatenate([s, np.repeat(s[-1:], pad)])
-        k_flat = np.floor_divide(s.astype(np.int64), delta)
-        k_first = k_flat[::sub][:n_sub]
-        k_last = k_flat[sub - 1::sub][:n_sub]
-        kc_req, w_req = self._zsorted_plan(int((k_last - k_first).max()))
-        # callers batching many chunks pass the GLOBAL maxima so every
-        # chunk reuses one compiled program (LibraryGenerator does)
-        kc = kc_req if kc is None else int(kc)
-        w_cols = w_req if w_cols is None else int(w_cols)
-        l_lo = self._lam_support[0] if self._lam_support else 0
-        l_sup = int(self._wlam_sup.shape[0])
-        m0, _ = self._filter_support_cols
-        if kc >= self._n_knots or w_cols >= l_sup:
+            z = np.concatenate([z, np.repeat(z[-1:], pad)])
+        # callers batching many chunks pass the GLOBAL (kc, w_cols) maxima
+        # so every chunk reuses one compiled program (LibraryGenerator does)
+        plan = self._zsorted_window_plan(z, sub, kc=kc, w_cols=w_cols)
+        if plan is None:
             # nothing to win — the window IS the full table
             return np.asarray(self.photometry(theta[:b]))
-        k0 = np.clip(k_first - 1, 0, self._n_knots - kc).astype(np.int32)
-        span_bad = k_last + 2 > k0 + kc - 1
-        if np.any(span_bad):
-            raise ValueError(
-                f"sub-chunk redshift span exceeds the {kc}-knot window; "
-                "lower sub_chunk or use .photometry()")
-        l0 = np.clip((m0 - l_lo) - (k0 + kc - 1) * delta, 0,
-                     l_sup - w_cols).astype(np.int32)
+        kc, w_cols, k0, l0 = plan
         t_mix, m_igm, den_knots = self._zsorted_tables()
         run = self._zsorted_program(sub, w_cols, kc)
         ids = (np.arange(n_sub * sub, dtype=np.int32)
@@ -1380,19 +1411,19 @@ class BatchSEDSimulator:
                 params[em.tau_v_param] if em.tau_v_param is not None
                 else jnp.asarray(0.0)
             )
+            att = jnp.exp(-tau_v * curve_l)
             if em.tau_v_bc_param is not None:
                 tau_bc = params[em.tau_v_bc_param]
                 sf_y, sf_o = self._split_sfzh(sfzh_flat)
                 att_y = jnp.exp(-(tau_v + tau_bc) * curve_l)
-                att_o = jnp.exp(-tau_v * curve_l)
-                lum = (sf_y @ lum10) * att_y + (sf_o @ lum10) * att_o
-                cont = (sf_y @ cont10) * att_y + (sf_o @ cont10) * att_o
+                lum = (sf_y @ lum10) * att_y + (sf_o @ lum10) * att
+                cont = (sf_y @ cont10) * att_y + (sf_o @ cont10) * att
             else:
-                att = jnp.exp(-tau_v * curve_l)
                 lum = (sfzh_flat @ lum10) * att
                 cont = (sfzh_flat @ cont10) * att
             lum, cont_total = self._line_mixing(
-                params, lum, cont, sfzh_flat @ inc10, sel)
+                params, lum, cont, sfzh_flat @ inc10, sel,
+                sfzh_flat=sfzh_flat, att=att)
             z = params.get("redshift", jnp.asarray(0.0))
             zp1 = 1.0 + z
             t_igm_grid = self._igm_transmission(zp1)
@@ -1430,14 +1461,18 @@ class BatchSEDSimulator:
             "ew_obs": np.asarray(ew_rest * zp1[:, None]),
         }
 
-    def _line_mixing(self, params, lum, cont, inc_cont, sel):
+    def _line_mixing(self, params, lum, cont, inc_cont, sel,
+                     sfzh_flat=None, att=None):
         """Channel mixing for line quantities (Pacman semantics, matching
         `_apply_emission`): line emission rides the reprocessed channel;
-        the realized continuum adds the escaped incident component.
+        the realized continuum adds the escaped incident component
+        (UN-attenuated — escaped light bypasses the screen by definition).
 
         Args: per-line dust-attenuated contractions `lum`/`cont`, the
         incident continuum contraction `inc_cont` (all (Nl,), 1e-10
-        scaled), and the static numpy index `sel` of the chosen lines.
+        scaled), the static numpy index `sel` of the chosen lines, plus
+        the raw SFZH weights and the (Nl,) screen attenuation for
+        subclasses whose mixing needs them (AGNGridSimulator).
         Returns (realized line luminosity, realized continuum)."""
         em = self.emission
         fesc = (

@@ -298,3 +298,48 @@ class TestAGNGrid:
         p = np.asarray(comp.photometry(theta))
         assert np.isfinite(p).all()
         assert p[1].sum() > 3.0 * p[0].sum()
+
+
+class TestAGNLineMixingEdges:
+    """Round-3 review regressions on AGNGridSimulator._line_mixing."""
+
+    def test_unmodelled_region_lines_zero(self, agn_grid, nircam_filters):
+        """A user modelling only the NLR: BLR-tagged lines must scale by
+        covering fraction 0 (not crash on types.index)."""
+        sim = AGNGridSimulator(
+            agn_grid, nircam_filters,
+            emission=EmissionConfig(incident_type="incident",
+                                    reprocessed_types=("nlr",), fesc=0.0))
+        theta = np.asarray([[
+            45.0 if p == "log10_l_agn" else
+            1.0 if p == "redshift" else
+            -2.0 if p == "ionisation_parameter" else
+            4.0 if p == "hydrogen_density" else
+            0.2 if p == "covering_fraction_nlr" else
+            0.1
+            for p in sim.param_names]], np.float32)
+        lq = sim.line_quantities(theta)
+        regions = agn_grid.lines["region"]
+        lum = lq["luminosity"][0]
+        assert np.isfinite(lum).all()
+        for i, reg in enumerate(regions):
+            if reg == "blr":
+                assert lum[i] == 0.0, lq["ids"][i]
+            else:
+                assert lum[i] > 0.0, lq["ids"][i]
+
+    def test_continuum_screened_like_spectrum(self, grid_agn):
+        """The AGN screen attenuates the incident channel too (matching
+        _apply_emission) — EWs must be tau_v-consistent: with a grey-ish
+        screen, rest EW barely changes with tau_v because line AND
+        continuum are attenuated together."""
+        th0 = np.asarray([[45.0, 1.0, -2.0, 4.0, 0.1, 0.15, 0.0]],
+                         np.float32)
+        th1 = th0.copy()
+        th1[0, -1] = 1.0  # tau_v
+        lq0 = grid_agn.line_quantities(th0)
+        lq1 = grid_agn.line_quantities(th1)
+        # both line and continuum sit behind the same screen, so the EW
+        # ratio equals 1 exactly (same attenuation at the line λ)
+        np.testing.assert_allclose(
+            lq1["ew_rest"], lq0["ew_rest"], rtol=1e-4)

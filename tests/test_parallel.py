@@ -302,3 +302,44 @@ class TestShardedZSorted:
         sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
         assert out.shape == p_ref.shape
         assert np.quantile(rel[sig], 0.99) < 2e-3
+
+    def test_whole_table_fallback_ragged_batch(self):
+        """When the window would be the whole table, the sharded z-sorted
+        fn must fall back to ONE cached plain shard map, padding ragged
+        batches to the mesh axis (review round-3 finding)."""
+        from synference_tpu.grids import make_synthetic_grid
+        from synference_tpu.parallel.generate import make_sharded_zsorted_fn
+
+        grid = make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+        codes = ["F115W", "F200W", "F356W", "F444W"]
+        fs = FilterSet([tophat_filter(c, ct, w) for c, ct, w in zip(
+            codes, [11500., 20000., 35600., 44400.],
+            [2600., 4600., 7800., 10200.])])
+        sim = BatchSEDSimulator(
+            grid, fs,
+            ("log10_mass", "redshift", "peak_age", "tau",
+             "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        mesh = make_mesh()
+        # huge sub-chunks -> per-chunk z span covers the whole knot table
+        fn = make_sharded_zsorted_fn(sim, mesh, "data", sub_chunk=512)
+        rng = np.random.default_rng(9)
+        b = 1001  # NOT a multiple of the 8-device axis
+        theta = np.column_stack([
+            rng.uniform(7.5, 11, b), rng.uniform(0.05, 8, b),
+            rng.uniform(1e8, 1e9, b), rng.uniform(.1, 1.2, b),
+            rng.uniform(-3.9, -1.6, b), rng.uniform(0, 2, b),
+        ]).astype(np.float32)
+        # verify this config genuinely takes the fallback
+        zp = np.sort(theta[:, 1])
+        zp = np.concatenate([zp, np.repeat(zp[-1:], (-b) % 512)])
+        assert sim._zsorted_window_plan(zp, 512) is None
+        out = fn(theta)["photometry_njy"]
+        out2 = fn(theta)["photometry_njy"]  # second call: cached plain fn
+        p_ref = np.asarray(sim.photometry(theta))
+        assert out.shape == p_ref.shape
+        np.testing.assert_allclose(out, out2, rtol=0, atol=0)
+        rel = np.abs(out - p_ref) / np.maximum(np.abs(p_ref), 1e-30)
+        sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
+        assert np.quantile(rel[sig], 0.99) < 2e-3

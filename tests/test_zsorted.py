@@ -57,8 +57,12 @@ class TestZSortedEngine:
 
     def test_parity_vs_fused(self, sim):
         theta = _sorted_theta(1536)
+        # the windowed path must actually engage (not the whole-table
+        # dense fallback, which would make this parity check vacuous)
+        z = theta[:, PNAMES.index("redshift")]
+        assert sim._zsorted_window_plan(z, 128) is not None
         p_ref = np.asarray(sim.photometry(theta))
-        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=256))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
         _assert_parity(p_zs, p_ref)
 
     def test_unsorted_raises(self, sim):
@@ -67,7 +71,7 @@ class TestZSortedEngine:
             sim.photometry_zsorted(theta)
 
     def test_non_multiple_batch_padding(self, sim):
-        theta = _sorted_theta(300, seed=3)
+        theta = _sorted_theta(1228, seed=3)
         p_ref = np.asarray(sim.photometry(theta))
         p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
         assert p_zs.shape == p_ref.shape
@@ -126,13 +130,14 @@ class TestGeneratorZSorted:
             emission=EmissionConfig(),
             photometry_backend="pallas", photometry_variant="interp")
         gen = LibraryGenerator(sim, {
-            "log10_mass": (7.5, 11.0), "redshift": (0.1, 8.0),
+            "log10_mass": (7.5, 11.0), "redshift": (0.1, 4.0),
             "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
             "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
         }, unlog_keys=["log10_peak_age"])
-        lib = gen.generate(n=1500, batch_size=512, seed=5)
+        lib = gen.generate(n=2048, batch_size=512, seed=5)
         th = lib["parameters"].T
         iz = PNAMES.index("redshift")
+        # generate sorts θ only when the engine is ON — proves activation
         assert np.all(np.diff(th[:, iz]) >= 0)
         p_ref = np.asarray(sim.photometry(th))
         _assert_parity(lib["photometry"].T, p_ref)
@@ -151,3 +156,89 @@ class TestGeneratorZSorted:
         }, unlog_keys=["log10_peak_age"], supplementary=("m_uv",))
         lib = gen.generate(n=96, batch_size=96, seed=2)
         assert np.isfinite(lib["supplementary_parameters"]).all()
+
+
+class TestWindowGateAndEdges:
+    """Round-3 review regressions: the support gate and the z_max edge."""
+
+    def test_top_interval_redshift(self, grid, filters):
+        # draws reaching z_max land in the knot table's LAST interval;
+        # the window must reuse _knot_interp's hi-edge virtual neighbour
+        # (like the dense path) instead of raising span-exceeded
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(), z_max=6.0,
+            photometry_backend="pallas", photometry_variant="interp")
+        rng = np.random.default_rng(7)
+        n = 256
+        theta = np.column_stack([
+            rng.uniform(7.5, 11, n), np.sort(rng.uniform(5.0, 6.0, n)),
+            rng.uniform(1e8, 1e9, n), rng.uniform(.1, 1.2, n),
+            rng.uniform(-3.9, -1.6, n), rng.uniform(0, 2, n),
+        ]).astype(np.float32)
+        theta[-1, 1] = 6.0  # exactly z_max
+        p_ref = np.asarray(sim.photometry(theta))
+        p_zs = np.asarray(sim.photometry_zsorted(theta, sub_chunk=64))
+        _assert_parity(p_zs, p_ref)
+
+    def test_generate_full_z_range(self, grid, filters):
+        # end-to-end: LibraryGenerator with a prior reaching z_max must
+        # not crash on the final (top-z) chunk
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(), z_max=5.0,
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.1, 5.0),
+            "log10_peak_age": (7.8, 9.0), "tau": (0.2, 1.0),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, unlog_keys=["log10_peak_age"])
+        lib = gen.generate(n=512, batch_size=256, seed=11)
+        assert np.isfinite(lib["photometry"]).all()
+
+    def test_fesc_with_reprocessed_unsupported(self, grid, filters):
+        # the windowed body drops the escaped incident channel — the gate
+        # must reject static fesc != 0 with reprocessed types (matching
+        # _mega_supported)
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(fesc=0.3, reprocessed_types=("total",)),
+            photometry_backend="pallas", photometry_variant="interp")
+        assert not sim._window_supported()
+
+    def test_custom_core_unsupported(self, test_grid, nircam_filters):
+        # subclasses overriding the forward model (_core) must not pass the
+        # gate: the windowed body would bypass their physics entirely
+        from synference_tpu.agn import AGNSimulator
+
+        agn = AGNSimulator(test_grid, nircam_filters,
+                           photometry_backend="pallas",
+                           photometry_variant="interp")
+        assert not agn._window_supported()
+
+    def test_resume_rejects_other_ordering(self, grid, filters, tmp_path):
+        # chunks written under a DIFFERENT row ordering (input-order
+        # pmapped run, or a pre-upgrade run without the tag) must not be
+        # merged into a z-sorted run — rows would silently misalign
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 1.5),
+            "log10_peak_age": (7.8, 9.0), "tau": (0.2, 1.0),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, unlog_keys=["log10_peak_age"])
+        full = gen.generate(n=1024, batch_size=256, seed=5)
+        iz = PNAMES.index("redshift")
+        # generate sorts θ only when the window engine is ON — sortedness
+        # proves this config genuinely ran z-sorted (not the dense fallback)
+        assert np.all(np.diff(full["parameters"][iz]) >= 0)
+        ck = str(tmp_path / "ord_ck")
+        poison = np.full((256, len(filters.codes)), 1.0e9, np.float32)
+        np.savez(ck + ".chunk000000.npz", n=1024, batch_size=256, seed=5,
+                 order="input", phot=poison)
+        resumed = gen.generate(n=1024, batch_size=256, seed=5,
+                               resume_path=ck)
+        np.testing.assert_allclose(
+            resumed["photometry"], full["photometry"], rtol=1e-5)
