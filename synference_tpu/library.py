@@ -336,10 +336,17 @@ class LibraryGenerator:
         want_spectra: bool = False,
         pmapped_fn=None,
         resume_path: str | None = None,
+        presort: bool = False,
     ) -> dict:
         """Generate n mock SEDs; returns the library dict, optionally writes
         HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
         batch function for multi-device meshes.
+
+        `presort`: globally sort the θ draws by redshift before batching
+        even though `pmapped_fn` drives the compute — for order-agnostic
+        batch fns like the mesh-sharded z-sorted engine, each batch then
+        spans a narrow z range and windows tightly. Rows are exchangeable,
+        so this only changes library row order (tagged in resume chunks).
 
         `resume_path`: checkpoint PREFIX; each completed chunk is written
         once to `{resume_path}.chunk{ci:06d}.npz` and skipped on restart
@@ -379,14 +386,42 @@ class LibraryGenerator:
                 theta = theta[np.argsort(theta[:, iz], kind="stable")]
                 zs_plan = (sub_chunk, kc, w_cols)
 
-        row_order = "zsorted" if use_zsorted else "input"
+        presorted = False
+        if (not use_zsorted and presort and pmapped_fn is not None
+                and "redshift" in sim.param_names):
+            iz = sim.param_names.index("redshift")
+            theta = theta[np.argsort(theta[:, iz], kind="stable")]
+            presorted = True
+
+        row_order = "zsorted" if (use_zsorted or presorted) else "input"
         n_pad = int(np.ceil(n / batch_size) * batch_size)
         theta_pad = np.zeros((n_pad, theta.shape[1]), np.float32)
         theta_pad[:n] = theta
-        theta_pad[n:] = theta[-1:] if use_zsorted else theta[:1]  # valid row
+        # pad with the LAST row when z-ascending (keeps chunks narrow)
+        theta_pad[n:] = (theta[-1:] if (use_zsorted or presorted)
+                         else theta[:1])  # any valid row otherwise
 
         if pmapped_fn is not None:
-            batch_fn = pmapped_fn
+            import inspect
+
+            try:
+                pm_two_args = len([
+                    p for p in
+                    inspect.signature(pmapped_fn).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY,
+                                  p.POSITIONAL_OR_KEYWORD)
+                ]) >= 2
+            except (TypeError, ValueError):
+                pm_two_args = False
+            if pm_two_args:
+                # pass the absolute row offset (stochastic-particle RNG
+                # independence across chunks, like the internal path)
+                def batch_fn(t, _i=0, _fn=pmapped_fn):
+                    return _fn(t, _i)
+                use_offset = True
+            else:
+                batch_fn = pmapped_fn
+                use_offset = False
         elif use_zsorted:
             sub_chunk, kc, w_cols = zs_plan
 
@@ -438,7 +473,9 @@ class LibraryGenerator:
         for ci, i in enumerate(range(0, n_pad, batch_size)):
             if ci < start_chunk:
                 continue
-            out = (batch_fn(theta_pad[i: i + batch_size], i) if use_zsorted
+            pass_offset = use_zsorted or (pmapped_fn is not None
+                                          and use_offset)
+            out = (batch_fn(theta_pad[i: i + batch_size], i) if pass_offset
                    else batch_fn(theta_pad[i: i + batch_size]))
             # photometry-only, no resume: keep the DEVICE array — converting
             # here forces a host sync per chunk, serializing dispatch with

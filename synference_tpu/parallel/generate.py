@@ -53,7 +53,9 @@ def make_sharded_photometry_fn(sim, mesh, axis_name: str = "data",
 
 
 def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
-                            sub_chunk: int = 1024):
+                            sub_chunk: int = 1024,
+                            kc: int | None = None,
+                            w_cols: int | None = None):
     """Mesh-sharded z-sorted window engine (`sed.photometry_zsorted`).
 
     Returns fn(θ (B, P) unsorted numpy) -> {"photometry_njy": (B, F)} in
@@ -61,6 +63,11 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
     narrow-z sub-chunks, the sub-chunk axis is sharded over `axis_name`
     (each device sweeps a contiguous z range of the batch), and the output
     is unsorted back. Drop-in `pmapped_fn` for `LibraryGenerator.generate`.
+
+    Callers batching many chunks can pass GLOBAL (kc, w_cols) window sizes
+    (from `sim.zsorted_max_span` + `sim._zsorted_plan` over the whole
+    θ set) so every batch reuses one compiled program, exactly like the
+    single-host `photometry_zsorted` contract.
     """
     axis_size = mesh.shape[axis_name]
     if "redshift" in sim.param_names:
@@ -85,7 +92,7 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
         out = plain_cache[0](jnp.asarray(theta))
         return {k: np.asarray(v)[:b] for k, v in out.items()}
 
-    def fn(theta_np):
+    def fn(theta_np, row_offset: int = 0):
         theta = np.atleast_2d(np.asarray(theta_np, np.float32))
         b = theta.shape[0]
         z = (theta[:, iz] if iz is not None
@@ -102,15 +109,15 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
         if pad:
             th = np.concatenate([th, np.repeat(th[-1:], pad, 0)])
             zs = np.concatenate([zs, np.repeat(zs[-1:], pad)])
-        plan = sim._zsorted_window_plan(zs, sub)
+        plan = sim._zsorted_window_plan(zs, sub, kc=kc, w_cols=w_cols)
         if plan is None:
             return plain_fallback(theta)
-        kc, w_cols, k0, l0 = plan
+        kc_b, w_b, k0, l0 = plan
         t_mix, m_igm, den_knots = sim._zsorted_tables()
-        key = (sub, w_cols, kc, n_sub)
+        key = (sub, w_b, kc_b, n_sub)
         run_sharded = jit_cache.get(key)
         if run_sharded is None:
-            run = sim._zsorted_run_raw(sub, w_cols, kc)
+            run = sim._zsorted_run_raw(sub, w_b, kc_b)
             ax = P(axis_name)
             run_sharded = jax.jit(jax.shard_map(
                 run, mesh=mesh,
@@ -120,7 +127,8 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
             jit_cache[key] = run_sharded
         shard = NamedSharding(mesh, P(axis_name))
         rep = NamedSharding(mesh, P())
-        ids = np.arange(n_sub * sub, dtype=np.int32).reshape(n_sub, sub)
+        ids = (np.arange(n_sub * sub, dtype=np.int32)
+               + np.int32(row_offset)).reshape(n_sub, sub)
         out = run_sharded(
             jax.device_put(jnp.asarray(th.reshape(n_sub, sub, -1)),
                            NamedSharding(mesh, P(axis_name, None, None))),
@@ -142,13 +150,33 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
 
 def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,
                      seed: int = 0, out_path: str | None = None,
-                     axis_name: str = "data", want_spectra: bool = False):
+                     axis_name: str = "data", want_spectra: bool = False,
+                     zsorted: bool | None = None):
     """LibraryGenerator.generate with mesh-sharded batches.
 
     Pads the batch size to a multiple of the mesh axis so shards stay equal.
+
+    `zsorted` (default: auto) routes photometry-only generation through the
+    mesh-sharded z-sorted window engine with globally z-presorted draws —
+    each device sweeps a contiguous narrow-z slice of each batch, matching
+    the single-host engine's FLOP savings.
     """
     axis_size = mesh.shape[axis_name]
     bs = int(np.ceil(batch_size / axis_size) * axis_size)
+    sim = generator.simulator
+    phot_only = not want_spectra and not generator.supplementary
+    if zsorted is None:
+        zsorted = (phot_only and "redshift" in sim.param_names
+                   and getattr(sim, "_window_supported", lambda: False)())
+    if zsorted:
+        if not phot_only:
+            raise ValueError("zsorted sharded generation is photometry-only")
+        zfn = make_sharded_zsorted_fn(
+            sim, mesh, axis_name, sub_chunk=min(1024, bs))
+        return generator.generate(
+            n, batch_size=bs, seed=seed, out_path=out_path,
+            pmapped_fn=zfn, presort=True,
+        )
     fn = make_sharded_photometry_fn(
         generator.simulator, mesh, axis_name,
         want_spectra=want_spectra or bool(generator.supplementary),

@@ -1175,8 +1175,10 @@ class BatchSEDSimulator:
         `_zsorted_plan` / pass its (kc, w_cols) to `photometry_zsorted`
         so every batch of a long generation shares one compiled program."""
         s = np.log10(1.0 + np.maximum(np.asarray(z_sorted), 0.0))
-        k = np.floor_divide((s / self._filter_dlog).astype(np.int64),
-                            self._knot_delta)
+        k = np.minimum(
+            np.floor_divide((s / self._filter_dlog).astype(np.int64),
+                            self._knot_delta),
+            self._n_knots - 2)  # match _zsorted_window_plan's clamp
         bs = batch_size or len(k)
         span = 0
         for i in range(0, len(k), bs):
