@@ -272,3 +272,94 @@ def fused_sed_photometry(sfzh, s, tau_v, scale, tables, n_knots: int,
     )(sfzh, gal, tables["sed"], tables["curve"], tables["knot"],
       tables["kof"], tables["den"], tables["denm"])
     return out[:b] if bp != b else out
+
+
+def fused_window_photometry(sfzh, s_rel, tau_v, scale, sed_w, curve_w,
+                            knot_w, den_w, kc: int, delta: int, f8: int,
+                            order: int = 3, fesc: float = 0.0,
+                            block_b: int = 256):
+    """Megakernel over a z-sorted WINDOW: traced per-sub-chunk tables.
+
+    The full-table megakernel loses above ~4096 λ because its VMEM-resident
+    tables outgrow the chip; the z-sorted engine's per-sub-chunk windows
+    (λ slice `sed_w`, knot slice `knot_w`) are small at ANY grid size, so
+    the single-pass chain — contraction, dust, knot matmul, monotone-cubic
+    shift interpolation, den ratio, distance scale — runs with every
+    (B, w)-shaped intermediate in VMEM. Called from
+    `sed.BatchSEDSimulator._zsorted_run_raw(fused=True)` inside the scan
+    over sub-chunks; all table args are traced values (dynamic slices of
+    the full tables), only shapes are static.
+
+    Args:
+        sfzh: (B, C) SFZH weights.
+        s_rel: (B,) column shifts RELATIVE to the window (s − k0·delta).
+        tau_v, scale: (B,) dust depth / observed-frame scalar.
+        sed_w: (C, W) window spectra with dλ/λ weights folded (fp32).
+        curve_w: (W,) dust curve window.
+        knot_w: (W, kc·F8) IGM-baked knot-matrix window.
+        den_w: (kc, F8) exact denominator knots for the window.
+    """
+    b, c = sfzh.shape
+    w = sed_w.shape[1]
+    kf = kc * f8
+    cp = _pad_to(c, _LANE)
+    lp = _pad_to(w, _LANE)
+    kfp = _knot_lanes(kf, f8)
+    if cp != c:
+        sfzh = jnp.pad(sfzh, ((0, 0), (0, cp - c)))
+        sed_w = jnp.pad(sed_w, ((0, cp - c), (0, 0)))
+    if lp != w:
+        sed_w = jnp.pad(sed_w, ((0, 0), (0, lp - w)))
+        curve_w = jnp.pad(curve_w, (0, lp - w))
+        knot_w = jnp.pad(knot_w, ((0, lp - w), (0, 0)))
+    knotp = jnp.zeros((lp, kfp), jnp.bfloat16)
+    knotp = knotp.at[:, :kf].set(knot_w.astype(jnp.bfloat16))
+    kof = np.full((1, kfp), -1.0, np.float32)
+    kof[0, :kf] = np.arange(kf) // f8
+    # window den knots + Fritsch–Butland slopes (same edge rule as the
+    # kernel's numerator path; window-edge rows are only selected when the
+    # window abuts the true table edge, where forward/backward difference
+    # IS the virtual-endpoint rule of photometry_kernel._knot_interp)
+    dd = den_w[1:] - den_w[:-1]
+    mid = _fb_slope(dd[:-1], dd[1:])
+    den_m = jnp.concatenate([dd[:1], mid, dd[-1:]], axis=0)
+    denv = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
+        den_w.reshape(-1))
+    denm = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
+        den_m.reshape(-1))
+    curve2 = curve_w.astype(jnp.float32)[None, :]
+
+    bb = min(block_b, max(8, _pad_to(b, 8)))
+    while b % bb and bb > 8:
+        bb //= 2
+    bb = max(bb, 8)
+    bp = _pad_to(b, bb)
+    gal = jnp.stack([s_rel, tau_v, scale, jnp.zeros_like(s_rel)], axis=1)
+    if bp != b:
+        sfzh = jnp.pad(sfzh, ((0, bp - b), (0, 0)))
+        gal = jnp.pad(gal, ((0, bp - b), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(
+        _mega_kernel, n_knots=kc, delta=delta, f8=f8, order=order,
+        fesc=fesc, interpret=interpret)
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((bp, f8), jnp.float32),
+        grid=(bp // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, cp), lambda i: (i, 0)),
+            pl.BlockSpec((bb, 4), lambda i: (i, 0)),
+            pl.BlockSpec((cp, lp), lambda i: (0, 0)),
+            pl.BlockSpec((1, lp), lambda i: (0, 0)),
+            pl.BlockSpec((lp, kfp), lambda i: (0, 0)),
+            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
+            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
+            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, f8), lambda i: (i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(sfzh, gal, sed_w.astype(jnp.float32), curve2, knotp,
+      jnp.asarray(kof), denv, denm)
+    return out[:b] if bp != b else out

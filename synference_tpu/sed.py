@@ -1066,7 +1066,22 @@ class BatchSEDSimulator:
         self._zsorted_cache = (t_mix, m_igm, den_knots)
         return self._zsorted_cache
 
-    def _zsorted_program(self, sub: int, w_cols: int, kc: int):
+    def _window_mega_supported(self) -> bool:
+        """Extra static gate for the fused (megakernel) window body: one
+        Pallas program per sub-chunk with every (B, w)-shaped intermediate
+        VMEM-resident — no flux-slab HBM round-trip. Needs the megakernel's
+        arithmetic envelope (bf16 knot matmul, ≤128 bands/lane group, no
+        autodiff: pallas_call has no VJP rule)."""
+        return (
+            self._window_supported()
+            and self._interp_order in (1, 3)
+            and self._knot_matmul_dtype == jnp.bfloat16
+            and int(np.ceil(len(self.filters) / 8) * 8) <= 128
+            and not getattr(self, "_mega_off", False)
+        )
+
+    def _zsorted_program(self, sub: int, w_cols: int, kc: int,
+                         fused: bool = False):
         """Compiled scan over z-ordered sub-chunks. Static: sub-chunk size,
         λ-window width, knot-window count. Per sub-chunk the contraction
         and the knot matmul touch ONLY the λ columns the filters can reach
@@ -1075,18 +1090,21 @@ class BatchSEDSimulator:
         fused path (whose knot matmul evaluates all ~150 knots per galaxy
         only to interpolate between 4 of them)."""
         cache = self.__dict__.setdefault("_zsorted_jit", {})
-        fn = cache.get((sub, w_cols, kc))
+        fn = cache.get((sub, w_cols, kc, fused))
         if fn is not None:
             return fn
-        fn = jax.jit(self._zsorted_run_raw(sub, w_cols, kc))
-        cache[(sub, w_cols, kc)] = fn
+        fn = jax.jit(self._zsorted_run_raw(sub, w_cols, kc, fused))
+        cache[(sub, w_cols, kc, fused)] = fn
         return fn
 
-    def _zsorted_run_raw(self, sub: int, w_cols: int, kc: int):
+    def _zsorted_run_raw(self, sub: int, w_cols: int, kc: int,
+                         fused: bool = False):
         """The un-jitted window-engine runner — `parallel/generate.py`
-        shard_maps it over the sub-chunk axis for multi-device meshes."""
+        shard_maps it over the sub-chunk axis for multi-device meshes.
+        `fused=True` swaps the XLA matmul chain for the windowed megakernel
+        (`ops.fused_sed.fused_window_photometry`)."""
         cache = self.__dict__.setdefault("_zsorted_raw", {})
-        fn = cache.get((sub, w_cols, kc))
+        fn = cache.get((sub, w_cols, kc, fused))
         if fn is not None:
             return fn
         from .ops.photometry_kernel import _knot_interp
@@ -1116,32 +1134,46 @@ class BatchSEDSimulator:
 
             sfzh, z, tau_v = jax.vmap(weights_one)(th, ids)
             t_w = jax.lax.dynamic_slice(t_mix, (0, l0), (n_c, w_cols))
+            curve_w = jax.lax.dynamic_slice(dust_curve, (l0,), (w_cols,))
+            wl_w = jax.lax.dynamic_slice(wlam, (l0,), (w_cols,))
+            m_w = jax.lax.dynamic_slice(
+                m_igm, (l0, k0 * f8), (w_cols, kc * f8))
+            s = (jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+                 - k0.astype(jnp.float32) * delta)
+            den_w = jax.lax.dynamic_slice(
+                den_knots, (k0, 0), (kc, den_knots.shape[1]))
+            d19 = self._d19_of_z(z)
+            inv_d = 1.0 / d19  # two factors: see _observe's VJP note
+            scale = (1.0 + z) * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
+            if fused:
+                from .ops.fused_sed import fused_window_photometry
+
+                den_p = den_w
+                if den_w.shape[1] != f8:
+                    den_p = jnp.pad(
+                        den_w, ((0, 0), (0, f8 - den_w.shape[1])))
+                out = fused_window_photometry(
+                    sfzh.astype(jnp.float32), s, tau_v, scale,
+                    (t_w * wl_w[None, :]).astype(jnp.float32), curve_w,
+                    m_w, den_p, kc, delta, f8, order=order,
+                    fesc=0.0 if em.reprocessed_types else fesc,
+                )[:, :n_f]
+                return carry, out
             lnu = jnp.matmul(sfzh.astype(cd), t_w.astype(cd),
                              preferred_element_type=jnp.float32)
-            curve_w = jax.lax.dynamic_slice(dust_curve, (l0,), (w_cols,))
             att = jnp.exp(-tau_v[:, None] * curve_w[None, :])
             if em.reprocessed_types:
                 # gate guarantees fesc == 0 here when reprocessed
                 lnu = lnu * att
             else:
                 lnu = lnu * (fesc + (1.0 - fesc) * att)
-            wl_w = jax.lax.dynamic_slice(wlam, (l0,), (w_cols,))
             fw = lnu * wl_w[None, :]
-            m_w = jax.lax.dynamic_slice(
-                m_igm, (l0, k0 * f8), (w_cols, kc * f8))
             num = jnp.matmul(
                 fw.astype(mm_dtype), m_w.astype(mm_dtype),
                 preferred_element_type=jnp.float32,
             ).reshape(sub, kc, f8)
-            s = (jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
-                 - k0.astype(jnp.float32) * delta)
             num_b = _knot_interp(num, s, kc, delta, order)
-            den_w = jax.lax.dynamic_slice(
-                den_knots, (k0, 0), (kc, den_knots.shape[1]))
             den_b = _knot_interp(den_w, s, kc, delta, order)
-            d19 = self._d19_of_z(z)
-            inv_d = 1.0 / d19  # two factors: see _observe's VJP note
-            scale = (1.0 + z) * (1.0e-6 / _FOUR_PI) * inv_d * inv_d
             out = (num_b[:, :n_f] / jnp.maximum(den_b[:, :n_f], 1.0e-30)
                    * scale[:, None])
             return carry, out
@@ -1154,7 +1186,7 @@ class BatchSEDSimulator:
                 None, (theta_s, ids_s, l0_s, k0_s))
             return out.reshape(-1, n_f)
 
-        cache[(sub, w_cols, kc)] = run
+        cache[(sub, w_cols, kc, fused)] = run
         return run
 
     def _zsorted_plan(self, max_span_knots: int):
@@ -1232,8 +1264,13 @@ class BatchSEDSimulator:
 
     def photometry_zsorted(self, theta, sub_chunk: int = 1024,
                            row_offset: int = 0, kc: int | None = None,
-                           w_cols: int | None = None):
+                           w_cols: int | None = None,
+                           fused: bool = False):
         """θ (B, P), rows sorted by ascending redshift -> (B, F) nJy.
+
+        `fused=True` runs each sub-chunk through the windowed megakernel
+        (`ops.fused_sed.fused_window_photometry`) — single Pallas program,
+        no (B, w) HBM round-trip; requires `_window_mega_supported()`.
 
         The z-ordered generation engine: consecutive sub-chunks span a
         narrow redshift range, so each one reads only the λ window its
@@ -1250,6 +1287,10 @@ class BatchSEDSimulator:
             raise ValueError(
                 "model config unsupported by the z-sorted window engine; "
                 "call .photometry() instead (see _window_supported)")
+        if fused and not self._window_mega_supported():
+            raise ValueError(
+                "model config unsupported by the FUSED window engine "
+                "(see _window_mega_supported); call with fused=False")
         theta = np.atleast_2d(np.asarray(theta, np.float32))
         b = theta.shape[0]
         if "redshift" in self.param_names:
@@ -1276,7 +1317,7 @@ class BatchSEDSimulator:
             return np.asarray(self.photometry(theta[:b]))
         kc, w_cols, k0, l0 = plan
         t_mix, m_igm, den_knots = self._zsorted_tables()
-        run = self._zsorted_program(sub, w_cols, kc)
+        run = self._zsorted_program(sub, w_cols, kc, fused=fused)
         ids = (np.arange(n_sub * sub, dtype=np.int32)
                + np.int32(row_offset)).reshape(n_sub, sub)
         out = run(

@@ -242,3 +242,58 @@ class TestWindowGateAndEdges:
                                resume_path=ck)
         np.testing.assert_allclose(
             resumed["photometry"], full["photometry"], rtol=1e-5)
+
+
+class TestFusedWindow:
+    """Windowed megakernel body (`fused=True`): one Pallas program per
+    sub-chunk, every (B, w) intermediate VMEM-resident (interpret-mode on
+    CPU). Must match the XLA window body knot-for-knot."""
+
+    def test_parity_vs_window_xla(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        assert sim._window_mega_supported()
+        theta = _sorted_theta(1536, seed=4)
+        z = theta[:, PNAMES.index("redshift")]
+        assert sim._zsorted_window_plan(z, 128) is not None  # windowed
+        p_xla = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
+        p_fus = np.asarray(
+            sim.photometry_zsorted(theta, sub_chunk=128, fused=True))
+        rel = np.abs(p_fus - p_xla) / np.maximum(np.abs(p_xla), 1e-30)
+        sig = p_xla > 1e-3 * p_xla.max(axis=1, keepdims=True)
+        assert np.isfinite(p_fus).all()
+        # same knots, same cubic, same dens — only bf16 summation order
+        assert np.quantile(rel[sig], 0.99) < 5e-3, np.quantile(rel[sig], .99)
+        p_ref = np.asarray(sim.photometry(theta))
+        _assert_parity(p_fus, p_ref, p99=5e-3)
+
+    def test_fused_static_fesc(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(fesc=0.25),
+            photometry_backend="pallas", photometry_variant="interp")
+        theta = _sorted_theta(1536, seed=6)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_fus = np.asarray(
+            sim.photometry_zsorted(theta, sub_chunk=128, fused=True))
+        _assert_parity(p_fus, p_ref, p99=5e-3)
+
+    def test_fused_top_interval(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(), z_max=6.0,
+            photometry_backend="pallas", photometry_variant="interp")
+        rng = np.random.default_rng(8)
+        n = 256
+        theta = np.column_stack([
+            rng.uniform(7.5, 11, n), np.sort(rng.uniform(5.0, 6.0, n)),
+            rng.uniform(1e8, 1e9, n), rng.uniform(.1, 1.2, n),
+            rng.uniform(-3.9, -1.6, n), rng.uniform(0, 2, n),
+        ]).astype(np.float32)
+        theta[-1, 1] = 6.0
+        p_ref = np.asarray(sim.photometry(theta))
+        p_fus = np.asarray(
+            sim.photometry_zsorted(theta, sub_chunk=64, fused=True))
+        _assert_parity(p_fus, p_ref, p99=5e-3)
