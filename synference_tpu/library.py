@@ -337,6 +337,7 @@ class LibraryGenerator:
         pmapped_fn=None,
         resume_path: str | None = None,
         presort: bool = False,
+        zsorted_fused: bool = False,
     ) -> dict:
         """Generate n mock SEDs; returns the library dict, optionally writes
         HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
@@ -424,11 +425,12 @@ class LibraryGenerator:
                 use_offset = False
         elif use_zsorted:
             sub_chunk, kc, w_cols = zs_plan
+            fuse = zsorted_fused and sim._window_mega_supported()
 
             def batch_fn(t, _i=None):
                 return {"photometry_njy": sim.photometry_zsorted(
                     t, sub_chunk=sub_chunk, kc=kc, w_cols=w_cols,
-                    row_offset=0 if _i is None else _i)}
+                    row_offset=0 if _i is None else _i, fused=fuse)}
         else:
             batch_fn = jax.jit(
                 lambda t: sim.simulate(
