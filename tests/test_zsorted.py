@@ -297,3 +297,17 @@ class TestFusedWindow:
         p_fus = np.asarray(
             sim.photometry_zsorted(theta, sub_chunk=64, fused=True))
         _assert_parity(p_fus, p_ref, p99=5e-3)
+
+    def test_fused_conv_variant(self, grid, filters):
+        """The conv engine (table-free dense path) builds its window knot
+        matrix lazily; the fused body must consume it identically."""
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="conv")
+        assert sim._window_mega_supported()
+        theta = _sorted_theta(1536, seed=5)
+        p_ref = np.asarray(sim.photometry(theta))
+        p_fus = np.asarray(
+            sim.photometry_zsorted(theta, sub_chunk=128, fused=True))
+        _assert_parity(p_fus, p_ref, p99=5e-3)
