@@ -224,11 +224,16 @@ class AGNGridSimulator(BatchSEDSimulator):
         if self._line_regions is None:
             return cov_tot * lum, cont_real
         # lines whose region is not among reprocessed_types are unmodelled:
-        # covering fraction 0 (the user chose not to include that region)
-        cov_by_region = {t: c for c, t in
-                         zip(covs, self.emission.reprocessed_types)}
-        cov_vec = jnp.stack([
-            cov_by_region.get(self._line_regions[int(i)], jnp.asarray(0.0))
-            for i in np.asarray(sel)
-        ])
+        # covering fraction 0 (the user chose not to include that region).
+        # One static index array + a gather with a zero sentinel row keeps
+        # the HLO O(1) in line count (a per-line Python stack of traced
+        # scalars would grow the trace with every selected line)
+        types = list(self.emission.reprocessed_types)
+        idx = np.asarray(
+            [types.index(r) if r in types else len(types)
+             for r in (self._line_regions[int(i)] for i in np.asarray(sel))],
+            np.int32)
+        cov_mat = jnp.concatenate(
+            [jnp.stack(covs), jnp.zeros((1,), jnp.float32)])
+        cov_vec = cov_mat[jnp.asarray(idx)]
         return cov_vec * lum, cont_real
