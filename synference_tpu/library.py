@@ -406,12 +406,18 @@ class LibraryGenerator:
             import inspect
 
             try:
-                pm_two_args = len([
+                pos = [
                     p for p in
                     inspect.signature(pmapped_fn).parameters.values()
                     if p.kind in (p.POSITIONAL_ONLY,
                                   p.POSITIONAL_OR_KEYWORD)
-                ]) >= 2
+                ]
+                # opt-in by NAME: a bare 2-positional callable may mean
+                # anything by its second arg (e.g. want_spectra); only a
+                # parameter literally called `row_offset` receives the
+                # absolute chunk offset
+                pm_two_args = (len(pos) >= 2
+                               and pos[1].name == "row_offset")
             except (TypeError, ValueError):
                 pm_two_args = False
             if pm_two_args:
@@ -426,6 +432,15 @@ class LibraryGenerator:
         elif use_zsorted:
             sub_chunk, kc, w_cols = zs_plan
             fuse = zsorted_fused and sim._window_mega_supported()
+            if zsorted_fused and not fuse:
+                import warnings
+
+                warnings.warn(
+                    "zsorted_fused=True requested but the windowed "
+                    "megakernel is unsupported for this simulator "
+                    "(see BatchSEDSimulator._window_mega_supported); "
+                    "falling back to the staged XLA window body",
+                    RuntimeWarning, stacklevel=2)
 
             def batch_fn(t, _i=None):
                 return {"photometry_njy": sim.photometry_zsorted(

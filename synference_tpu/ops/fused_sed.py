@@ -28,6 +28,13 @@ cubic as `photometry_kernel._knot_interp` (bit-compatible weights); the
 shared den table uses the same trick over its K rows, so the num/den
 staircase cancellation is preserved exactly.
 
+Two entry points share one kernel body and one call wrapper: the
+full-table `fused_sed_photometry` (static tables prepared once at setup)
+and the z-sorted window variant `fused_window_photometry` (traced
+per-sub-chunk table slices). The den-slope prep, lane maps, block sizing,
+and BlockSpec wiring live in shared helpers so the num/den staircase
+cancellation can never desynchronize between the two.
+
 Reference counterpart: the Synthesizer C/OpenMP per-galaxy SED loop the
 reference drives via `pipeline.run()` (`library.py:2592-2619`).
 """
@@ -42,14 +49,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_sed_photometry", "prepare_megakernel_tables",
-           "megakernel_vmem_bytes"]
+__all__ = ["fused_sed_photometry", "fused_window_photometry",
+           "prepare_megakernel_tables", "megakernel_vmem_bytes"]
 
 _LANE = 128
 
 
 def _pad_to(n: int, m: int) -> int:
     return int(np.ceil(n / m) * m)
+
+
+def _kof_lanes(kf: int, kfp: int, f8: int):
+    """Lane -> knot-index map (−1 in the padding so selections never
+    match). Shared by both megakernel entry points."""
+    kof = np.full((1, kfp), -1.0, np.float32)
+    kof[0, :kf] = np.arange(kf) // f8
+    return jnp.asarray(kof)
+
+
+def _den_lane_tables(den_knots, kf: int, kfp: int):
+    """Denominator knots + Fritsch–Butland slopes on the numerator's lane
+    layout (lane j = knot j//F8, band j%F8).
+
+    Num and den MUST interpolate identically for the staircase to cancel;
+    the edge rows use the forward/backward difference, which at true table
+    edges is exactly `photometry_kernel._knot_interp`'s virtual-endpoint
+    rule (window callers only ever select edge rows there). Works on host
+    numpy (setup-time full table) and traced jnp (per-window slices) alike.
+    """
+    den_knots = jnp.asarray(den_knots, jnp.float32)  # (K, F8)
+    dd = den_knots[1:] - den_knots[:-1]  # (K-1, F8)
+    mid = _fb_slope(dd[:-1], dd[1:])  # rows 1..K-2
+    den_m = jnp.concatenate([dd[:1], mid, dd[-1:]], axis=0)
+    denv = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
+        den_knots.reshape(-1))
+    denm = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
+        den_m.reshape(-1))
+    return denv, denm
 
 
 def prepare_megakernel_tables(sed_table, wlam, dust_curve, knot_matrix,
@@ -79,37 +115,23 @@ def prepare_megakernel_tables(sed_table, wlam, dust_curve, knot_matrix,
         (sed_table * wlam[None, :]).astype(compute_dtype))
     knotp = jnp.zeros((lp, kfp), jnp.bfloat16)
     knotp = knotp.at[:n_l, :kf].set(knot_matrix.astype(jnp.bfloat16))
-    # lane -> knot index (−1 in the padding so selections never match)
-    kof = np.full((1, kfp), -1.0, np.float32)
-    kof[0, :kf] = np.arange(kf) // f8
-    # den knots at the SAME shifts as the knot matrix rows, laid out on
-    # the SAME lanes (lane j = knot j//F8, band j%F8) so the per-galaxy
-    # combination rides the numerator's masks
+    # den knots at the SAME shifts as the knot matrix rows
     from .photometry_kernel import N_SUB
 
     n_max = den_table.shape[0] - 1
     rows = np.minimum(np.arange(n_knots) * delta * N_SUB, n_max)
     den_knots = np.zeros((n_knots_real, f8), np.float32)
     den_knots[:, : den_table.shape[1]] = np.asarray(den_table)[rows]
-    # den knot slopes with the same Fritsch–Butland + forward/backward
-    # edge rule the kernel applies to the numerator knots — num and den
-    # MUST interpolate identically for the staircase to cancel
-    dd = den_knots[1:] - den_knots[:-1]  # (K-1, F8)
-    mid = np.asarray(_fb_slope(dd[:-1], dd[1:]))  # rows 1..K-2
-    den_m = np.concatenate([dd[:1], mid, dd[-1:]], axis=0)
-    denv = np.zeros((1, kfp), np.float32)
-    denv[0, :kf] = den_knots.reshape(-1)
-    denm = np.zeros((1, kfp), np.float32)
-    denm[0, :kf] = den_m.reshape(-1)
+    denv, denm = _den_lane_tables(den_knots, kf, kfp)
     curvep = jnp.zeros((1, lp), jnp.float32)
     curvep = curvep.at[0, :n_l].set(jnp.asarray(dust_curve, jnp.float32))
     return {
         "sed": sedp,
         "curve": curvep,
         "knot": knotp,
-        "kof": jnp.asarray(kof),
-        "den": jnp.asarray(denv),
-        "denm": jnp.asarray(denm),
+        "kof": _kof_lanes(kf, kfp, f8),
+        "den": denv,
+        "denm": denm,
         "dims": (c, n_l, kf, kfp),
     }
 
@@ -213,35 +235,24 @@ def _mega_kernel(sfzh_ref, gal_ref, sed_ref, curve_ref, knot_ref, kof_ref,
     out_ref[...] = (r / jnp.maximum(rd, 1.0e-30) * scale)[:, :f8]
 
 
-def fused_sed_photometry(sfzh, s, tau_v, scale, tables, n_knots: int,
-                         delta: int, f8: int, order: int = 3,
-                         fesc: float = 0.0, block_b: int = 256):
-    """θ-derived per-galaxy inputs -> (B, F8) band fluxes, one kernel.
+def _mega_call(sfzh, s, tau_v, scale, sedp, curvep, knotp, kof, denv, denm,
+               n_knots: int, delta: int, f8: int, order: int, fesc: float,
+               block_b: int):
+    """Block sizing + pallas_call wiring shared by both entry points.
 
-    Args:
-        sfzh: (B, C) SFZH mass weights [Msun].
-        s: (B,) real column shifts log10(1+z)/Δ.
-        tau_v: (B,) V-band optical depths (zeros when dust-free).
-        scale: (B,) observed-frame scalar (1+z)·1e-6/(4π d19²).
-        tables: dict from `prepare_megakernel_tables` (+ "curve": (L,)
-            dust curve k_λ/R_V, zero-padded to Lp by the caller wrapper).
+    Mosaic needs the galaxy block divisible by 8: shrink toward the batch
+    but never below 8, then zero-pad the batch up to a block multiple
+    (padded rows have scale 0 -> flux 0; sliced off at the end).
     """
     b = sfzh.shape[0]
-    c, n_l, kf, kfp = tables["dims"]
-    cp = tables["sed"].shape[0]
-    lp = tables["sed"].shape[1]
-    if sfzh.shape[1] != cp:
-        sfzh = jnp.pad(sfzh, ((0, 0), (0, cp - sfzh.shape[1])))
-    # Mosaic needs the galaxy block divisible by 8: shrink toward the batch
-    # but never below 8, then zero-pad the batch up to a block multiple
-    # (padded rows have scale 0 -> flux 0; sliced off below)
+    cp, lp = sedp.shape
+    kfp = knotp.shape[1]
     bb = min(block_b, max(8, _pad_to(b, 8)))
     while b % bb and bb > 8:
         bb //= 2
     bb = max(bb, 8)
     bp = _pad_to(b, bb)
-    gal = jnp.stack(
-        [s, tau_v, scale, jnp.zeros_like(s)], axis=1)  # (B, 4)
+    gal = jnp.stack([s, tau_v, scale, jnp.zeros_like(s)], axis=1)  # (B, 4)
     if bp != b:
         sfzh = jnp.pad(sfzh, ((0, bp - b), (0, 0)))
         gal = jnp.pad(gal, ((0, bp - b), (0, 0)))
@@ -269,9 +280,30 @@ def fused_sed_photometry(sfzh, s, tau_v, scale, tables, n_knots: int,
         out_specs=pl.BlockSpec((bb, f8), lambda i: (i, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
-    )(sfzh, gal, tables["sed"], tables["curve"], tables["knot"],
-      tables["kof"], tables["den"], tables["denm"])
+    )(sfzh, gal, sedp, curvep, knotp, kof, denv, denm)
     return out[:b] if bp != b else out
+
+
+def fused_sed_photometry(sfzh, s, tau_v, scale, tables, n_knots: int,
+                         delta: int, f8: int, order: int = 3,
+                         fesc: float = 0.0, block_b: int = 256):
+    """θ-derived per-galaxy inputs -> (B, F8) band fluxes, one kernel.
+
+    Args:
+        sfzh: (B, C) SFZH mass weights [Msun].
+        s: (B,) real column shifts log10(1+z)/Δ.
+        tau_v: (B,) V-band optical depths (zeros when dust-free).
+        scale: (B,) observed-frame scalar (1+z)·1e-6/(4π d19²).
+        tables: dict from `prepare_megakernel_tables` (+ "curve": (L,)
+            dust curve k_λ/R_V, zero-padded to Lp by the caller wrapper).
+    """
+    cp = tables["sed"].shape[0]
+    if sfzh.shape[1] != cp:
+        sfzh = jnp.pad(sfzh, ((0, 0), (0, cp - sfzh.shape[1])))
+    return _mega_call(sfzh, s, tau_v, scale, tables["sed"], tables["curve"],
+                      tables["knot"], tables["kof"], tables["den"],
+                      tables["denm"], n_knots=n_knots, delta=delta, f8=f8,
+                      order=order, fesc=fesc, block_b=block_b)
 
 
 def fused_window_photometry(sfzh, s_rel, tau_v, scale, sed_w, curve_w,
@@ -314,52 +346,10 @@ def fused_window_photometry(sfzh, s_rel, tau_v, scale, sed_w, curve_w,
         knot_w = jnp.pad(knot_w, ((0, lp - w), (0, 0)))
     knotp = jnp.zeros((lp, kfp), jnp.bfloat16)
     knotp = knotp.at[:, :kf].set(knot_w.astype(jnp.bfloat16))
-    kof = np.full((1, kfp), -1.0, np.float32)
-    kof[0, :kf] = np.arange(kf) // f8
-    # window den knots + Fritsch–Butland slopes (same edge rule as the
-    # kernel's numerator path; window-edge rows are only selected when the
-    # window abuts the true table edge, where forward/backward difference
-    # IS the virtual-endpoint rule of photometry_kernel._knot_interp)
-    dd = den_w[1:] - den_w[:-1]
-    mid = _fb_slope(dd[:-1], dd[1:])
-    den_m = jnp.concatenate([dd[:1], mid, dd[-1:]], axis=0)
-    denv = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
-        den_w.reshape(-1))
-    denm = jnp.zeros((1, kfp), jnp.float32).at[0, :kf].set(
-        den_m.reshape(-1))
+    denv, denm = _den_lane_tables(den_w, kf, kfp)
     curve2 = curve_w.astype(jnp.float32)[None, :]
-
-    bb = min(block_b, max(8, _pad_to(b, 8)))
-    while b % bb and bb > 8:
-        bb //= 2
-    bb = max(bb, 8)
-    bp = _pad_to(b, bb)
-    gal = jnp.stack([s_rel, tau_v, scale, jnp.zeros_like(s_rel)], axis=1)
-    if bp != b:
-        sfzh = jnp.pad(sfzh, ((0, bp - b), (0, 0)))
-        gal = jnp.pad(gal, ((0, bp - b), (0, 0)))
-    interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(
-        _mega_kernel, n_knots=kc, delta=delta, f8=f8, order=order,
-        fesc=fesc, interpret=interpret)
-    out = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct((bp, f8), jnp.float32),
-        grid=(bp // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, cp), lambda i: (i, 0)),
-            pl.BlockSpec((bb, 4), lambda i: (i, 0)),
-            pl.BlockSpec((cp, lp), lambda i: (0, 0)),
-            pl.BlockSpec((1, lp), lambda i: (0, 0)),
-            pl.BlockSpec((lp, kfp), lambda i: (0, 0)),
-            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
-            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
-            pl.BlockSpec((1, kfp), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((bb, f8), lambda i: (i, 0)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-    )(sfzh, gal, sed_w.astype(jnp.float32), curve2, knotp,
-      jnp.asarray(kof), denv, denm)
-    return out[:b] if bp != b else out
+    return _mega_call(sfzh, s_rel, tau_v, scale,
+                      sed_w.astype(jnp.float32), curve2, knotp,
+                      _kof_lanes(kf, kfp, f8), denv, denm,
+                      n_knots=kc, delta=delta, f8=f8, order=order,
+                      fesc=fesc, block_b=block_b)

@@ -171,12 +171,28 @@ def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,
     if zsorted:
         if not phot_only:
             raise ValueError("zsorted sharded generation is photometry-only")
-        zfn = make_sharded_zsorted_fn(
-            sim, mesh, axis_name, sub_chunk=min(1024, bs))
-        return generator.generate(
-            n, batch_size=bs, seed=seed, out_path=out_path,
-            pmapped_fn=zfn, presort=True,
-        )
+        # Plan ONE global window from the (deterministic) seeded draws so
+        # every batch reuses a single compiled shard-mapped program —
+        # per-batch planning gave each batch its own (kc, w_cols) jit key,
+        # i.e. a fresh multi-minute shard_map compile over the tunnel.
+        # generate() feeds globally z-presorted batches of size bs, so the
+        # global per-sub-chunk span bounds every batch's span.
+        sub = min(1024, bs)
+        theta = generator.sample_parameters(
+            n, rng=np.random.default_rng(seed))
+        iz = sim.param_names.index("redshift")
+        z_sorted = np.sort(theta[:, iz], kind="stable")
+        kc, w_cols = sim._zsorted_plan(
+            sim.zsorted_max_span(z_sorted, sub, bs))
+        if kc >= sim._n_knots or w_cols >= sim._wlam_sup.shape[0]:
+            zsorted = False  # window is the whole table — dense path below
+        else:
+            zfn = make_sharded_zsorted_fn(
+                sim, mesh, axis_name, sub_chunk=sub, kc=kc, w_cols=w_cols)
+            return generator.generate(
+                n, batch_size=bs, seed=seed, out_path=out_path,
+                pmapped_fn=zfn, presort=True,
+            )
     fn = make_sharded_photometry_fn(
         generator.simulator, mesh, axis_name,
         want_spectra=want_spectra or bool(generator.supplementary),

@@ -215,3 +215,58 @@ class TestLibraryGenerator:
         )
         with pytest.raises(ValueError, match="not covered"):
             LibraryGenerator(sim, {"log10_mass": (8, 10)})
+
+    def test_pmapped_fn_offset_is_name_opt_in(self, test_grid,
+                                              nircam_filters):
+        """The chunk row offset is passed ONLY to a second positional
+        parameter literally named `row_offset`; a 2-positional callable
+        whose second arg means something else keeps its default (a bare
+        arity sniff silently flipped e.g. want_spectra mid-generation)."""
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+        )
+        gen = LibraryGenerator(sim, PARAM_RANGES,
+                               unlog_keys=["log10_peak_age"])
+        seen = []
+
+        def fn_other(theta, want_spectra=False):
+            seen.append(want_spectra)
+            return {"photometry_njy": np.asarray(sim.photometry(theta))}
+
+        gen.generate(n=48, batch_size=16, seed=5, pmapped_fn=fn_other)
+        assert seen and all(ws is False for ws in seen)
+
+        offs = []
+
+        def fn_offset(theta, row_offset=0):
+            offs.append(row_offset)
+            return {"photometry_njy": np.asarray(sim.photometry(theta))}
+
+        gen.generate(n=48, batch_size=16, seed=5, pmapped_fn=fn_offset)
+        assert offs == [0, 16, 32]
+
+    def test_zsorted_fused_downgrade_warns(self, nircam_filters):
+        """generate(zsorted_fused=True) on a simulator whose megakernel
+        gate is closed must say so, not silently measure the staged
+        body."""
+        from synference_tpu.grids import make_synthetic_grid
+
+        grid = make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+        sim = BatchSEDSimulator(
+            grid=grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp",
+        )
+        gen = LibraryGenerator(
+            sim, {**PARAM_RANGES, "redshift": (0.5, 1.5)},
+            unlog_keys=["log10_peak_age"])
+        sim._mega_off = True  # close the megakernel gate only
+        with pytest.warns(RuntimeWarning, match="megakernel"):
+            lib = gen.generate(n=128, batch_size=64, seed=4,
+                               zsorted_fused=True)
+        assert np.isfinite(lib["photometry"]).all()

@@ -378,3 +378,48 @@ class TestShardedZSorted:
             np.abs(p_ref), 1e-30)
         sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
         assert np.quantile(rel[sig], 0.99) < 2e-3
+
+    def test_sharded_generate_zsorted_plans_globally(self, monkeypatch):
+        """sharded_generate must hand make_sharded_zsorted_fn GLOBAL
+        (kc, w_cols) window sizes so every batch shares one compiled
+        shard-mapped program — per-batch planning meant a fresh multi-
+        minute shard_map compile per batch over the tunnel."""
+        from synference_tpu.grids import make_synthetic_grid
+        from synference_tpu.parallel import generate as pg
+
+        grid = make_synthetic_grid(n_ages=16, n_mets=4, n_wav=1024)
+        codes = ["F115W", "F200W", "F356W", "F444W"]
+        fs = FilterSet([tophat_filter(c, ct, w) for c, ct, w in zip(
+            codes, [11500., 20000., 35600., 44400.],
+            [2600., 4600., 7800., 10200.])])
+        pn = ("log10_mass", "redshift", "peak_age", "tau",
+              "log10_metallicity", "tau_v")
+        sim = BatchSEDSimulator(
+            grid, fs, pn, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.3, 6.0),
+            "peak_age": (1e8, 5e8), "tau": (0.3, 0.8),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        })
+        captured = {}
+        real = pg.make_sharded_zsorted_fn
+
+        def spy(sim_, mesh_, axis_name="data", sub_chunk=1024,
+                kc=None, w_cols=None):
+            captured["kc"], captured["w_cols"] = kc, w_cols
+            return real(sim_, mesh_, axis_name, sub_chunk=sub_chunk,
+                        kc=kc, w_cols=w_cols)
+
+        monkeypatch.setattr(pg, "make_sharded_zsorted_fn", spy)
+        lib = pg.sharded_generate(gen, n=2000, mesh=make_mesh(),
+                                  batch_size=512, seed=7)
+        assert captured["kc"] is not None and captured["w_cols"] is not None
+        # the global plan must bound every batch: correctness end-to-end
+        th = lib["parameters"].T
+        p_ref = np.asarray(sim.photometry(th))
+        rel = np.abs(lib["photometry"].T - p_ref) / np.maximum(
+            np.abs(p_ref), 1e-30)
+        sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
+        assert np.quantile(rel[sig], 0.99) < 2e-3
