@@ -688,8 +688,60 @@ class SBIFitter:
         )
 
     def save_metrics(self, report: dict, path: str):
+        def _safe(v):
+            if isinstance(v, dict):
+                return {k: _safe(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [_safe(x) for x in v]
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, (np.floating, np.integer)):
+                return v.item()
+            return v
+
         with open(path, "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump(_safe(report), f, indent=2)
+
+    # ------------------------------------------------------------------
+    def run_validation_from_file(self, validation_file: str,
+                                 plots_dir: str = ".",
+                                 n_samples: int = 256,
+                                 max_objects: int = 512, key=None):
+        """Validate a previously SAVED model against this fitter's held-out
+        split: load the posterior from `validation_file`, compute the full
+        evaluation report, write the diagnostic figures + a metrics JSON
+        (reference `run_validation_from_file`, sbi_runner.py:7347-7373 —
+        ValidationRunner re-plots a saved posterior on the fitter's
+        loader). Returns (report, figure_paths)."""
+        import os as _os
+
+        from .plotting import plot_coverage, plot_posterior_predictions
+
+        loaded = type(self).load_saved_model(validation_file)
+        if self._split is None:
+            self.split_dataset()
+        idx = self._split["test"][:max_objects]
+        xs, truths = self.features[idx], self.feature_params[idx]
+        report = evaluate_posterior(
+            loaded.posterior, xs, truths, key=key, n_samples=n_samples,
+            parameter_names=self.parameter_names)
+        _os.makedirs(plots_dir, exist_ok=True)
+        k = key if key is not None else jax.random.PRNGKey(1)
+        samples = np.asarray(
+            loaded.posterior.sample_batch(k, jnp.asarray(xs), n_samples))
+        stem = f"{loaded.name}_validation"
+        paths = {
+            "coverage": _os.path.join(plots_dir, f"{stem}_coverage.png"),
+            "predictions": _os.path.join(
+                plots_dir, f"{stem}_predictions.png"),
+            "metrics": _os.path.join(plots_dir, f"{stem}_metrics.json"),
+        }
+        plot_coverage(samples, truths, self.parameter_names,
+                      save=paths["coverage"])
+        plot_posterior_predictions(samples, truths, self.parameter_names,
+                                   save=paths["predictions"])
+        self.save_metrics(report, paths["metrics"])
+        return report, paths
 
     # ------------------------------------------------------------------
     def plot_diagnostics(self, out_dir: str = ".", n_samples: int = 200,

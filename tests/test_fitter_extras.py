@@ -55,6 +55,28 @@ def test_fitter_simformer(small_fitter):
     assert report["mean_log_prob"] is None
 
 
+def test_run_validation_from_file(small_fitter, tmp_path):
+    """Saved model -> run_validation_from_file re-validates it on this
+    fitter's held-out split and writes figures + metrics JSON (reference
+    run_validation_from_file, sbi_runner.py:7347-7373)."""
+    small_fitter.run_single_sbi(
+        model_type="maf",
+        train_config=TrainConfig(max_epochs=5, batch_size=256))
+    mdl = str(tmp_path / "val_model.pkl")
+    small_fitter.save_state(mdl)
+    report, paths = small_fitter.run_validation_from_file(
+        mdl, plots_dir=str(tmp_path), n_samples=32, max_objects=32)
+    assert np.isfinite(report["mean_log_prob"])
+    import json
+    import os
+
+    for p in paths.values():
+        assert os.path.exists(p)
+    with open(paths["metrics"]) as f:
+        saved = json.load(f)
+    assert "tarp_deviation" in saved or "mean_log_prob" in saved
+
+
 @pytest.mark.slow
 def test_fitter_hpo_smoke(small_fitter):
     study, best = optimize_sbi(
