@@ -15,6 +15,7 @@ from .catalogue import (
     MissingPhotometryHandler,
     fit_catalogue,
     mahalanobis_ood,
+    ood_feature_contributions,
     ood_vote,
 )
 from .combine import combine_libraries, combine_libraries_matched
@@ -154,7 +155,7 @@ __all__ = [
     "FluxUnit", "convert_flux", "convert_flux_err",
     # catalogue fitting
     "fit_catalogue", "MissingPhotometryHandler", "mahalanobis_ood",
-    "ood_vote",
+    "ood_vote", "ood_feature_contributions",
     # composite
     "CompositeSEDSimulator", "grid_combinations",
     "combine_libraries", "combine_libraries_matched",

@@ -36,16 +36,77 @@ def _as_rows(arr, n_names):
     return arr
 
 
-def _supp_scale_mask(scale_supplementary, supp_names):
+# Whether each known supplementary quantity scales linearly with the mass
+# renormalization factor (fluxes/luminosities/SFRs/masses do; magnitudes,
+# ratios, ages, colors, EWs and other mass-invariant quantities do not —
+# the reference dispatches the same decision on unyt dimensions,
+# library.py:3865-3881 + utils.check_scaling utils.py:946-990).
+_SUPP_MASS_SCALES = {
+    "m_uv": False, "app_m_uv": False,        # magnitudes: shift, not scale
+    "sfr_10": True, "sfr_100": True,         # mass/time
+    "burstiness": False,                     # SFR ratio
+    "mass_weighted_age": False, "lum_weighted_age": False,
+    "flux_weighted_age": False,
+    "beta_uv": False, "d4000": False,
+    "t10": False, "t50": False, "t90": False,
+    "u_minus_v": False, "v_minus_j": False,
+    "balmer_decrement": False,
+    "ew_halpha": False, "ew_hbeta": False, "ew_oiii": False,
+    "n_ion": True,                           # photons/s
+    "xi_ion": False,                         # Ndot/L_UV ratio
+    "surviving_mass": True,
+}
+
+# unit-string fallback for user-supplied columns: substrings that mark a
+# mass-scaling physical unit vs known invariant units
+_SCALING_UNIT_TOKENS = ("erg", "jy", " w", "w/", "msun", "m_sun", "solmass",
+                        "1/s", "photons")
+_INVARIANT_UNITS = ("", "mag", "dimensionless", "yr", "myr", "gyr", "angstrom",
+                    "aa", "dex")
+
+
+def _auto_scale_mask(supp_names, supp_units=None):
+    """Classify each supplementary column as mass-scaling or invariant."""
+    units = list(supp_units) if supp_units is not None else [None] * len(
+        supp_names)
+    mask = np.zeros(len(supp_names), bool)
+    for i, (name, unit) in enumerate(zip(supp_names, units)):
+        if name in _SUPP_MASS_SCALES:
+            mask[i] = _SUPP_MASS_SCALES[name]
+        elif name.startswith("line_flux_") or name.startswith("line_lum_"):
+            mask[i] = True
+        elif name.startswith("line_ew_"):
+            mask[i] = False
+        elif unit is not None:
+            u = str(unit).strip().lower()
+            mask[i] = (u not in _INVARIANT_UNITS
+                       and any(t in u for t in _SCALING_UNIT_TOKENS))
+        else:
+            raise ValueError(
+                f"scale_supplementary='auto' cannot classify column "
+                f"{name!r} (unknown name, no units stored). Pass an "
+                f"explicit list of columns to scale instead.")
+    return mask
+
+
+def _supp_scale_mask(scale_supplementary, supp_names, supp_units=None):
     """(n_supp,) bool mask of which supplementary columns mass-scale.
 
     The reference scales only flux/luminosity-like quantities when
     renormalizing masses (unyt-dispatched, library.py:3865-3881). Without
-    unit plumbing the selection is explicit: True/False applies to every
-    column; an iterable of names scales exactly those (e.g. line fluxes but
-    not M_UV — mixing mag-like and flux-like columns under one flag would
-    silently corrupt one group).
+    unyt plumbing the selection is either explicit — True/False applies to
+    every column, an iterable of names scales exactly those (e.g. line
+    fluxes but not M_UV — mixing mag-like and flux-like columns under one
+    flag would silently corrupt one group) — or ``"auto"``, which
+    classifies the built-in `SUPP_FUNCTIONS` names / `line_*` columns by
+    their physics and falls back to the stored unit strings.
     """
+    if isinstance(scale_supplementary, str):
+        if scale_supplementary != "auto":
+            raise ValueError(
+                "scale_supplementary must be True/False, 'auto', or an "
+                f"iterable of column names, got {scale_supplementary!r}")
+        return _auto_scale_mask(supp_names, supp_units)
     if isinstance(scale_supplementary, (list, tuple, set, frozenset)):
         sel = set(scale_supplementary)
         unknown = sel - set(supp_names)
@@ -110,6 +171,8 @@ def _base_setup(libraries, base_names, redshift_param, mass_params,
                 if "supplementary_parameters" in lib else None
             ),
             "supp_names": list(lib.get("supplementary_parameter_names", [])),
+            "supp_units": list(
+                lib.get("supplementary_parameter_units", [])) or None,
         })
     supp_names = bases[0]["supp_names"]
     for b in bases[1:]:
@@ -130,7 +193,7 @@ def combine_libraries(
     mass_params: list | None = None,
     redshift_param: str = "redshift",
     mass_name: str = "log_mass",
-    scale_supplementary: bool = True,
+    scale_supplementary=True,
     out_path: str | None = None,
     z_atol: float = 1.0e-5,
 ) -> dict:
@@ -155,7 +218,9 @@ def combine_libraries(
             same mass factor (the reference scales flux-like ones,
             library.py:3865-3881). True/False = all/none; an iterable of
             names scales exactly those columns (use this when mixing
-            flux-like quantities with mag-like ones such as M_UV).
+            flux-like quantities with mag-like ones such as M_UV);
+            ``"auto"`` classifies built-in supplementary/line columns by
+            their physics (unit-string fallback for custom columns).
 
     Returns the combined library dict ((F, N)/(P, N) convention); parameter
     columns are [redshift, log_mass, weight_fraction?, base varying params].
@@ -179,7 +244,8 @@ def combine_libraries(
     )
     n_filt = len(filter_codes)
     supp_names = bases[0]["supp_names"]
-    supp_mask = _supp_scale_mask(scale_supplementary, supp_names)
+    supp_mask = _supp_scale_mask(scale_supplementary, supp_names,
+                                 bases[0].get("supp_units"))
 
     param_columns = [redshift_param, mass_name]
     if n_bases > 1:
@@ -281,7 +347,7 @@ def combine_libraries_matched(
     mass_params: list | None = None,
     redshift_param: str = "redshift",
     mass_name: str = "log_mass",
-    scale_supplementary: bool = True,
+    scale_supplementary=True,
     out_path: str | None = None,
 ) -> dict:
     """Matched (pre-drawn) combination: row k of every base describes the
@@ -313,7 +379,8 @@ def combine_libraries_matched(
     scale = (10.0 ** log_m)[:, None] * weights  # (N, n_bases)
 
     supp_names = bases[0]["supp_names"]
-    supp_mask = _supp_scale_mask(scale_supplementary, supp_names)
+    supp_mask = _supp_scale_mask(scale_supplementary, supp_names,
+                                 bases[0].get("supp_units"))
     phot = np.zeros((len(filter_codes), n), np.float64)
     supp = (
         np.zeros((len(supp_names), n), np.float64) if supp_names else None

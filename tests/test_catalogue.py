@@ -38,6 +38,37 @@ class TestOOD:
         assert flags[20:].all()
         assert votes.shape == (2, 25)
 
+    def test_feature_contributions(self, rng):
+        """The Mahalanobis decomposition is exact and attributes a
+        single-feature shift to that feature (reference
+        analyze_feature_contributions, utils.py:1478)."""
+        from synference_tpu.catalogue import ood_feature_contributions
+
+        train = rng.standard_normal((3000, 5))
+        test = rng.standard_normal((30, 5))
+        test[:, 2] += 8.0  # only feature 2 is shifted
+        for method in ("mahalanobis", "robust_mahalanobis",
+                       "standardized_euclidean"):
+            res = ood_feature_contributions(
+                train, test, method=method,
+                feature_names=list("abcde"))
+            assert res["outlier_mask"].all(), method
+            # the shifted feature dominates the attribution
+            assert res["feature_importance"].argmax() == 2, method
+            assert res["feature_importance"][2] > 0.5, method
+            # contributions decompose the squared distance exactly
+            np.testing.assert_allclose(
+                res["feature_contributions"].sum(1),
+                res["total_distances"] ** 2, rtol=2e-3)
+
+    def test_feature_contributions_bad_method(self, rng):
+        from synference_tpu.catalogue import ood_feature_contributions
+
+        with pytest.raises(ValueError, match="method"):
+            ood_feature_contributions(
+                rng.standard_normal((100, 3)),
+                rng.standard_normal((5, 3)), method="nope")
+
 
 class TestMissingHandler:
     def test_impute_preserves_valid_fills_missing(self, rng):

@@ -235,3 +235,52 @@ class TestSelectiveSupplementaryScaling:
             combine_libraries(
                 [lib], log_stellar_masses=[10.0], redshifts=[1.0],
                 scale_supplementary=("nope",))
+
+    def test_auto_classifies_by_name_and_units(self):
+        """"auto" scales flux-like columns (built-in names, line_flux_*,
+        unit-string fallback) and leaves mags/ratios/ages untouched —
+        mirroring the reference's unyt-dimension dispatch
+        (library.py:3865-3881, utils.check_scaling)."""
+        lib = self._lib()
+        n = lib["parameters"].shape[1]
+        extra = np.stack([
+            np.full(n, 3.0, np.float32),   # sfr_10 (known: scales)
+            np.full(n, 0.5, np.float32),   # beta_uv (known: invariant)
+            np.full(n, 7.0, np.float32),   # line_flux_Ha (prefix: scales)
+            np.full(n, 2.0, np.float32),   # custom, unit erg/s (scales)
+            np.full(n, 9.0, np.float32),   # custom, unit Myr (invariant)
+        ])
+        lib["supplementary_parameters"] = np.concatenate(
+            [lib["supplementary_parameters"], extra])
+        lib["supplementary_parameter_names"] = [
+            "line_flux", "m_uv", "sfr_10", "beta_uv", "line_flux_Ha",
+            "custom_lum", "custom_age"]
+        lib["supplementary_parameter_units"] = [
+            "erg/s/cm**2", "mag", "Msun/yr", "", "erg/s/cm**2",
+            "erg/s", "Myr"]
+        out = combine_libraries_matched(
+            [lib], log_stellar_masses=10.0,
+            scale_supplementary="auto", log_base_masses=9.0)
+        names = out["supplementary_parameter_names"]
+        supp = out["supplementary_parameters"]
+
+        def col(name):
+            return supp[names.index(name)]
+
+        np.testing.assert_allclose(
+            col("line_flux"), lib["supplementary_parameters"][0] * 10.0,
+            rtol=1e-5)
+        np.testing.assert_allclose(col("sfr_10"), 30.0, rtol=1e-5)
+        np.testing.assert_allclose(col("line_flux_Ha"), 70.0, rtol=1e-5)
+        np.testing.assert_allclose(col("custom_lum"), 20.0, rtol=1e-5)
+        np.testing.assert_allclose(col("m_uv"), -20.0, rtol=1e-6)
+        np.testing.assert_allclose(col("beta_uv"), 0.5, rtol=1e-6)
+        np.testing.assert_allclose(col("custom_age"), 9.0, rtol=1e-6)
+
+    def test_auto_unclassifiable_raises(self):
+        lib = self._lib()
+        lib["supplementary_parameter_names"] = ["line_flux", "mystery"]
+        with pytest.raises(ValueError, match="cannot classify"):
+            combine_libraries(
+                [lib], log_stellar_masses=[10.0], redshifts=[1.0],
+                scale_supplementary="auto")
