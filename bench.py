@@ -173,8 +173,12 @@ def main():
     seds_per_sec, (zs_h, zsf_h), eng_h, sup_h = bench_generation()
     # realistic grid size: a real BPASS/BC03 grid is ~[50-100] ages x [10+]
     # metallicities x ~1e4 λ points (VERDICT r1 #3) — bench that too
+    # batch 65536: the per-call fixed cost through the axon tunnel is
+    # ~5 ms (dispatch + arg staging; scripts/realsize_batch_ab.py), which
+    # at batch 16384 was ~half the wall time — 65536 amortizes it
+    # (1.59 -> 3.3 M SEDs/s measured)
     realsize_seds, (zs_r, zsf_r), eng_r, sup_r = bench_generation(
-        batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000)
+        batch=65536, iters=4, n_ages=64, n_mets=12, n_wav=10_000)
     # paper scale: the reference paper's 63-filter GENERAL_SURVEY config
     # (realistic measured-morphology curves, instruments.py) on the
     # realistic-size grid — photometry auto-selects the table-free conv
@@ -182,7 +186,7 @@ def main():
     from synference_tpu.instruments import load_instrument_filters
 
     paper63_seds, (zs_p, zsf_p), eng_p, sup_p = bench_generation(
-        batch=16384, iters=4, n_ages=64, n_mets=12, n_wav=10_000,
+        batch=65536, iters=4, n_ages=64, n_mets=12, n_wav=10_000,
         filters=load_instrument_filters(), lam_min=150.0)
     train_steps = bench_training()
     samples_per_sec = bench_sampling()
@@ -208,7 +212,7 @@ def main():
         "realsize_unsorted_seds_per_sec": round(realsize_seds, 1),
         "realsize_zsorted_seds_per_sec": round(zs_r or 0.0, 1),
         "realsize_zsorted_fused_seds_per_sec": round(zsf_r or 0.0, 1),
-        "realsize_grid": "64x12x10000 lambda, batch 16384",
+        "realsize_grid": "64x12x10000 lambda, batch 65536",
         "realsize_engine": f"{eng_r} support={sup_r}",
         "paper63_seds_per_sec": round(
             max(paper63_seds, zs_p or 0.0, zsf_p or 0.0), 1),
@@ -217,7 +221,7 @@ def main():
         "paper63_zsorted_fused_seds_per_sec": round(zsf_p or 0.0, 1),
         "paper63_config": ("63 realistic survey filters "
                            "(VISTA+HSC+MegaCam+Euclid+HST+JWST+IRAC), "
-                           "64x12x10000 lambda, batch 16384, windowed "
+                           "64x12x10000 lambda, batch 65536, windowed "
                            "conv engine / z-sorted window engine"),
         "paper63_engine": f"{eng_p} support={sup_p}",
         "npe_train_steps_per_sec": round(train_steps, 1),

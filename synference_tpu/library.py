@@ -41,6 +41,15 @@ __all__ = [
 ]
 
 
+def auto_batch_size(n: int) -> int:
+    """Generation chunk size when the caller doesn't pick one: large enough
+    to amortize the ~5 ms per-call fixed cost of a remote/tunneled dispatch
+    (scripts/realsize_batch_ab.py: 16384 -> 65536 is ~2x SEDs/s at
+    production grid sizes) but never padding a small request up to a huge
+    chunk (a fixed 16384 padded an n=1000 run 16x)."""
+    return int(min(65536, -(-n // 256) * 256))
+
+
 # ---------------------------------------------------------------------------
 # Prior sampling (reference `draw_from_hypercube`, library.py:1021-1115)
 # ---------------------------------------------------------------------------
@@ -330,7 +339,7 @@ class LibraryGenerator:
     def generate(
         self,
         n: int,
-        batch_size: int = 16384,
+        batch_size: int | None = None,
         seed: int = 0,
         out_path: str | None = None,
         want_spectra: bool = False,
@@ -357,6 +366,9 @@ class LibraryGenerator:
         deleted on success.
         """
         import jax
+
+        if batch_size is None:
+            batch_size = auto_batch_size(n)
 
         theta = self.sample_parameters(n, rng=np.random.default_rng(seed))
 

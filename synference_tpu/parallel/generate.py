@@ -148,13 +148,15 @@ def make_sharded_zsorted_fn(sim, mesh, axis_name: str = "data",
     return fn
 
 
-def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,
+def sharded_generate(generator, n: int, mesh, batch_size: int | None = None,
                      seed: int = 0, out_path: str | None = None,
                      axis_name: str = "data", want_spectra: bool = False,
                      zsorted: bool | None = None):
     """LibraryGenerator.generate with mesh-sharded batches.
 
     Pads the batch size to a multiple of the mesh axis so shards stay equal.
+    Default batch size matches `LibraryGenerator.generate`'s auto rule
+    (min(65536, n rounded up to 256) — amortizes per-dispatch fixed cost).
 
     `zsorted` (default: auto) routes photometry-only generation through the
     mesh-sharded z-sorted window engine with globally z-presorted draws —
@@ -162,6 +164,10 @@ def sharded_generate(generator, n: int, mesh, batch_size: int = 16384,
     the single-host engine's FLOP savings.
     """
     axis_size = mesh.shape[axis_name]
+    if batch_size is None:
+        from ..library import auto_batch_size
+
+        batch_size = auto_batch_size(n)
     bs = int(np.ceil(batch_size / axis_size) * axis_size)
     sim = generator.simulator
     phot_only = not want_spectra and not generator.supplementary

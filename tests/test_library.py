@@ -141,6 +141,19 @@ class TestLibraryGenerator:
         assert np.isfinite(lib["supplementary_parameters"]).all()
         check_hdf5_schema(path, expect_supp=True)
 
+    def test_auto_batch_size(self, generator):
+        from synference_tpu.library import auto_batch_size
+
+        # small n never pads up to a huge chunk; large n caps at 65536
+        assert auto_batch_size(100) == 256
+        assert auto_batch_size(300) == 512
+        assert auto_batch_size(65536) == 65536
+        assert auto_batch_size(10**6) == 65536
+        # default batch_size=None routes through the auto rule end-to-end
+        lib = generator.generate(n=40, seed=7)
+        assert lib["photometry"].shape == (7, 40)
+        assert np.isfinite(lib["photometry"]).all()
+
     def test_supplementary_sanity(self, generator):
         lib = generator.generate(n=64, batch_size=64, seed=2)
         supp = lib["supplementary_parameters"]
