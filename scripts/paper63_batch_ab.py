@@ -44,8 +44,10 @@ for B in (16384, 32768, 65536):
     dt = (time.time() - t0) / iters
     print(f"conv      B={B:6d}  {dt*1e3:8.1f} ms  {B/dt/1e3:7.0f} k SEDs/s",
           flush=True)
-    # z-sorted fused window engine at matching batch; sub_chunk scaled so
-    # the number of per-sub-chunk dispatches stays constant
+    # z-sorted fused window engine at matching batch; the SAME sub_chunk
+    # grid is swept at every batch size (so per-batch sub-chunk count, and
+    # with it the scan length, grows with B/sub — window tightness vs scan
+    # overhead is what the sweep measures)
     th_np = np.asarray(theta)
     th_sorted = th_np[np.argsort(th_np[:, 1], kind="stable")]
     for sub in (1024, 2048, 4096):

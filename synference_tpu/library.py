@@ -41,13 +41,23 @@ __all__ = [
 ]
 
 
-def auto_batch_size(n: int) -> int:
+def auto_batch_size(n: int, spectra_width: int | None = None) -> int:
     """Generation chunk size when the caller doesn't pick one: large enough
     to amortize the ~5 ms per-call fixed cost of a remote/tunneled dispatch
     (scripts/realsize_batch_ab.py: 16384 -> 65536 is ~2x SEDs/s at
     production grid sizes) but never padding a small request up to a huge
-    chunk (a fixed 16384 padded an n=1000 run 16x)."""
-    return int(min(65536, -(-n // 256) * 256))
+    chunk (a fixed 16384 padded an n=1000 run 16x).
+
+    `spectra_width`: set to the λ-grid width when the chunk materializes
+    full (B, L) spectra outputs (want_spectra / supplementary paths) — the
+    65536 cap was A/B-measured photometry-only; a 65536×10⁴ fp32 spectra
+    slab alone is ~2.6 GB on a 16 GB chip, so scale the cap down with the
+    output width (reference point: 65536 rows at 2048 λ ≈ 512 MB)."""
+    cap = 65536
+    if spectra_width:
+        cap = int(65536 * 2048 / max(spectra_width, 2048))
+        cap = max(4096, (cap // 256) * 256)
+    return int(min(cap, max(256, -(-n // 256) * 256)))
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +336,33 @@ class LibraryGenerator:
             )
         self._drawn_keys = drawn_keys
 
+    def _empty_library(self, want_spectra: bool) -> dict:
+        """n=0 result with the same schema as a non-empty `generate` call."""
+        sim = self.simulator
+        n_params = len(sim.param_names)
+        result = {
+            "parameters": np.zeros((n_params, 0), np.float32),
+            "parameter_names": list(sim.param_names),
+            "photometry": np.zeros((len(sim.filters.codes), 0), np.float32),
+            "filter_codes": list(sim.filters.codes),
+            "photometry_units": "nJy",
+        }
+        if want_spectra:
+            lam = (np.asarray(self.spectral_pipeline.obs_lam)
+                   if self.spectral_pipeline is not None
+                   else np.asarray(sim.grid.lam))
+            result["spectra"] = np.zeros((lam.shape[0], 0), np.float32)
+            result["wavelengths"] = lam
+        supp_names = list(self.supplementary) + (
+            [f"line_flux_{i}" for i in self.emission_lines]
+            + [f"line_ew_{i}" for i in self.emission_lines]
+        )
+        if supp_names:
+            result["supplementary_parameters"] = np.zeros(
+                (len(supp_names), 0), np.float32)
+            result["supplementary_parameter_names"] = supp_names
+        return result
+
     def sample_parameters(self, n: int, rng=None) -> np.ndarray:
         """(N, P) θ draws in simulator.param_names order."""
         draws = draw_from_hypercube(
@@ -368,7 +405,37 @@ class LibraryGenerator:
         import jax
 
         if batch_size is None:
-            batch_size = auto_batch_size(n)
+            wide = (want_spectra or bool(self.supplementary))
+            batch_size = auto_batch_size(
+                n,
+                spectra_width=(
+                    int(np.asarray(self.simulator.grid.lam).shape[0])
+                    if wide else None
+                ),
+            )
+        if n == 0:
+            lib = self._empty_library(want_spectra)
+            if out_path:
+                save_library_hdf5(
+                    out_path,
+                    parameters=lib["parameters"],
+                    parameter_names=lib["parameter_names"],
+                    photometry=lib["photometry"],
+                    filter_codes=lib["filter_codes"],
+                    spectra=lib.get("spectra"),
+                    supplementary_parameters=lib.get(
+                        "supplementary_parameters"),
+                    supplementary_parameter_names=lib.get(
+                        "supplementary_parameter_names"),
+                    extra_datasets=(
+                        {"Wavelengths": lib["wavelengths"]}
+                        if "wavelengths" in lib else None),
+                    model_group_writer=lambda grp: _write_model_group(
+                        grp, self.simulator, self.param_ranges,
+                        self.unlog_keys, embed_grid=self.embed_grid,
+                    ),
+                )
+            return lib
 
         theta = self.sample_parameters(n, rng=np.random.default_rng(seed))
 

@@ -154,6 +154,29 @@ class TestLibraryGenerator:
         assert lib["photometry"].shape == (7, 40)
         assert np.isfinite(lib["photometry"]).all()
 
+    def test_auto_batch_size_spectra_width(self):
+        from synference_tpu.library import auto_batch_size
+
+        # spectra/supplementary chunks materialize (B, L) slabs: the cap
+        # scales down with the λ-grid width (65536 was measured
+        # photometry-only; see ADVICE round 3)
+        assert auto_batch_size(10**6, spectra_width=2048) == 65536
+        assert auto_batch_size(10**6, spectra_width=10_000) <= 16384
+        assert auto_batch_size(10**6, spectra_width=10_000) >= 4096
+        # still never pads a small n up
+        assert auto_batch_size(100, spectra_width=10_000) == 256
+
+    def test_generate_zero(self, generator, tmp_path):
+        path = str(tmp_path / "empty.h5")
+        lib = generator.generate(n=0, seed=3, out_path=path)
+        assert lib["photometry"].shape == (7, 0)
+        assert lib["parameters"].shape == (6, 0)
+        assert lib["supplementary_parameters"].shape == (5, 0)
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            assert f["Grid/Photometry"].shape == (7, 0)
+
     def test_supplementary_sanity(self, generator):
         lib = generator.generate(n=64, batch_size=64, seed=2)
         supp = lib["supplementary_parameters"]
