@@ -79,12 +79,24 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
     # reachable λ/knot windows
     zs_rate = zsf_rate = None
     if sim._window_supported():
+        # device-resident engine: θ sorted + window-planned on device, no
+        # per-call host staging — this is what LibraryGenerator's
+        # device_sampling path drives (through the axon tunnel each
+        # host→device transfer costs ~60 ms; the old host-planned API paid
+        # ~115 ms of staging per 13 ms of realistic-size compute)
         th_np = np.asarray(theta)
-        th_sorted = th_np[np.argsort(th_np[:, 1], kind="stable")]
-        np.asarray(sim.photometry_zsorted(th_sorted))  # compile
+        z_sorted = np.sort(th_np[:, 1], kind="stable")
+        th_sorted = jnp.asarray(
+            th_np[np.argsort(th_np[:, 1], kind="stable")])
+        sub = 1024
+        span = sim.zsorted_max_span(z_sorted, sub)
+        kc, w_cols = sim._zsorted_plan(span)
+        kw = dict(sub_chunk=sub, kc=kc, w_cols=w_cols)
+        jax.block_until_ready(
+            sim.photometry_zsorted_device(th_sorted, **kw))  # compile
         t0 = time.time()
         for _ in range(iters):
-            p = sim.photometry_zsorted(th_sorted)
+            p = sim.photometry_zsorted_device(th_sorted, **kw)
         jax.block_until_ready(p)
         zs_rate = batch / ((time.time() - t0) / iters)
         if sim._window_mega_supported():
@@ -93,10 +105,12 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
             # VMEM working set should degrade to "not reported", not kill
             # the bench
             try:
-                np.asarray(sim.photometry_zsorted(th_sorted, fused=True))
+                jax.block_until_ready(sim.photometry_zsorted_device(
+                    th_sorted, fused=True, **kw))
                 t0 = time.time()
                 for _ in range(iters):
-                    p = sim.photometry_zsorted(th_sorted, fused=True)
+                    p = sim.photometry_zsorted_device(
+                        th_sorted, fused=True, **kw)
                 jax.block_until_ready(p)
                 zsf_rate = batch / ((time.time() - t0) / iters)
             except Exception as e:  # Mosaic VMEM/lowering failures

@@ -373,6 +373,52 @@ class LibraryGenerator:
             [draws[p] for p in self.simulator.param_names], axis=1
         )
 
+    def sample_parameters_device(self, n: int, key):
+        """(N, P) θ draws ON DEVICE in simulator.param_names order.
+
+        Classic stratified LHC via jax.random (per-dim permutation + jitter
+        — the same statistics as the host fast path); engine "random" draws
+        plain uniforms. sobol/halton stay host-side (scipy-only).
+
+        This is the device-resident generation entry: through a tunneled
+        TPU every host→device transfer costs ~60 ms of latency
+        (scripts/zsorted_overhead_probe.py), so production generation draws
+        θ, sorts by redshift, plans windows, and simulates without the
+        arrays ever visiting the host.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if self.engine not in ("lhc", "random"):
+            raise ValueError(
+                f"device sampling supports engines 'lhc'/'random', "
+                f"not {self.engine!r} (sobol/halton are scipy host-side)")
+        d = len(self.param_ranges)
+        keys = jax.random.split(key, 2 * d)
+        cols = {}
+        for j, (pkey, (lo, hi)) in enumerate(self.param_ranges.items()):
+            if not lo < hi:
+                raise ValueError(f"range for {pkey!r} must have lo < hi")
+            if self.engine == "lhc":
+                perm = jax.random.permutation(keys[2 * j], int(n))
+                # perm/n + u/n (NOT (perm+u)/n): above 2^24 the f32 add
+                # perm + u would drop the jitter entirely
+                u = (perm.astype(jnp.float32) / n
+                     + jax.random.uniform(keys[2 * j + 1], (int(n),)) / n)
+            else:
+                u = jax.random.uniform(keys[2 * j + 1], (int(n),))
+            vals = (lo + (hi - lo) * u).astype(jnp.float32)
+            name = pkey
+            if pkey in self.unlog_keys:
+                vals = (10.0 ** vals).astype(jnp.float32)
+                for prefix in ("log10_", "log_"):
+                    if name.startswith(prefix):
+                        name = name[len(prefix):]
+                        break
+            cols[name] = vals
+        return jnp.stack(
+            [cols[p] for p in self.simulator.param_names], axis=1)
+
     def generate(
         self,
         n: int,
@@ -384,6 +430,7 @@ class LibraryGenerator:
         resume_path: str | None = None,
         presort: bool = False,
         zsorted_fused: bool = False,
+        device_sampling: bool | None = None,
     ) -> dict:
         """Generate n mock SEDs; returns the library dict, optionally writes
         HDF5. `pmapped_fn` lets `parallel/generate.py` supply a shard_mapped
@@ -401,6 +448,15 @@ class LibraryGenerator:
         I/O per chunk — the round-1 single-npz version rewrote every
         accumulated chunk after each new one, O(n²) total. Chunk files are
         deleted on success.
+
+        `device_sampling`: draw θ, sort, window-plan and simulate entirely
+        on device (`sample_parameters_device` +
+        `photometry_zsorted_device`) — no per-chunk host→device staging,
+        which through a tunneled TPU costs ~60 ms/transfer and dominated
+        the z-sorted engine (scripts/zsorted_overhead_probe.py). Default
+        (None) auto-enables for photometry-only lhc/random generation when
+        the window engine supports the model. The device RNG differs from
+        the host sampler: same seed, different (equally valid) draws.
         """
         import jax
 
@@ -437,9 +493,32 @@ class LibraryGenerator:
                 )
             return lib
 
+        sim = self.simulator
+        device_ok = (
+            pmapped_fn is None and not want_spectra
+            and not self.supplementary and not self.emission_lines
+            and self.engine in ("lhc", "random")
+            and "redshift" in sim.param_names
+            and getattr(sim, "_window_supported", lambda: False)()
+        )
+        if device_sampling is None:
+            device_sampling = device_ok
+        elif device_sampling and not device_ok:
+            import warnings
+
+            warnings.warn(
+                "device_sampling=True requested but this generation "
+                "needs host-side work (spectra/supplementary/lines/"
+                "pmapped_fn, a scipy-only QMC engine, or a model the "
+                "window engine can't run); using the host sampler",
+                RuntimeWarning, stacklevel=2)
+            device_sampling = False
+        if device_sampling:
+            return self._generate_device(
+                n, batch_size, seed, out_path, resume_path, zsorted_fused)
+
         theta = self.sample_parameters(n, rng=np.random.default_rng(seed))
 
-        sim = self.simulator
         # z-ordered generation (the window engine): library rows are
         # exchangeable, so sort the draws by redshift — consecutive chunks
         # then span narrow z ranges and `photometry_zsorted` contracts only
@@ -549,11 +628,14 @@ class LibraryGenerator:
                 # a run without it hold photometry for DIFFERENT rows
                 ck_order = (str(ck["order"]) if "order" in ck.files
                             else "<pre-order-tag>")
+                ck_sampler = (str(ck["sampler"]) if "sampler" in ck.files
+                              else "host")
                 if not (
                     int(ck["n"]) == n
                     and int(ck["batch_size"]) == batch_size
                     and int(ck["seed"]) == seed
                     and ck_order == row_order
+                    and ck_sampler == "host"
                 ):
                     break
                 phot_chunks.append(ck["phot"])
@@ -686,6 +768,126 @@ class LibraryGenerator:
                     if "wavelengths" in result
                     else None
                 ),
+                model_group_writer=lambda grp: _write_model_group(
+                    grp, sim, self.param_ranges, self.unlog_keys,
+                    embed_grid=self.embed_grid,
+                ),
+            )
+        return result
+
+    def _generate_device(self, n, batch_size, seed, out_path, resume_path,
+                         zsorted_fused):
+        """Device-resident photometry-only generation: θ drawn, z-sorted,
+        window-planned and simulated without leaving the device. One scalar
+        readback (the global window plan), one final host copy of θ and
+        photometry. See `generate(device_sampling=...)`."""
+        import jax
+        import jax.numpy as jnp
+
+        sim = self.simulator
+        theta_dev = self.sample_parameters_device(n, jax.random.PRNGKey(seed))
+        iz = sim.param_names.index("redshift")
+        theta_dev = theta_dev[jnp.argsort(theta_dev[:, iz], stable=True)]
+        sub = int(min(1024, batch_size))
+        bs = int(np.ceil(batch_size / sub) * sub)
+        n_pad = int(np.ceil(n / bs) * bs)
+        if n_pad != n:  # pad with the last (highest-z) row: windows stay tight
+            theta_dev = jnp.concatenate(
+                [theta_dev, jnp.repeat(theta_dev[-1:], n_pad - n, axis=0)],
+                axis=0)
+        # global window plan across every sub-chunk — the one readback
+        z = theta_dev[:, iz]
+        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / sim._filter_dlog
+        k = jnp.minimum((s / sim._knot_delta).astype(jnp.int32),
+                        sim._n_knots - 2)
+        span = int(jnp.max(k[sub - 1::sub] - k[::sub]))
+        kc, w_cols = sim._zsorted_plan(span)
+        windowed = (kc < sim._n_knots
+                    and w_cols < int(sim._wlam_sup.shape[0]))
+        if windowed:
+            fuse = zsorted_fused and sim._window_mega_supported()
+            if zsorted_fused and not fuse:
+                import warnings
+
+                warnings.warn(
+                    "zsorted_fused=True requested but the windowed "
+                    "megakernel is unsupported for this simulator "
+                    "(see BatchSEDSimulator._window_mega_supported); "
+                    "falling back to the staged XLA window body",
+                    RuntimeWarning, stacklevel=2)
+
+            def chunk_fn(t, i):
+                return sim.photometry_zsorted_device(
+                    t, sub_chunk=sub, row_offset=i, kc=kc, w_cols=w_cols,
+                    fused=fuse)
+        else:  # window IS the full table: dense fused path, still on device
+            dense = jax.jit(sim.photometry)
+
+            def chunk_fn(t, i):
+                return dense(t)
+
+        # start the θ host copy now; it overlaps the chunk dispatches
+        theta_dev.copy_to_host_async()
+
+        def _chunk_file(ci):
+            return f"{resume_path}.chunk{ci:06d}.npz"
+
+        phot_chunks = []
+        start_chunk = 0
+        chunk_files = []
+        if resume_path is not None:
+            while os.path.exists(_chunk_file(start_chunk)):
+                ck = np.load(_chunk_file(start_chunk), allow_pickle=True)
+                ck_sampler = (str(ck["sampler"]) if "sampler" in ck.files
+                              else "host")
+                if not (
+                    int(ck["n"]) == n
+                    and int(ck["batch_size"]) == bs
+                    and int(ck["seed"]) == seed
+                    and ck_sampler == "device"
+                ):
+                    break
+                phot_chunks.append(ck["phot"])
+                chunk_files.append(_chunk_file(start_chunk))
+                start_chunk += 1
+
+        for ci, i in enumerate(range(0, n_pad, bs)):
+            if ci < start_chunk:
+                continue
+            out = chunk_fn(theta_dev[i:i + bs], i)
+            # no resume: keep the device array — a host sync per chunk
+            # would serialize dispatch with the tunnel round-trip
+            phot_chunks.append(out if resume_path is None
+                               else np.asarray(out))
+            if resume_path is not None:
+                tmp = _chunk_file(ci) + ".tmp.npz"
+                np.savez(tmp, n=n, batch_size=bs, seed=seed,
+                         order="zsorted", sampler="device",
+                         phot=phot_chunks[-1])
+                os.replace(tmp, _chunk_file(ci))
+                chunk_files.append(_chunk_file(ci))
+        if resume_path is not None:
+            for f in chunk_files:
+                if os.path.exists(f):
+                    os.remove(f)
+
+        photometry = np.concatenate(
+            [np.asarray(c) for c in phot_chunks], axis=0)[:n]
+        theta = np.asarray(theta_dev[:n])
+        result = {
+            "parameters": theta.T,  # (P, N) reference convention
+            "parameter_names": list(sim.param_names),
+            "photometry": photometry.T,  # (F, N)
+            "filter_codes": list(sim.filters.codes),
+            "photometry_units": "nJy",
+        }
+        if out_path is not None:
+            save_library_hdf5(
+                out_path,
+                parameters=result["parameters"],
+                parameter_names=result["parameter_names"],
+                photometry=result["photometry"],
+                filter_codes=result["filter_codes"],
                 model_group_writer=lambda grp: _write_model_group(
                     grp, sim, self.param_ranges, self.unlog_keys,
                     embed_grid=self.embed_grid,

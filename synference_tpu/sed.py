@@ -1222,6 +1222,116 @@ class BatchSEDSimulator:
                 (kb[sub_chunk - 1::sub_chunk] - kb[::sub_chunk]).max()))
         return span
 
+    def _zsorted_device_program(self, sub: int, w_cols: int, kc: int,
+                                fused: bool = False):
+        """Device-resident window engine: the per-sub-chunk planning
+        (k0/l0/ids) moves INSIDE the jitted program, so a caller holding θ
+        on device dispatches ONE program with no host-side arrays at all.
+
+        Through the axon tunnel every host→device transfer costs ~60 ms of
+        latency regardless of size (scripts/zsorted_overhead_probe.py:
+        1.6 MB in 66 ms); the host-planned `photometry_zsorted` pays ~115 ms
+        of staging per 13 ms of realistic-size compute. This variant is what
+        `LibraryGenerator` drives for device-sampled generation.
+
+        The caller's (kc, w_cols) MUST cover the worst sub-chunk z span —
+        validate once per generation via `zsorted_max_span` (one scalar
+        readback), as `LibraryGenerator.generate` does. Arithmetic is
+        identical to the host-planned path: same clamped knot intervals,
+        same window placement rule (`_zsorted_window_plan`).
+        """
+        cache = self.__dict__.setdefault("_zsorted_dev_jit", {})
+        fn = cache.get((sub, w_cols, kc, fused))
+        if fn is not None:
+            return fn
+        base = self._zsorted_run_raw(sub, w_cols, kc, fused)
+        delta = self._knot_delta
+        n_knots = self._n_knots
+        m0, _ = self._filter_support_cols
+        l_lo = self._lam_support[0] if self._lam_support else 0
+        l_sup = int(self._wlam_sup.shape[0])
+        iz = (self.param_names.index("redshift")
+              if "redshift" in self.param_names else None)
+        z_fix = (None if iz is not None
+                 else float(self.fixed_params.get("redshift", 0.0)))
+
+        def run(theta_pad, row_offset, t_mix, m_igm, den_knots,
+                dust_curve, wlam):
+            n_sub = theta_pad.shape[0]
+            if iz is not None:
+                z = theta_pad[:, :, iz]
+            else:
+                z = jnp.full(theta_pad.shape[:2], z_fix, jnp.float32)
+            s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+            # floor(s/δ) == floor(floor(s)/δ) for s ≥ 0, integer δ — matches
+            # the host plan's int64 floor-divide exactly
+            k_flat = jnp.minimum((s / delta).astype(jnp.int32), n_knots - 2)
+            k0 = jnp.clip(k_flat[:, 0] - 1, 0, n_knots - kc)
+            l0 = jnp.clip((m0 - l_lo) - (k0 + kc - 1) * delta,
+                          0, l_sup - w_cols).astype(jnp.int32)
+            ids = (jnp.asarray(row_offset, jnp.int32)
+                   + jnp.arange(n_sub * sub, dtype=jnp.int32)
+                   ).reshape(n_sub, sub)
+            return base(theta_pad, ids, l0, k0, t_mix, m_igm, den_knots,
+                        dust_curve, wlam)
+
+        fn = jax.jit(run)
+        cache[(sub, w_cols, kc, fused)] = fn
+        return fn
+
+    def photometry_zsorted_device(self, theta, sub_chunk: int = 1024,
+                                  row_offset: int = 0,
+                                  kc: int | None = None,
+                                  w_cols: int | None = None,
+                                  fused: bool = False):
+        """Device-array twin of `photometry_zsorted`: θ (B, P) is a device
+        (jax) array sorted by ascending redshift; returns a DEVICE (B, F)
+        array. Sortedness is NOT checked (that would force a host sync) —
+        callers own the ordering, as `LibraryGenerator` does.
+
+        When (kc, w_cols) are omitted they are planned from θ's redshifts
+        with ONE scalar readback; pass the generation-global values to keep
+        long runs on a single compiled program with zero readbacks.
+        """
+        if not self._window_supported():
+            raise ValueError(
+                "model config unsupported by the z-sorted window engine; "
+                "call .photometry() instead (see _window_supported)")
+        if fused and not self._window_mega_supported():
+            raise ValueError(
+                "model config unsupported by the FUSED window engine "
+                "(see _window_mega_supported); call with fused=False")
+        theta = jnp.asarray(theta, jnp.float32)
+        b = theta.shape[0]
+        sub = int(min(sub_chunk, b))
+        n_sub = int(np.ceil(b / sub))
+        pad = n_sub * sub - b
+        if pad:
+            theta = jnp.concatenate(
+                [theta, jnp.repeat(theta[-1:], pad, axis=0)], axis=0)
+        if kc is None or w_cols is None:
+            if "redshift" in self.param_names:
+                z = theta[:, self.param_names.index("redshift")]
+                s = (jnp.log10(1.0 + jnp.maximum(z, 0.0))
+                     / self._filter_dlog)
+                k = jnp.minimum((s / self._knot_delta).astype(jnp.int32),
+                                self._n_knots - 2)
+                span = int(jnp.max(k[sub - 1::sub] - k[::sub]))  # 1 readback
+            else:
+                span = 0
+            kc_req, w_req = self._zsorted_plan(span)
+            kc = kc_req if kc is None else int(kc)
+            w_cols = w_req if w_cols is None else int(w_cols)
+        if kc >= self._n_knots or w_cols >= int(self._wlam_sup.shape[0]):
+            return self.photometry(theta[:b])  # window IS the full table
+        t_mix, m_igm, den_knots = self._zsorted_tables()
+        run = self._zsorted_device_program(sub, w_cols, int(kc), fused=fused)
+        out = run(
+            theta.reshape(n_sub, sub, -1), jnp.int32(row_offset),
+            t_mix, m_igm, den_knots, self._dust_curve_sup, self._wlam_sup,
+        )
+        return out[:b]
+
     def _zsorted_window_plan(self, z_sorted_padded, sub: int,
                              kc: int | None = None,
                              w_cols: int | None = None):

@@ -123,6 +123,117 @@ class TestZSortedEngine:
         _assert_parity(p_zs, p_ref)
 
 
+class TestDeviceResidentEngine:
+    """Device-array twin (`photometry_zsorted_device`): in-jit window
+    planning, no host staging — must match the host-planned path exactly
+    (same clamped knot intervals, same window placement)."""
+
+    @pytest.fixture(scope="class")
+    def sim(self, grid, filters):
+        return BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+
+    def test_matches_host_planned_path(self, sim):
+        import jax.numpy as jnp
+
+        theta = _sorted_theta(1536, seed=6)
+        p_host = np.asarray(sim.photometry_zsorted(theta, sub_chunk=128))
+        p_dev = np.asarray(sim.photometry_zsorted_device(
+            jnp.asarray(theta), sub_chunk=128))
+        # identical plan + identical arithmetic; only a 1-ulp log10
+        # difference (numpy vs XLA host planning) can flip a knot interval
+        # at its boundary, where the cubic is continuous anyway
+        np.testing.assert_allclose(p_dev, p_host, rtol=1e-5)
+
+    def test_explicit_plan_and_padding(self, sim):
+        import jax.numpy as jnp
+
+        theta = _sorted_theta(1200, seed=8)  # non-multiple of sub_chunk
+        z = theta[:, PNAMES.index("redshift")]
+        span = sim.zsorted_max_span(np.sort(z), 128)
+        kc, w_cols = sim._zsorted_plan(span)
+        p_dev = np.asarray(sim.photometry_zsorted_device(
+            jnp.asarray(theta), sub_chunk=128, kc=kc, w_cols=w_cols))
+        p_ref = np.asarray(sim.photometry(theta))
+        assert p_dev.shape == p_ref.shape
+        _assert_parity(p_dev, p_ref)
+
+    def test_fused_window_device(self, sim):
+        import jax.numpy as jnp
+
+        if not sim._window_mega_supported():
+            pytest.skip("fused window unsupported for this config")
+        theta = _sorted_theta(512, seed=9)
+        p_dev = np.asarray(sim.photometry_zsorted_device(
+            jnp.asarray(theta), sub_chunk=128, fused=True))
+        p_ref = np.asarray(sim.photometry(theta))
+        _assert_parity(p_dev, p_ref, p99=5e-3)
+
+
+class TestGeneratorDeviceSampling:
+    def test_device_generation_parity_and_sorted(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (7.5, 11.0), "redshift": (0.1, 4.0),
+            "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
+            "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
+        }, unlog_keys=["log10_peak_age"])
+        lib = gen.generate(n=1500, batch_size=512, seed=3)  # auto device
+        th = lib["parameters"].T
+        iz = PNAMES.index("redshift")
+        assert np.all(np.diff(th[:, iz]) >= 0)
+        # draws actually cover the box (stratified LHC on device)
+        assert th[:, 0].min() < 7.7 and th[:, 0].max() > 10.8
+        p_ref = np.asarray(sim.photometry(th))
+        _assert_parity(lib["photometry"].T, p_ref)
+
+    def test_device_resume_roundtrip(self, grid, filters, tmp_path):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 3.0),
+            "log10_peak_age": (7.8, 9.0), "tau": (0.2, 1.0),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, unlog_keys=["log10_peak_age"])
+        full = gen.generate(n=1024, batch_size=256, seed=5)
+        ck = str(tmp_path / "dev_ck")
+        resumed = gen.generate(n=1024, batch_size=256, seed=5,
+                               resume_path=ck)
+        np.testing.assert_allclose(resumed["photometry"],
+                                   full["photometry"], rtol=1e-5)
+        # host-sampler chunks must not merge into a device-sampled run
+        poison = np.full((256, len(filters.codes)), 1.0e9, np.float32)
+        np.savez(ck + ".chunk000000.npz", n=1024, batch_size=256, seed=5,
+                 order="zsorted", phot=poison)  # no sampler tag -> host
+        resumed2 = gen.generate(n=1024, batch_size=256, seed=5,
+                                resume_path=ck)
+        np.testing.assert_allclose(resumed2["photometry"],
+                                   full["photometry"], rtol=1e-5)
+
+    def test_host_sampler_opt_out(self, grid, filters):
+        sim = BatchSEDSimulator(
+            grid, filters, PNAMES, sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(),
+            photometry_backend="pallas", photometry_variant="interp")
+        gen = LibraryGenerator(sim, {
+            "log10_mass": (8.0, 10.0), "redshift": (0.5, 3.0),
+            "log10_peak_age": (7.8, 9.0), "tau": (0.2, 1.0),
+            "log10_metallicity": (-3.0, -2.0), "tau_v": (0.0, 1.0),
+        }, unlog_keys=["log10_peak_age"])
+        lib = gen.generate(n=256, batch_size=256, seed=4,
+                           device_sampling=False)
+        th = lib["parameters"].T
+        p_ref = np.asarray(sim.photometry(th))
+        _assert_parity(lib["photometry"].T, p_ref)
+
+
 class TestGeneratorZSorted:
     def test_generate_sorted_and_consistent(self, grid, filters):
         sim = BatchSEDSimulator(
