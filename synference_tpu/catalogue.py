@@ -371,6 +371,90 @@ class MissingPhotometryHandler:
 # ---------------------------------------------------------------------------
 
 
+def _posterior_to_simulator_columns(samples, parameter_names, simulator):
+    """(M, S, P_fit) posterior draws -> (M, S, P_sim) in simulator order.
+
+    The fitter's θ columns must cover the simulator's param_names (library
+    registry transforms already run inside the simulator); raise otherwise
+    so a mismatched simulator fails loudly, not with scrambled physics.
+    """
+    names = list(parameter_names)
+    idx = []
+    for p in simulator.param_names:
+        if p not in names:
+            raise ValueError(
+                f"simulator parameter {p!r} not among fitter parameters "
+                f"{names}; rebuild the simulator with "
+                "`library.simulator_from_library` on the training library")
+        idx.append(names.index(p))
+    return samples[..., idx]
+
+
+def reconstruct_photometry(simulator, samples, parameter_names,
+                           max_draws: int = 64, chunk: int = 16384):
+    """Push posterior draws back through the forward model, batched.
+
+    Reference appends reconstructed-photometry columns per object
+    (`sbi_runner.py:3255-3317`, per-object loops); here ALL objects × draws
+    go through the jitted batch simulator in fixed-shape chunks.
+
+    Args:
+        samples: (M, S, P_fit) posterior draws.
+    Returns:
+        (M, min(S, max_draws), F) band fluxes [nJy].
+    """
+    draws = _posterior_to_simulator_columns(
+        np.asarray(samples, np.float32)[:, :max_draws, :],
+        parameter_names, simulator)
+    m, s, p = draws.shape
+    flat = draws.reshape(m * s, p)
+    n = flat.shape[0]
+    n_pad = int(np.ceil(n / chunk) * chunk)
+    if n_pad != n:  # pad to ONE chunk shape: a single compiled program
+        flat = np.concatenate([flat, np.repeat(flat[:1], n_pad - n, 0)], 0)
+    fn = jax.jit(simulator.photometry)
+    outs = [np.asarray(fn(jnp.asarray(flat[i:i + chunk])))
+            for i in range(0, n_pad, chunk)]
+    return np.concatenate(outs, axis=0)[:n].reshape(m, s, -1)
+
+
+def recover_seds_batched(simulator, samples, parameter_names,
+                         quantiles=(0.16, 0.5, 0.84), max_draws: int = 32,
+                         rows_per_call: int = 4096):
+    """Per-object observed-frame SED quantile bands from posterior draws.
+
+    The reference loops `recover_SED` object by object through the Python
+    Synthesizer stack (`sbi_runner.py:3332-3373`); here (objects × draws)
+    batches through `simulate(want_spectra=True)` and the quantiles reduce
+    host-side per object chunk.
+
+    Returns:
+        dict with lam (L,), fnu_quantiles (M, Q, L) [nJy], quantiles.
+    """
+    draws = _posterior_to_simulator_columns(
+        np.asarray(samples, np.float32)[:, :max_draws, :],
+        parameter_names, simulator)
+    m, s, p = draws.shape
+    obj_chunk = max(1, rows_per_call // s)
+    fn = jax.jit(lambda t: simulator.simulate(t, want_spectra=True)
+                 ["fnu_njy"])
+    qs = []
+    for i in range(0, m, obj_chunk):
+        blk = draws[i:i + obj_chunk]
+        if blk.shape[0] < obj_chunk:  # pad: one compiled shape
+            blk = np.concatenate(
+                [blk, np.repeat(blk[:1], obj_chunk - blk.shape[0], 0)], 0)
+        fnu = np.asarray(fn(jnp.asarray(blk.reshape(obj_chunk * s, p))))
+        fnu = fnu.reshape(obj_chunk, s, -1)[:min(obj_chunk, m - i)]
+        qs.append(np.quantile(fnu, quantiles, axis=1))  # (Q, mc, L)
+    return {
+        "lam": np.asarray(simulator.grid.lam),
+        "fnu_quantiles": np.concatenate(
+            [np.moveaxis(q, 0, 1) for q in qs], axis=0),  # (M, Q, L)
+        "quantiles": list(quantiles),
+    }
+
+
 def fit_catalogue(
     fitter,
     flux,
@@ -383,6 +467,10 @@ def fit_catalogue(
     ood_methods=("mahalanobis", "iforest", "lof", "elliptic",
                  "ecod", "hbos", "knn", "pca"),
     missing_data_handler: MissingPhotometryHandler | None = None,
+    simulator=None,
+    recon_draws: int = 64,
+    recover_seds: bool = False,
+    sed_draws: int = 32,
     key=None,
 ):
     """Fit an observed catalogue with a trained fitter.
@@ -391,6 +479,14 @@ def fit_catalogue(
     `{param}_q{percent}`, OOD flags, missing-band counts, plus the raw
     posterior sample tensor under "_samples" (reference `fit_catalogue`
     output columns, sbi_runner.py:3255-3317).
+
+    Pass `simulator` (e.g. `library.simulator_from_library(path)`) to also
+    forward-model the posterior: reconstructed-photometry quantile columns
+    `recon_{filter}_q{p}` from `recon_draws` draws per object (reference
+    appends these at sbi_runner.py:3255-3317), and with
+    `recover_seds=True` per-object observed-frame SED quantile bands under
+    `_recovered_seds` (reference's per-object recover_SED loop,
+    sbi_runner.py:3332-3373 — here one batched program).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     flux = np.atleast_2d(np.asarray(flux, np.float32))
@@ -445,6 +541,23 @@ def fit_catalogue(
             out[f"{name}_q{int(round(q * 100))}"] = np.quantile(
                 samples[..., i], q, axis=1
             )
+    if simulator is not None:
+        recon = reconstruct_photometry(
+            simulator, samples, fitter.parameter_names,
+            max_draws=recon_draws)
+        for j, code in enumerate(simulator.filters.codes):
+            for q in quantiles:
+                out[f"recon_{code}_q{int(round(q * 100))}"] = np.quantile(
+                    recon[:, :, j], q, axis=1)
+        out["_recon_photometry"] = recon
+        if recover_seds:
+            out["_recovered_seds"] = recover_seds_batched(
+                simulator, samples, fitter.parameter_names,
+                quantiles=quantiles, max_draws=sed_draws)
+    elif recover_seds:
+        raise ValueError(
+            "recover_seds=True needs `simulator` (rebuild one with "
+            "library.simulator_from_library on the training library)")
     out["_samples"] = samples
     out["_features"] = feats
     return out

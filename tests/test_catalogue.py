@@ -175,6 +175,71 @@ class TestFitCatalogue:
         assert np.isfinite(table["_samples"]).all()
 
 
+class TestReconPhotometryAndSEDs:
+    """Forward-modelled posterior columns (reference sbi_runner.py:3255-3373
+    appends reconstructed photometry + loops recover_SED per object)."""
+
+    def test_recon_columns_close_to_input_for_bright(self, trained_fitter,
+                                                     test_grid,
+                                                     nircam_filters):
+        fitter, lib = trained_fitter
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v"),
+            sfh="lognormal", zdist="delta", emission=EmissionConfig(),
+        )
+        phot = lib["photometry"].T
+        bright = np.argsort(phot.sum(axis=1))[-8:]  # brightest objects
+        obs = phot[bright]
+        errs = 0.05 * obs
+        table = fit_catalogue(fitter, obs, errs, "nJy", n_samples=200,
+                              check_ood=False, simulator=sim,
+                              recon_draws=64, recover_seds=True,
+                              sed_draws=16)
+        codes = sim.filters.codes
+        med = np.stack([table[f"recon_{c}_q50"] for c in codes], axis=1)
+        assert med.shape == obs.shape
+        assert np.isfinite(med).all() and (med > 0).all()
+        # the posterior median reconstruction tracks the observed
+        # photometry for bright in-distribution objects (MDN at this tiny
+        # budget: order-of-magnitude agreement on most bands)
+        rel = np.abs(med - obs) / obs
+        assert np.median(rel) < 1.0
+        # quantile ordering per band
+        for c in codes:
+            assert (table[f"recon_{c}_q16"]
+                    <= table[f"recon_{c}_q84"]).all()
+        seds = table["_recovered_seds"]
+        assert seds["fnu_quantiles"].shape == (8, 3, test_grid.n_wav)
+        assert np.isfinite(seds["fnu_quantiles"]).all()
+        # band ordering holds pointwise in λ too
+        assert (seds["fnu_quantiles"][:, 0] <=
+                seds["fnu_quantiles"][:, 2] + 1e-30).all()
+
+    def test_recover_seds_requires_simulator(self, trained_fitter):
+        fitter, lib = trained_fitter
+        phot = lib["photometry"].T[:2]
+        with pytest.raises(ValueError, match="simulator"):
+            fit_catalogue(fitter, phot, 0.05 * phot, "nJy", n_samples=20,
+                          check_ood=False, recover_seds=True)
+
+    def test_simulator_param_mismatch_raises(self, trained_fitter,
+                                             test_grid, nircam_filters):
+        fitter, lib = trained_fitter
+        sim = BatchSEDSimulator(
+            grid=test_grid, filters=nircam_filters,
+            param_names=("log10_mass", "redshift", "peak_age", "tau",
+                         "log10_metallicity", "tau_v", "fesc"),
+            sfh="lognormal", zdist="delta",
+            emission=EmissionConfig(fesc="fesc"),
+        )
+        phot = lib["photometry"].T[:2]
+        with pytest.raises(ValueError, match="fesc"):
+            fit_catalogue(fitter, phot, 0.05 * phot, "nJy", n_samples=20,
+                          check_ood=False, simulator=sim)
+
+
 class TestOODMethods:
     """Native detector parity with the reference's 8-method PyOD vote
     (sbi_runner.py:3777-3831)."""
