@@ -18,6 +18,7 @@ Attention masks: "full" or block masks over θ/x tokens mirroring
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -385,6 +386,95 @@ class SimformerPosterior:
         return jax.vmap(
             lambda k, xi: self.sample(k, xi, n, condition_mask)
         )(keys, xs)
+
+    def log_prob(self, theta, xs, condition_mask=None,
+                 n_steps: int | None = None):
+        """Conditional log p(θ | x) via the probability-flow ODE.
+
+        The PF-ODE dv/dt = −½β(t)(v + s_θ(v, t)) shares the reverse SDE's
+        marginals, so integrating a (θ, x) point from t≈0 to t=1 with the
+        instantaneous change-of-variables term gives an exact log-density
+        under the learned score (Song et al. 2021 §D.2). Observed tokens
+        are frozen (zero drift); the divergence is the exact trace over
+        latent tokens, computed with one JVP per token — n_tokens forward
+        passes per ODE step, affordable at SED-fitting token counts.
+
+        Reference analogue: the condition-masked `log_prob` of
+        `Simformer_Fitter` (sbi_runner.py:8783-8856). This is what lets
+        `evaluate_posterior` report finite mean_log_prob for simformer
+        models and HPO use log-prob objectives with them.
+
+        Args:
+            theta: (n, P) parameter points (original, unstandardized).
+            xs: (n, F) paired observations.
+            condition_mask: optional (T,) override; 1 = observed token.
+                Default: posterior mask (x observed, θ latent).
+        Returns:
+            (n,) log densities in original θ units.
+        """
+        theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+        n = theta.shape[0]
+        n_theta = self.std["n_theta"]
+        n_tok = self.model.cfg.n_tokens
+        if condition_mask is None:
+            cond = jnp.concatenate(
+                [jnp.zeros(n_theta), jnp.ones(n_tok - n_theta)])
+        else:
+            cond = jnp.asarray(condition_mask, jnp.float32)
+        steps = int(n_steps if n_steps is not None else self.n_steps)
+        cache = self.__dict__.setdefault("_logprob_jit", {})
+        fn = cache.get((n, steps))
+        if fn is None:
+            fn = jax.jit(functools.partial(self._log_prob_impl, steps=steps))
+            cache[(n, steps)] = fn
+        return fn(theta, xs, cond)
+
+    def _log_prob_impl(self, theta, xs, cond, *, steps: int):
+        model, sde = self.model, self.model.sde
+        n_tok = model.cfg.n_tokens
+        mu = jnp.asarray(self.std["mu"])
+        sd = jnp.asarray(self.std["sd"])
+        n = theta.shape[0]
+        v0 = (jnp.concatenate([theta, xs], axis=1) - mu) / sd  # (n, T)
+        cond_b = jnp.broadcast_to(cond, (n, n_tok))
+        lat = 1.0 - cond  # (T,) 1 = latent token
+        eps0 = 1.0e-3
+        dt = (1.0 - eps0) / steps
+        attn = self.attn_mask
+        params = self.params
+
+        def f(v, t):  # PF-ODE drift, zeroed on observed tokens
+            tb = jnp.full((v.shape[0],), t)
+            s = model.score(params, v, tb, cond_b, attn)
+            return -0.5 * sde.beta(t) * (v + s) * lat[None, :]
+
+        basis = jnp.eye(n_tok) * lat[:, None]  # latent rows; others zero
+
+        def step(carry, i):
+            v, ld = carry
+            t = eps0 + i * dt
+
+            def one_dir(e):
+                fv, dv = jax.jvp(
+                    lambda u: f(u, t), (v,),
+                    (jnp.broadcast_to(e, v.shape),))
+                return fv, jnp.sum(dv * e[None, :], axis=1)
+
+            fvs, divs = jax.vmap(one_dir)(basis)
+            v = v + fvs[0] * dt  # primal identical across directions
+            ld = ld + divs.sum(axis=0) * dt
+            return (v, ld), None
+
+        (v1, ld), _ = jax.lax.scan(
+            step, (v0, jnp.zeros(n)),
+            jnp.arange(steps, dtype=jnp.float32))
+        # t = 1 marginal of the VPSDE is (numerically) standard normal
+        logp1 = jnp.sum(
+            lat[None, :] * (-0.5 * v1**2 - 0.5 * np.log(2.0 * np.pi)),
+            axis=1)
+        # standardization Jacobian back to original units
+        return logp1 + ld - jnp.sum(lat * jnp.log(sd))
 
     # -- persistence ------------------------------------------------------
     # (the reference persists full simformer models via save_model_to_pkl /

@@ -91,6 +91,54 @@ def test_simformer_recovers_conditional():
     assert abs(s2[:, 0].mean() - 1.0) < 0.35
 
 
+def test_log_prob_probability_flow():
+    """PF-ODE log_prob (reference condition-masked log_prob,
+    sbi_runner.py:8783-8856): on a linear-Gaussian task θ ~ N(0,1),
+    x = θ + σ ε, the analytic posterior is N(x/(1+σ²), σ²/(1+σ²)).
+    Checks (a) the density normalizes to ~1 over a θ grid — exercising the
+    divergence/ODE machinery independent of training quality — and (b) it
+    tracks the analytic posterior."""
+    rng = np.random.default_rng(1)
+    n, sig = 4000, 0.3
+    theta = rng.standard_normal((n, 1)).astype(np.float32)
+    x = (theta + sig * rng.standard_normal((n, 1))).astype(np.float32)
+    cfg = SimformerConfig(n_tokens=2, d_model=48, n_heads=4, n_layers=2,
+                          d_ff=96)
+    model = Simformer(cfg)
+    params, std, hist = train_simformer(
+        model, theta, x, KEY, batch_size=256, learning_rate=3e-4,
+        max_epochs=60, stop_after_epochs=60,
+    )
+    post = SimformerPosterior(model, params, std, n_steps=200)
+
+    x_obs = 0.8
+    mu_an = x_obs / (1.0 + sig**2)
+    var_an = sig**2 / (1.0 + sig**2)
+    grid = np.linspace(-2.0, 3.0, 81, dtype=np.float32)
+    lp = np.asarray(post.log_prob(
+        grid[:, None], np.full((81, 1), x_obs, np.float32), n_steps=128))
+    assert np.isfinite(lp).all()
+    # (a) normalization: the PF-ODE change-of-variables must integrate to 1
+    zint = np.trapezoid(np.exp(lp), grid)
+    assert abs(zint - 1.0) < 0.25, zint
+    # (b) the density peaks near the analytic mean and has finite width
+    assert abs(grid[np.argmax(lp)] - mu_an) < 0.3
+    lp_an = (-0.5 * (grid - mu_an) ** 2 / var_an
+             - 0.5 * np.log(2 * np.pi * var_an))
+    # agreement where the analytic posterior carries mass
+    sel = lp_an > lp_an.max() - 4.0
+    assert np.abs(lp[sel] - lp_an[sel]).mean() < 0.8
+
+    # evaluate_posterior wires it in: finite mean_log_prob for simformer
+    from synference_tpu.diagnostics import evaluate_posterior
+
+    xs_val = x[:16]
+    rep = evaluate_posterior(post, xs_val, theta[:16],
+                             key=jax.random.PRNGKey(5), n_samples=64)
+    assert rep["mean_log_prob"] is not None
+    assert np.isfinite(rep["mean_log_prob"])
+
+
 @pytest.mark.slow
 def test_noise_model_task():
     """p(log sigma | mag): errors correlate with magnitude; the learned task
