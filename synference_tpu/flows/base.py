@@ -46,6 +46,26 @@ class ConditionalFlow:
         self._embed_dim = cfg.pop("embedding_dim", None)
         self._embed_hidden = cfg.pop("embedding_hidden", 128)
         self._embed_layers = cfg.pop("embedding_layers", 2)
+        # optional prior-box support transform: the flow models
+        # u = logit((θ−lo)/(hi−lo)) so EVERY sample maps back inside the
+        # box — leakage is fixed at the source instead of rejection-corrected
+        # after the fact (the reference leans on sbi's rejection-corrected
+        # DirectPosterior, custom_runner.py:278-283). For box-uniform
+        # training draws u is logistic-distributed (light tails), so the
+        # z-scored flow sees a well-conditioned base geometry.
+        lo = cfg.pop("support_low", None)
+        hi = cfg.pop("support_high", None)
+        if (lo is None) != (hi is None):
+            raise ValueError("support_low/support_high must come together")
+        self._support = None
+        if lo is not None:
+            lo = np.asarray(lo, np.float32)
+            hi = np.asarray(hi, np.float32)
+            if lo.shape != (self.theta_dim,) or hi.shape != (self.theta_dim,):
+                raise ValueError("support bounds must be (theta_dim,)")
+            if not (lo < hi).all():
+                raise ValueError("support_low must be < support_high")
+            self._support = (jnp.asarray(lo), jnp.asarray(hi))
         flow_ctx = self._embed_dim or self.context_dim
         if self.model == "maf":
             fns = make_maf(self.theta_dim, flow_ctx, **cfg)
@@ -82,6 +102,27 @@ class ConditionalFlow:
             raise ValueError(f"unknown flow model {self.model!r}")
         self._init, self._log_prob, self._sample = fns
 
+    # -- support (prior box) transform -----------------------------------
+    _SUPPORT_EPS = 1.0e-6
+
+    def _to_unbounded(self, theta):
+        lo, hi = self._support
+        p = jnp.clip((theta - lo) / (hi - lo),
+                     self._SUPPORT_EPS, 1.0 - self._SUPPORT_EPS)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def _from_unbounded(self, u):
+        lo, hi = self._support
+        return lo + (hi - lo) * jax.nn.sigmoid(u)
+
+    def _support_log_det(self, theta):
+        """Σ log|du/dθ| — the logit Jacobian, stable in log space."""
+        lo, hi = self._support
+        w = hi - lo
+        p = jnp.clip((theta - lo) / w,
+                     self._SUPPORT_EPS, 1.0 - self._SUPPORT_EPS)
+        return jnp.sum(-jnp.log(w) - jnp.log(p) - jnp.log1p(-p), axis=-1)
+
     # ------------------------------------------------------------------
     def init(self, key, theta_data=None, x_data=None):
         """Initialize params; standardization stats from training data."""
@@ -94,6 +135,9 @@ class ConditionalFlow:
             data = jnp.asarray(data, jnp.float32)
             return data.mean(0), jnp.maximum(data.std(0), 1.0e-6)
 
+        if theta_data is not None and self._support is not None:
+            theta_data = self._to_unbounded(
+                jnp.asarray(theta_data, jnp.float32))
         tm, ts = stats(theta_data, self.theta_dim)
         xm, xs = stats(x_data, self.context_dim)
         params = {
@@ -141,18 +185,27 @@ class ConditionalFlow:
         """(B, D), (B, C) -> (B,) log q(θ|x) in *raw* θ units."""
         theta = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        ldj = 0.0
+        if self._support is not None:
+            ldj = self._support_log_det(theta)
+            theta = self._to_unbounded(theta)
         z = self._std_theta(params, theta)
         xs = self._apply_embedding(params, self._std_x(params, x))
         lp = self._log_prob(params["flow"], z, xs)
-        return lp - jnp.sum(jnp.log(params["theta_std"]))
+        return lp - jnp.sum(jnp.log(params["theta_std"])) + ldj
 
     def sample(self, params, key, x, n):
-        """Sample n draws conditioned on a single x (C,) -> (n, D) raw units."""
+        """Sample n draws conditioned on a single x (C,) -> (n, D) raw units.
+        With a support transform configured, every draw lies strictly inside
+        the prior box by construction."""
         xs = self._apply_embedding(
             params, self._std_x(params, jnp.asarray(x, jnp.float32))
         )
         z = self._sample(params["flow"], key, xs, n)
-        return z * params["theta_std"] + params["theta_mean"]
+        u = z * params["theta_std"] + params["theta_mean"]
+        if self._support is not None:
+            return self._from_unbounded(u)
+        return u
 
     def sample_batch(self, params, key, xs, n):
         """Batched sampling: xs (M, C) -> (M, n, D); one fused program (the

@@ -89,6 +89,110 @@ class TestFlowBasics:
         assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
 
 
+class TestSupportTransform:
+    """Logit-box reparametrization: samples in the prior box by
+    construction, log_prob stays a normalized density in θ units (the
+    leakage fix at the source — reference relies on rejection correction,
+    custom_runner.py:278-283)."""
+
+    LO = (0.0, -1.0, 5.0)
+    HI = (2.0, 5.0, 5.5)
+
+    def _flow(self, model="nsf", **kw):
+        cfg = dict(hidden_features=16, support_low=self.LO,
+                   support_high=self.HI)
+        if model in ("maf", "nsf"):
+            cfg["num_transforms"] = 3
+        cfg.update(kw)
+        return build_flow(model, theta_dim=3, context_dim=4, **cfg)
+
+    @pytest.mark.parametrize("model", ["nsf", "maf", "mdn"])
+    def test_samples_strictly_inside_box(self, model):
+        flow = self._flow(model)
+        params = flow.init(KEY)  # untrained: u-space is broad
+        s = np.asarray(flow.sample(params, KEY,
+                                   np.zeros(4, np.float32), 3000))
+        lo, hi = np.asarray(self.LO), np.asarray(self.HI)
+        assert (s >= lo).all() and (s <= hi).all()
+        # and actually uses the box interior, not one face
+        assert (s.max(0) - s.min(0) > 0.3 * (hi - lo)).all()
+
+    def test_log_prob_normalizes_over_box(self):
+        flow = build_flow("mdn", theta_dim=1, context_dim=2,
+                          hidden_features=8, num_components=2,
+                          support_low=(0.0,), support_high=(3.0,))
+        params = flow.init(jax.random.PRNGKey(1))
+        g = np.linspace(1e-4, 3.0 - 1e-4, 3001, dtype=np.float32)
+        lp = np.asarray(flow.log_prob(
+            params, g[:, None], np.zeros((3001, 2), np.float32)))
+        z = np.trapezoid(np.exp(lp), g)
+        assert abs(z - 1.0) < 0.03, z
+
+    def test_init_stats_in_transformed_space(self):
+        """Training-data z-scoring must happen on logit-space values."""
+        rng = np.random.default_rng(0)
+        theta = rng.uniform(self.LO, self.HI, (512, 3)).astype(np.float32)
+        x = rng.normal(0, 1, (512, 4)).astype(np.float32)
+        flow = self._flow("mdn")
+        params = flow.init(KEY, theta, x)
+        # logit of uniform draws is ~logistic(0, 1): mean ~0, std ~1.8
+        assert np.abs(np.asarray(params["theta_mean"])).max() < 0.5
+        assert 1.0 < np.asarray(params["theta_std"]).min()
+        assert np.asarray(params["theta_std"]).max() < 3.0
+
+    def test_trained_no_leakage_and_recovers(self):
+        """Train on data filling a tight box; a raw flow would leak mass
+        outside, the support flow cannot (acceptance == 1)."""
+        from synference_tpu.posterior import DirectPosterior
+        from synference_tpu.priors import BoxUniform
+        from synference_tpu.train import TrainConfig, train_ensemble
+
+        rng = np.random.default_rng(3)
+        n = 2000
+        x = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+        lo = np.array([0.0, 0.0], np.float32)
+        hi = np.array([1.0, 1.0], np.float32)
+        # truth concentrated near box faces — the leaky regime
+        theta = np.clip(np.stack([
+            0.5 + 0.5 * x[:, 0] + 0.05 * rng.standard_normal(n),
+            0.05 + 0.03 * np.abs(rng.standard_normal(n)),
+        ], 1), 1e-4, 1 - 1e-4).astype(np.float32)
+        flow = build_flow("nsf", 2, 2, hidden_features=24, num_transforms=4,
+                          support_low=tuple(lo), support_high=tuple(hi))
+        res = train_ensemble(flow, theta, x, KEY,
+                             TrainConfig(max_epochs=25, batch_size=256,
+                                         learning_rate=1e-3))
+        params = jax.tree_util.tree_map(lambda a: a[0], res.params)
+        post = DirectPosterior(flow, params, BoxUniform(lo, hi))
+        s, acc = post.sample_batch_with_acceptance(KEY, x[:16], 256)
+        assert float(np.asarray(acc).min()) == 1.0
+        s = np.asarray(s)
+        assert (s >= lo).all() and (s <= hi).all()
+        med = np.median(s, axis=1)
+        assert np.abs(med[:, 0] - (0.5 + 0.5 * x[:16, 0])).mean() < 0.1
+
+    def test_spec_roundtrip_preserves_support(self):
+        from synference_tpu.flows.base import ConditionalFlow
+
+        flow = self._flow("mdn")
+        clone = ConditionalFlow.from_spec(flow.spec())
+        params = flow.init(KEY)
+        s = np.asarray(clone.sample(params, KEY, np.zeros(4, np.float32),
+                                    500))
+        lo, hi = np.asarray(self.LO), np.asarray(self.HI)
+        assert (s >= lo).all() and (s <= hi).all()
+        lp1 = np.asarray(flow.log_prob(params, s[:50], np.zeros((50, 4))))
+        lp2 = np.asarray(clone.log_prob(params, s[:50], np.zeros((50, 4))))
+        np.testing.assert_allclose(lp1, lp2, rtol=1e-6)
+
+    def test_mismatched_bounds_raise(self):
+        with pytest.raises(ValueError, match="together"):
+            build_flow("mdn", 2, 2, support_low=(0.0, 0.0))
+        with pytest.raises(ValueError, match="<"):
+            build_flow("mdn", 2, 2, support_low=(0.0, 1.0),
+                       support_high=(1.0, 1.0))
+
+
 @pytest.mark.parametrize("model", ["maf", "nsf", "mdn"])
 def test_learns_conditional_gaussian(model):
     """θ | x ~ N(2x, 0.3²) in 2-D: a few hundred steps should recover the
