@@ -50,9 +50,14 @@ class SBIFitter:
         supplementary: np.ndarray | None = None,
         supplementary_names=(),
         spectra: np.ndarray | None = None,
+        wavelengths: np.ndarray | None = None,
         name: str = "sbi_model",
     ):
         self.spectra = None if spectra is None else np.asarray(spectra, np.float32)
+        # wavelength grid of the stored spectra (HDF5 `Wavelengths`):
+        # needed by wavelength-addressed spectral feature options
+        self.wavelengths = (
+            None if wavelengths is None else np.asarray(wavelengths))
         self.photometry = np.asarray(photometry, np.float32)
         self.parameters = np.asarray(parameters, np.float32)
         self.parameter_names = list(parameter_names)
@@ -94,6 +99,7 @@ class SBIFitter:
             ),
             supplementary_names=lib.get("supplementary_parameter_names", ()),
             spectra=lib["spectra"].T if "spectra" in lib else None,
+            wavelengths=lib.get("wavelengths"),
             name=name or os.path.basename(path).rsplit(".", 1)[0],
         )
 
@@ -136,24 +142,46 @@ class SBIFitter:
         noise_model=None,
         n_scatters: int = 1,
         crop: tuple | None = None,
+        crop_lam: tuple | None = None,
         normalize_pixel: int | None = None,
+        normalize=None,
         key=None,
     ):
         """Spectral features (reference
         `create_feature_array_from_raw_spectra`, sbi_runner.py:1180-1428).
 
         Library spectra must already be on a common instrument grid (use
-        `LibraryGenerator(spectral_pipeline=...)`). Steps: optional crop to a
-        pixel window, optional per-pixel noise scattering via a
-        SpectralNoiseModel, optional normalization by one pixel's flux.
+        `LibraryGenerator(spectral_pipeline=...)`). Steps: optional crop (by
+        pixel index `crop` or wavelength `crop_lam` [Å]), optional per-pixel
+        noise scattering via a SpectralNoiseModel, flux normalization.
+
+        normalize (reference `_apply_flux_normalization`,
+        sbi_runner.py:1096-1178): one of
+          - int: divide by that pixel's flux (same as `normalize_pixel`),
+          - ("tophat", center_Å, width_Å): mean flux in the tophat window,
+          - ("bandpass", lo_Å, hi_Å): mean flux between two wavelengths,
+          - callable (spec (B, L), lam (L,)) -> (B,) norm values.
+        The normalization value is appended as a log10 feature so the
+        amplitude information survives (reference appends it too).
+        Wavelength-based options need the library's stored grid
+        (`self.wavelengths`, the HDF5 `Wavelengths` dataset).
         """
         import jax as _jax
 
         if self.spectra is None:
             raise RuntimeError("library has no spectra")
         spec = jnp.asarray(self.spectra, jnp.float32)
+        lam = (None if self.wavelengths is None
+               else np.asarray(self.wavelengths, np.float64))
+        if crop_lam is not None:
+            if lam is None:
+                raise ValueError("crop_lam needs library wavelengths")
+            i0, i1 = np.searchsorted(lam, crop_lam)
+            crop = (int(i0), int(i1))
         if crop is not None:
             spec = spec[:, crop[0]: crop[1]]
+            if lam is not None:
+                lam = lam[crop[0]: crop[1]]
         params = jnp.asarray(self.parameters, jnp.float32)
         if n_scatters > 1 or noise_model is not None:
             spec = jnp.tile(spec, (max(n_scatters, 1), 1))
@@ -161,8 +189,32 @@ class SBIFitter:
         if noise_model is not None:
             key = key if key is not None else _jax.random.PRNGKey(0)
             spec, _ = noise_model.apply(key, spec)
-        if normalize_pixel is not None:
-            norm = spec[:, normalize_pixel]
+        if normalize is None and normalize_pixel is not None:
+            normalize = int(normalize_pixel)
+        norm_flag = normalize
+        if normalize is not None:
+            if callable(normalize):
+                norm = jnp.asarray(normalize(spec, lam), jnp.float32)
+                norm_flag = getattr(normalize, "__name__", "callable")
+            elif isinstance(normalize, int):
+                norm = spec[:, normalize]
+            else:
+                kind = normalize[0]
+                if lam is None:
+                    raise ValueError(
+                        f"normalize={kind!r} needs library wavelengths")
+                if kind == "tophat":
+                    lo = normalize[1] - 0.5 * normalize[2]
+                    hi = normalize[1] + 0.5 * normalize[2]
+                elif kind == "bandpass":
+                    lo, hi = normalize[1], normalize[2]
+                else:
+                    raise ValueError(f"unknown normalize kind {kind!r}")
+                m = jnp.asarray((lam >= lo) & (lam <= hi), spec.dtype)
+                if float(m.sum()) == 0.0:
+                    raise ValueError(
+                        f"normalize window [{lo}, {hi}] Å misses the grid")
+                norm = (spec * m).sum(-1) / m.sum()
             norm = jnp.where(norm == 0, 1.0, norm)
             spec = jnp.concatenate(
                 [spec / norm[:, None],
@@ -178,7 +230,7 @@ class SBIFitter:
         self.feature_source = source[good]
         self.feature_flags = {
             "spectral": True, "crop": crop,
-            "normalize_pixel": normalize_pixel, "n_scatters": n_scatters,
+            "normalize": norm_flag, "n_scatters": n_scatters,
         }
         return self.features
 
@@ -230,6 +282,7 @@ class SBIFitter:
         test_fraction: float = 0.1,
         key=None,
         epoch_callback=None,
+        support_aware: bool = True,
         **model_kwargs,
     ):
         """Train the estimator (reference `run_single_sbi`,
@@ -241,6 +294,11 @@ class SBIFitter:
           - "nle": q(x|θ) flow likelihood; posterior via batched MCMC.
           - "nre": classifier log-ratio; posterior via batched MCMC
             (`model_type` is ignored; pass hidden_features/num_layers).
+
+        support_aware (npe only): reparametrize the flow onto the prior box
+        via a logit transform so every sample is in-support by construction
+        — no leakage, no rejection/clipping (the reference relies on sbi's
+        rejection-corrected DirectPosterior, custom_runner.py:278-283).
         """
         engine = engine.lower()
         if engine not in ("npe", "nle", "nre"):
@@ -274,6 +332,13 @@ class SBIFitter:
                 self.flow = build_flow(model_type, theta_dim=x_dim,
                                        context_dim=theta_dim, **cfg)
             else:
+                if support_aware and hasattr(self.prior, "low"):
+                    cfg.setdefault(
+                        "support_low",
+                        tuple(np.asarray(self.prior.low, np.float64)))
+                    cfg.setdefault(
+                        "support_high",
+                        tuple(np.asarray(self.prior.high, np.float64)))
                 self.flow = build_flow(model_type, theta_dim=theta_dim,
                                        context_dim=x_dim, **cfg)
 

@@ -46,12 +46,50 @@ def generate_constant_r_grid(r: float = 300.0, start: float = 3000.0,
 def resample_spectrum(new_lam, lam, flux):
     """Linear-interpolation resampling onto a new grid, zero-filled outside
     (the reference uses flux-conserving spectres; at comparable R linear
-    interpolation differs at the sub-percent level)."""
+    interpolation differs at the sub-percent level). For sharp emission
+    lines on coarser output grids use `resample_spectrum_conserve`."""
     new_lam = jnp.asarray(new_lam)
     lam = jnp.asarray(lam)
     flux = jnp.asarray(flux)
     out = jnp.interp(new_lam, lam, flux, left=0.0, right=0.0)
     return out
+
+
+def _bin_edges(lam):
+    """Pixel-midpoint bin edges for a wavelength grid (spectres convention)."""
+    lam = jnp.asarray(lam)
+    mid = 0.5 * (lam[1:] + lam[:-1])
+    first = lam[0] - (mid[0] - lam[0])
+    last = lam[-1] + (lam[-1] - mid[-1])
+    return jnp.concatenate([first[None], mid, last[None]])
+
+
+def resample_spectrum_conserve(new_lam, lam, flux):
+    """Flux-conserving resampling (the reference's spectres semantics,
+    utils.py:185-254): both grids are pixel bins, flux density is piecewise
+    constant per input bin, and each output bin averages the overlapping
+    input flux — total ∫f dλ over any aligned span is preserved exactly.
+
+    TPU-first formulation: the cumulative integral C(λ)=∫f dλ of a
+    piecewise-constant f is piecewise LINEAR, so `jnp.interp` of C at the
+    output bin edges is exact; out_j = (C(e_{j+1}) − C(e_j)) / w_j. One
+    interp instead of spectres' per-bin overlap loop; output bins outside
+    the input range get zero (C is flat there).
+    """
+    new_lam = jnp.asarray(new_lam)
+    lam = jnp.asarray(lam)
+    flux = jnp.asarray(flux, jnp.float32)
+    e_in = _bin_edges(lam)
+    w_in = jnp.diff(e_in)
+    e_out = _bin_edges(new_lam)
+    c = jnp.concatenate(
+        [jnp.zeros(flux.shape[:-1] + (1,)),
+         jnp.cumsum(flux * w_in, axis=-1)], axis=-1)
+    if flux.ndim == 1:
+        ce = jnp.interp(e_out, e_in, c)
+    else:
+        ce = jax.vmap(lambda ci: jnp.interp(e_out, e_in, ci))(c)
+    return jnp.diff(ce, axis=-1) / jnp.diff(e_out)
 
 
 def _gaussian_kernel(sigma_pix: float, trunc: float = 4.0, max_half: int = 64):
@@ -154,11 +192,15 @@ class SpectralFeaturePipeline:
         model_r: intrinsic resolution of the model spectra.
         norm_window: optional (lo, hi) Å observed-frame tophat whose mean
             flux divides the spectrum (norm appended as a feature).
+        flux_conserving: resample with `resample_spectrum_conserve`
+            (spectres semantics — exact at sharp emission lines) instead of
+            linear interpolation.
     """
 
     def __init__(self, rest_lam, obs_lam, instrument_r: float = 100.0,
                  model_r: float | None = None,
-                 norm_window: tuple | None = None):
+                 norm_window: tuple | None = None,
+                 flux_conserving: bool = False):
         rest_lam = np.asarray(rest_lam)
         ratios = np.diff(np.log(rest_lam))
         if not np.allclose(ratios, ratios[0], rtol=1e-3):
@@ -169,6 +211,7 @@ class SpectralFeaturePipeline:
         self.instrument_r = float(instrument_r)
         self.model_r = float(model_r) if model_r else 10.0 * self.grid_r
         self.norm_window = norm_window
+        self.flux_conserving = bool(flux_conserving)
 
     def __call__(self, fnu, z):
         """(B, L) rest-frame f_ν + (B,) redshifts -> (B, L_out [+1]) features."""
@@ -177,10 +220,12 @@ class SpectralFeaturePipeline:
         smoothed = match_resolution_constant_r(
             fnu, self.model_r, self.instrument_r, self.grid_r
         )
+        resample = (resample_spectrum_conserve if self.flux_conserving
+                    else resample_spectrum)
 
         def one(f, zi):
             lam_obs = self.rest_lam * (1.0 + zi)
-            return resample_spectrum(self.obs_lam, lam_obs, f)
+            return resample(self.obs_lam, lam_obs, f)
 
         out = jax.vmap(one)(smoothed, jnp.atleast_1d(z))
         if self.norm_window is not None:

@@ -78,6 +78,131 @@ class TestSpectralPipeline:
 
 
 @pytest.mark.slow
+class TestFluxConservingResample:
+    """`resample_spectrum_conserve` = the reference's spectres semantics
+    (utils.py:185-254): exact flux conservation at sharp emission lines
+    where linear interpolation loses (or invents) line flux."""
+
+    def test_sharp_line_flux_conserved(self):
+        from synference_tpu.spectra import resample_spectrum_conserve
+
+        lam = np.linspace(4000.0, 7000.0, 3001)  # 1 Å pixels
+        flux = np.full_like(lam, 1.0)
+        flux[np.abs(lam - 5007.0) < 1.5] += 100.0  # sharp [OIII]-like line
+        total_in = np.trapezoid(flux - 1.0, lam)
+        # resample onto a 9x coarser grid whose pixel centers straddle the
+        # line — a worst case for interpolation
+        new_lam = np.linspace(4001.3, 6998.0, 334)
+        out_c = np.asarray(resample_spectrum_conserve(new_lam, lam, flux))
+        out_l = np.asarray(resample_spectrum(new_lam, lam, flux))
+        w_new = np.gradient(new_lam)
+        line_c = ((out_c - 1.0) * w_new)[np.abs(new_lam - 5007) < 40].sum()
+        line_l = ((out_l - 1.0) * w_new)[np.abs(new_lam - 5007) < 40].sum()
+        assert abs(line_c / total_in - 1.0) < 0.01, line_c / total_in
+        # linear interpolation badly misestimates the line flux here
+        assert abs(line_l / total_in - 1.0) > 0.15
+
+    def test_matches_linear_on_smooth_spectra(self):
+        from synference_tpu.spectra import resample_spectrum_conserve
+
+        lam = np.geomspace(3000.0, 30000.0, 2000)
+        flux = np.sin(lam / 3000.0) + 2.0
+        new_lam = np.geomspace(3200.0, 28000.0, 700)
+        out_c = np.asarray(resample_spectrum_conserve(new_lam, lam, flux))
+        out_l = np.asarray(resample_spectrum(new_lam, lam, flux))
+        np.testing.assert_allclose(out_c, out_l, rtol=2e-3, atol=2e-3)
+
+    def test_batched_matches_single(self):
+        from synference_tpu.spectra import resample_spectrum_conserve
+
+        rng = np.random.default_rng(0)
+        lam = np.linspace(1.0, 10.0, 200)
+        flux = rng.uniform(0.5, 2.0, (5, 200)).astype(np.float32)
+        new_lam = np.linspace(1.5, 9.5, 77)
+        batched = np.asarray(resample_spectrum_conserve(new_lam, lam, flux))
+        for i in range(5):
+            single = np.asarray(
+                resample_spectrum_conserve(new_lam, lam, flux[i]))
+            np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+
+    def test_pipeline_flux_conserving_option(self):
+        rest = generate_constant_r_grid(r=500, start=2000, end=12000)
+        obs = generate_constant_r_grid(r=80, start=3000, end=20000)
+        pipe = SpectralFeaturePipeline(rest, obs, instrument_r=80.0,
+                                       flux_conserving=True)
+        rng = np.random.default_rng(1)
+        fnu = rng.uniform(1.0, 2.0, (4, rest.size)).astype(np.float32)
+        z = np.array([0.1, 0.5, 1.0, 2.0], np.float32)
+        out = np.asarray(pipe(fnu, z))
+        assert out.shape == (4, obs.size)
+        assert np.isfinite(out).all()
+
+
+class TestSpectralNormalizationParity:
+    """Fitter spectra-path flux normalization (reference
+    `_apply_flux_normalization`, sbi_runner.py:1096-1178)."""
+
+    def _fitter(self):
+        from synference_tpu.fitter import SBIFitter
+
+        rng = np.random.default_rng(2)
+        lam = np.linspace(4000.0, 9000.0, 101)
+        spec = rng.uniform(1.0, 3.0, (32, 101)).astype(np.float32)
+        theta = rng.uniform(0, 1, (32, 2)).astype(np.float32)
+        return SBIFitter(
+            photometry=np.ones((32, 1), np.float32), parameters=theta,
+            parameter_names=("a", "b"), filter_codes=("F0",),
+            spectra=spec, wavelengths=lam), spec, lam
+
+    def test_tophat_normalization(self):
+        fitter, spec, lam = self._fitter()
+        feats = fitter.create_feature_array_from_raw_spectra(
+            normalize=("tophat", 6000.0, 500.0))
+        m = np.abs(lam - 6000.0) <= 250.0
+        norm = spec[:, m].mean(axis=1)
+        np.testing.assert_allclose(feats[:, :-1], spec / norm[:, None],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(feats[:, -1], np.log10(norm), rtol=1e-5)
+
+    def test_bandpass_normalization(self):
+        fitter, spec, lam = self._fitter()
+        feats = fitter.create_feature_array_from_raw_spectra(
+            normalize=("bandpass", 5000.0, 7000.0))
+        m = (lam >= 5000.0) & (lam <= 7000.0)
+        norm = spec[:, m].mean(axis=1)
+        np.testing.assert_allclose(feats[:, :-1], spec / norm[:, None],
+                                   rtol=1e-5)
+
+    def test_callable_normalization(self):
+        fitter, spec, lam = self._fitter()
+        feats = fitter.create_feature_array_from_raw_spectra(
+            normalize=lambda s, w: s.max(axis=1))
+        norm = spec.max(axis=1)
+        np.testing.assert_allclose(feats[:, :-1], spec / norm[:, None],
+                                   rtol=1e-5)
+
+    def test_crop_lam(self):
+        fitter, spec, lam = self._fitter()
+        feats = fitter.create_feature_array_from_raw_spectra(
+            crop_lam=(5000.0, 7000.0))
+        i0, i1 = np.searchsorted(lam, (5000.0, 7000.0))
+        assert feats.shape[1] == i1 - i0
+
+    def test_window_outside_grid_raises(self):
+        fitter, spec, lam = self._fitter()
+        with pytest.raises(ValueError, match="misses"):
+            fitter.create_feature_array_from_raw_spectra(
+                normalize=("tophat", 20000.0, 100.0))
+
+    def test_pixel_normalization_back_compat(self):
+        fitter, spec, lam = self._fitter()
+        feats = fitter.create_feature_array_from_raw_spectra(
+            normalize_pixel=50)
+        norm = spec[:, 50]
+        np.testing.assert_allclose(feats[:, :-1], spec / norm[:, None],
+                                   rtol=1e-5)
+
+
 def test_online_tsnpe_recovers_parameters():
     """Simple 2-param simulator: x = [θ0+θ1, θ0−θ1] + noise. TSNPE should
     tighten the posterior around the true θ after a few rounds."""
