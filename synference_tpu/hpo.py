@@ -11,7 +11,10 @@ per-model search spaces + Median/Hyperband pruners + RDB storage
   stdlib stand-in for the reference's SQLAlchemy storage),
 - random warmup + TPE-style sampler (quantile split, per-dim kernel
   density ratio),
-- `MedianPruner` over intermediate values,
+- the reference's pruner family over intermediate values
+  (custom_runner.py:216-230): `MedianPruner`/`PercentilePruner`,
+  `SuccessiveHalvingPruner` (ASHA rungs), `HyperbandPruner` (staggered
+  brackets), `ThresholdPruner`, `PatientPruner` (improvement-hold wrapper),
 - `optimize_sbi(fitter, ...)` with the reference's objectives
   ("val_loss", "log_prob", "log_prob-pit", "tarp").
 """
@@ -31,6 +34,11 @@ __all__ = [
     "SearchSpace",
     "Study",
     "MedianPruner",
+    "PercentilePruner",
+    "ThresholdPruner",
+    "SuccessiveHalvingPruner",
+    "HyperbandPruner",
+    "PatientPruner",
     "optimize_sbi",
     "DEFAULT_SEARCH_SPACES",
 ]
@@ -100,16 +108,20 @@ class SearchSpace:
 # ---------------------------------------------------------------------------
 
 
-class MedianPruner:
-    """Prune a trial whose intermediate value is worse than the median of
-    completed trials at the same step (reference default pruner,
-    custom_runner.py:216-230)."""
+class PercentilePruner:
+    """Prune a trial whose intermediate value is worse than the given
+    percentile of completed trials at the same step (reference exposes
+    optuna's pruner family, custom_runner.py:216-230; minimize direction,
+    so percentile 25.0 keeps only the best quartile)."""
 
-    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 3):
+    def __init__(self, percentile: float = 50.0, n_startup_trials: int = 5,
+                 n_warmup_steps: int = 3):
+        self.percentile = float(percentile)
         self.n_startup_trials = n_startup_trials
         self.n_warmup_steps = n_warmup_steps
 
-    def should_prune(self, step: int, value: float, study: "Study") -> bool:
+    def should_prune(self, step: int, value: float, study: "Study",
+                     trial: dict | None = None) -> bool:
         if step < self.n_warmup_steps:
             return False
         completed = [t for t in study.trials if t["state"] == "COMPLETE"]
@@ -122,7 +134,123 @@ class MedianPruner:
         ]
         if len(at_step) < self.n_startup_trials:
             return False
-        return value > float(np.median(at_step))
+        return value > float(np.percentile(at_step, self.percentile))
+
+
+class MedianPruner(PercentilePruner):
+    """Percentile 50 (reference default pruner, custom_runner.py:216-230)."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 3):
+        super().__init__(50.0, n_startup_trials, n_warmup_steps)
+
+
+class ThresholdPruner:
+    """Prune when the intermediate value crosses a fixed bound (reference:
+    optuna ThresholdPruner, custom_runner.py:216-230). For minimize-style
+    val losses `upper` kills diverging trials early; `lower` stops
+    too-good-to-be-true NaN-adjacent objectives."""
+
+    def __init__(self, upper: float | None = None,
+                 lower: float | None = None, n_warmup_steps: int = 0):
+        if upper is None and lower is None:
+            raise ValueError("ThresholdPruner needs upper and/or lower")
+        self.upper = upper
+        self.lower = lower
+        self.n_warmup_steps = n_warmup_steps
+
+    def should_prune(self, step: int, value: float, study: "Study",
+                     trial: dict | None = None) -> bool:
+        if step < self.n_warmup_steps:
+            return False
+        if not np.isfinite(value):
+            return True
+        if self.upper is not None and value > self.upper:
+            return True
+        return self.lower is not None and value < self.lower
+
+
+class SuccessiveHalvingPruner:
+    """Asynchronous successive halving (ASHA semantics, like optuna's):
+    rungs at min_resource·reduction_factor^k epochs; at each rung a trial
+    survives only in the top 1/reduction_factor of every value ever
+    reported at that rung."""
+
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 4):
+        self.min_resource = max(int(min_resource), 1)
+        self.rf = int(reduction_factor)
+
+    def _is_rung(self, step: int) -> bool:
+        r = self.min_resource
+        while r < step + 1:
+            r *= self.rf
+        return r == step + 1  # steps are 0-based epochs
+
+    def should_prune(self, step: int, value: float, study: "Study",
+                     trial: dict | None = None) -> bool:
+        if not self._is_rung(step):
+            return False
+        at_step = [
+            t["intermediate"][str(step)]
+            for t in study.trials
+            if str(step) in t.get("intermediate", {})
+        ]
+        if len(at_step) < self.rf:
+            return False
+        cut = float(np.percentile(at_step, 100.0 / self.rf))
+        return value > cut
+
+
+class HyperbandPruner:
+    """Brackets of successive halving with staggered minimum resources
+    (reference: optuna HyperbandPruner, custom_runner.py:216-230). A
+    trial's bracket is its study number mod the bracket count, so
+    aggressive and conservative brackets interleave."""
+
+    def __init__(self, min_resource: int = 1, max_resource: int = 60,
+                 reduction_factor: int = 3):
+        self.rf = int(reduction_factor)
+        n_brackets = 1
+        r = int(min_resource)
+        while r * self.rf <= int(max_resource):
+            r *= self.rf
+            n_brackets += 1
+        self._shas = [
+            SuccessiveHalvingPruner(int(min_resource) * self.rf**s, self.rf)
+            for s in range(n_brackets)
+        ]
+
+    def should_prune(self, step: int, value: float, study: "Study",
+                     trial: dict | None = None) -> bool:
+        num = (trial["number"] if trial is not None
+               else max(len(study.trials) - 1, 0))
+        sha = self._shas[num % len(self._shas)]
+        return sha.should_prune(step, value, study, trial)
+
+
+class PatientPruner:
+    """Wrap another pruner; hold its verdict while the trial is still
+    improving (no prune as long as the last `patience` reports improved by
+    more than `min_delta` — optuna PatientPruner semantics)."""
+
+    def __init__(self, wrapped, patience: int = 3, min_delta: float = 0.0):
+        self.wrapped = wrapped
+        self.patience = int(patience)
+        self.min_delta = float(min_delta)
+
+    def should_prune(self, step: int, value: float, study: "Study",
+                     trial: dict | None = None) -> bool:
+        if trial is not None:
+            hist = [trial["intermediate"][k]
+                    for k in sorted(trial.get("intermediate", {}),
+                                    key=int)]
+            if len(hist) <= self.patience:
+                return False
+            recent = hist[-(self.patience + 1):]
+            if min(recent[:-1]) - recent[-1] > self.min_delta:
+                return False  # still improving: stay patient
+        if self.wrapped is None:
+            return trial is not None
+        return self.wrapped.should_prune(step, value, study, trial)
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +500,7 @@ def optimize_sbi(
                                _trial=trial):
                 v = float(np.asarray(va_loss).mean())
                 study.report_intermediate(_trial, epoch, v)
-                return pruner.should_prune(epoch, v, study)
+                return pruner.should_prune(epoch, v, study, _trial)
 
             res = fitter.run_single_sbi(
                 model_type=trial_model,

@@ -81,6 +81,87 @@ class TestPruner:
         assert pruner.should_prune(3, 5.0, study)  # way above median
         assert not pruner.should_prune(3, 0.5, study)  # better than median
 
+    def test_percentile_pruner_stricter_than_median(self):
+        from synference_tpu.hpo import PercentilePruner
+
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp, n_startup_trials=1)
+        for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+            t = study.ask()
+            for step in range(4):
+                study.report_intermediate(t, step, v)
+            study.tell(t, v)
+        strict = PercentilePruner(25.0, n_startup_trials=3, n_warmup_steps=1)
+        median = MedianPruner(n_startup_trials=3, n_warmup_steps=1)
+        # 2.5 is better than the median (3.0) but worse than the 25th pct
+        assert strict.should_prune(2, 2.5, study)
+        assert not median.should_prune(2, 2.5, study)
+
+    def test_threshold_pruner(self):
+        from synference_tpu.hpo import ThresholdPruner
+
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp)
+        p = ThresholdPruner(upper=10.0, n_warmup_steps=2)
+        assert not p.should_prune(0, 99.0, study)  # warmup
+        assert p.should_prune(3, 11.0, study)
+        assert not p.should_prune(3, 9.0, study)
+        assert p.should_prune(3, float("nan"), study)
+        with pytest.raises(ValueError):
+            ThresholdPruner()
+
+    def test_successive_halving_rungs(self):
+        from synference_tpu.hpo import SuccessiveHalvingPruner
+
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp, n_startup_trials=1)
+        # six trials report at rung epochs 0,1,3 (min_resource=1, rf=2 ->
+        # rungs where step+1 is a power of 2)
+        for v in (1.0, 2.0, 3.0, 4.0, 5.0, 6.0):
+            t = study.ask()
+            for step in (0, 1, 3):
+                study.report_intermediate(t, step, v)
+            study.tell(t, v)
+        p = SuccessiveHalvingPruner(min_resource=1, reduction_factor=2)
+        assert not p.should_prune(2, 9.0, study)  # not a rung
+        assert p.should_prune(1, 5.5, study)  # bottom half at a rung
+        assert not p.should_prune(1, 1.5, study)  # top half survives
+
+    def test_hyperband_brackets_differ(self):
+        from synference_tpu.hpo import HyperbandPruner
+
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp, n_startup_trials=1)
+        for v in (1.0, 2.0, 3.0, 4.0):
+            t = study.ask()
+            for step in range(9):
+                study.report_intermediate(t, step, v)
+            study.tell(t, v)
+        p = HyperbandPruner(min_resource=1, max_resource=9,
+                            reduction_factor=3)
+        assert len(p._shas) == 3
+        # bracket 0 prunes at step 0 (rung of SHA(min=1)); bracket 2
+        # (min_resource 9) has its first rung only at step 8
+        t0 = {"number": 0}
+        t2 = {"number": 2}
+        assert p.should_prune(0, 9.0, study, t0)
+        assert not p.should_prune(0, 9.0, study, t2)
+        assert p.should_prune(8, 9.0, study, t2)
+
+    def test_patient_pruner_holds_while_improving(self):
+        from synference_tpu.hpo import PatientPruner, ThresholdPruner
+
+        sp = SearchSpace({"x": ("float", 0.0, 1.0)})
+        study = Study(space=sp)
+        p = PatientPruner(ThresholdPruner(upper=0.0), patience=2)
+        improving = {"number": 0,
+                     "intermediate": {"0": 5.0, "1": 4.0, "2": 3.0}}
+        stagnant = {"number": 1,
+                    "intermediate": {"0": 3.0, "1": 3.0, "2": 3.0}}
+        # wrapped pruner would fire (value > 0) but improvement holds it
+        assert not p.should_prune(2, 3.0, study, improving)
+        assert p.should_prune(2, 3.0, study, stagnant)
+
     def test_pruning_aborts_training_midrun(self):
         """A pruned trial must actually train FEWER epochs than max_epochs
         (the round-1 implementation replayed losses after full training, so
