@@ -186,3 +186,133 @@ def load_instrument_filters(codes=None, n_samples: int = 257) -> FilterSet:
     """FilterSet of realistic curves; default = the 63-filter paper survey."""
     codes = list(codes) if codes is not None else list(PAPER_SURVEY_63)
     return FilterSet([realistic_filter(c, n_samples) for c in codes])
+
+
+# ---------------------------------------------------------------------------
+# measured-curve loaders (reference consumes real SVO curves via synthesizer
+# FilterCollection — grab_filters_for_node.py writes GENERAL_SURVEY.hdf5,
+# final_library_generation.py:105-121 reads it)
+# ---------------------------------------------------------------------------
+
+_LAM_NAMES = ("lam", "lams", "lambda", "wavelength", "wavelengths",
+              "Wavelengths", "new_lam")
+_TRANS_NAMES = ("t", "transmission", "trans", "T", "throughput")
+
+
+def load_filters_svo_ascii(paths, codes=None) -> FilterSet:
+    """Measured SVO ascii transmission files -> FilterSet.
+
+    SVO Filter Profile Service downloads are two whitespace-separated
+    columns (wavelength [Å], transmission) with `#` comment lines. `paths`
+    may be a directory (all `*.dat`/`*.txt`/`*.ascii` files inside), a glob
+    pattern, or an explicit list of files. The filter code defaults to the
+    filename stem with the first underscore restored to "/" (SVO names
+    files like `JWST_NIRCam.F200W.dat`); pass `codes` to override.
+    """
+    import glob as _glob
+    import os as _os
+
+    if isinstance(paths, (str, _os.PathLike)):
+        p = str(paths)
+        if _os.path.isdir(p):
+            files = sorted(
+                f for ext in ("*.dat", "*.txt", "*.ascii")
+                for f in _glob.glob(_os.path.join(p, ext)))
+        else:
+            files = sorted(_glob.glob(p)) or [p]
+    else:
+        files = [str(f) for f in paths]
+    if not files:
+        raise FileNotFoundError(f"no SVO ascii files found at {paths!r}")
+    if codes is not None and len(codes) != len(files):
+        raise ValueError("codes must match the number of files")
+    filters = []
+    for i, path in enumerate(files):
+        data = np.loadtxt(path, comments="#", ndmin=2)
+        if data.shape[1] < 2:
+            raise ValueError(f"{path}: need (wavelength, transmission) "
+                             "columns")
+        lam, trans = data[:, 0], data[:, 1]
+        order = np.argsort(lam)
+        if codes is not None:
+            code = str(codes[i])
+        else:
+            stem = _os.path.splitext(_os.path.basename(path))[0]
+            code = stem.replace("_", "/", 1)
+        filters.append(Filter(code=code, lam=lam[order],
+                              transmission=np.maximum(trans[order], 0.0)))
+    return FilterSet(filters)
+
+
+def load_filters_hdf5(path, codes=None) -> FilterSet:
+    """Read a filter-collection HDF5 into a FilterSet.
+
+    Accepts, in order of preference:
+      1. this package's own `FilterSet.to_hdf5` layout (root attr
+         `filter_codes` + `filter_{i}` groups),
+      2. a per-filter-group layout — each group holds a transmission
+         dataset (any of t/transmission/trans/T/throughput) and either its
+         own wavelength dataset or a shared root-level one (any of
+         lam/lams/lambda/wavelength(s)/new_lam); the code comes from a
+         `filter_code`/`code` attr or the group name,
+      3. a flat layout — one shared root wavelength dataset plus one
+         dataset per filter named by its code (synthesizer
+         `FilterCollection.write_filters` shape).
+
+    Pass `codes` to select a subset (missing codes raise).
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if "filter_codes" in f.attrs and "filter_0" in f:
+            fs = FilterSet.from_hdf5(f)
+            return fs.subset(list(codes)) if codes is not None else fs
+
+        def find_lam(node):
+            for n in _LAM_NAMES:
+                if n in node and isinstance(node[n], h5py.Dataset):
+                    return np.asarray(node[n][:], np.float64)
+            return None
+
+        shared_lam = find_lam(f)
+        filters = []
+
+        def walk(node, prefix=""):
+            for name, item in node.items():
+                if isinstance(item, h5py.Group):
+                    tds = next((item[t] for t in _TRANS_NAMES
+                                if t in item
+                                and isinstance(item[t], h5py.Dataset)),
+                               None)
+                    if tds is not None:
+                        lam = find_lam(item)
+                        lam = shared_lam if lam is None else lam
+                        if lam is None:
+                            raise ValueError(
+                                f"{path}:{name}: no wavelength dataset")
+                        # "/" in a code nests h5 groups: default to the
+                        # full path so JWST/NIRCam.F200W survives
+                        code = str(item.attrs.get(
+                            "filter_code",
+                            item.attrs.get("code", prefix + name)))
+                        filters.append(Filter(
+                            code=code, lam=np.asarray(lam),
+                            transmission=np.maximum(
+                                np.asarray(tds[:], np.float64), 0.0)))
+                    else:
+                        walk(item, prefix + name + "/")
+                elif (isinstance(item, h5py.Dataset)
+                      and name not in _LAM_NAMES
+                      and shared_lam is not None
+                      and item.shape == shared_lam.shape):
+                    filters.append(Filter(
+                        code=prefix + name, lam=shared_lam,
+                        transmission=np.maximum(
+                            np.asarray(item[:], np.float64), 0.0)))
+
+        walk(f)
+    if not filters:
+        raise ValueError(f"{path}: no filter curves found (see "
+                         "load_filters_hdf5 docstring for accepted layouts)")
+    fs = FilterSet(filters)
+    return fs.subset(list(codes)) if codes is not None else fs

@@ -1,0 +1,149 @@
+"""Instrument filter loaders: measured SVO ascii + filter-collection HDF5
+(reference consumes real SVO curves via synthesizer FilterCollection —
+grab_filters_for_node.py / final_library_generation.py:105-121)."""
+
+import h5py
+import numpy as np
+import pytest
+
+from synference_tpu.instruments import (
+    BAND_PARAMS,
+    load_filters_hdf5,
+    load_filters_svo_ascii,
+    load_instrument_filters,
+    realistic_filter,
+)
+
+
+def _curve(center, width, n=129):
+    lam = np.linspace(center - width, center + width, n)
+    trans = np.exp(-0.5 * ((lam - center) / (0.35 * width)) ** 4)
+    return lam, 0.4 * trans
+
+
+class TestSVOAscii:
+    def test_roundtrip_files_and_codes(self, tmp_path):
+        lam1, t1 = _curve(20000.0, 4600.0)
+        lam2, t2 = _curve(27700.0, 7000.0)
+        # SVO naming convention: facility_instrument.band.dat
+        f1 = tmp_path / "JWST_NIRCam.F200W.dat"
+        f2 = tmp_path / "JWST_NIRCam.F277W.dat"
+        np.savetxt(f1, np.column_stack([lam1, t1]),
+                   header="lambda(A) transmission")
+        np.savetxt(f2, np.column_stack([lam2, t2]))
+        fs = load_filters_svo_ascii(str(tmp_path))
+        assert fs.codes == ["JWST/NIRCam.F200W", "JWST/NIRCam.F277W"]
+        np.testing.assert_allclose(fs[0].lam, lam1)
+        np.testing.assert_allclose(fs[0].transmission, t1, atol=1e-12)
+        # pivot lands on the curve center
+        assert abs(fs[0].pivot - 20000.0) < 100.0
+
+    def test_explicit_codes_and_unsorted_rows(self, tmp_path):
+        lam, t = _curve(15000.0, 3300.0)
+        perm = np.random.default_rng(0).permutation(lam.size)
+        f = tmp_path / "whatever.txt"
+        np.savetxt(f, np.column_stack([lam[perm], t[perm]]))
+        fs = load_filters_svo_ascii([str(f)], codes=["MY/BAND.X"])
+        assert fs.codes == ["MY/BAND.X"]
+        assert np.all(np.diff(fs[0].lam) > 0)
+
+    def test_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_filters_svo_ascii(str(tmp_path / "none"))
+
+
+class TestFilterHDF5:
+    def test_own_layout_roundtrip(self, tmp_path):
+        fs0 = load_instrument_filters(["JWST/NIRCam.F200W",
+                                       "JWST/NIRCam.F444W"])
+        path = str(tmp_path / "own.h5")
+        with h5py.File(path, "w") as f:
+            fs0.to_hdf5(f)
+        fs = load_filters_hdf5(path)
+        assert fs.codes == fs0.codes
+        np.testing.assert_allclose(fs[0].transmission, fs0[0].transmission)
+
+    def test_per_group_layout(self, tmp_path):
+        lam, t = _curve(20000.0, 4600.0)
+        path = str(tmp_path / "groups.h5")
+        with h5py.File(path, "w") as f:
+            g = f.create_group("JWST/NIRCam.F200W")
+            g.create_dataset("lam", data=lam)
+            g.create_dataset("transmission", data=t)
+            g2 = f.create_group("other")
+            g2.attrs["filter_code"] = "HST/WFC3_IR.F160W"
+            g2.create_dataset("t", data=t * 0.5)
+            g2.create_dataset("wavelength", data=lam * 0.8)
+        fs = load_filters_hdf5(path)
+        assert sorted(fs.codes) == ["HST/WFC3_IR.F160W",
+                                    "JWST/NIRCam.F200W"]
+
+    def test_flat_shared_lam_layout(self, tmp_path):
+        """synthesizer FilterCollection.write_filters shape: one shared
+        wavelength grid + one dataset per filter code."""
+        lam = np.geomspace(3000.0, 60000.0, 500)
+        path = str(tmp_path / "flat.h5")
+        codes = ["JWST/NIRCam.F200W", "JWST/NIRCam.F356W"]
+        with h5py.File(path, "w") as f:
+            f.create_dataset("lams", data=lam)
+            for c, center in zip(codes, (20000.0, 35600.0)):
+                t = np.exp(-0.5 * ((lam - center) / 2000.0) ** 2)
+                f.create_dataset(c, data=t)
+        fs = load_filters_hdf5(path, codes=codes)
+        assert fs.codes == codes
+        assert abs(fs[0].pivot - 20000.0) < 200.0
+
+    def test_empty_raises(self, tmp_path):
+        path = str(tmp_path / "empty.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("lams", data=np.arange(10.0))
+        with pytest.raises(ValueError, match="no filter curves"):
+            load_filters_hdf5(path)
+
+
+class TestSynthesizedMorphologyError:
+    """Bound the synthesized-curve photometry error against a measured-style
+    curve: load a NON-analytic curve through the SVO loader and compare
+    band fluxes vs the synthesized morphology for the same band. This is
+    the harness for quantifying the synthesized-morphology error the
+    moment a real downloaded curve is dropped in (no network here)."""
+
+    def test_photometry_deviation_bounded(self, tmp_path):
+        import jax
+
+        import synference_tpu as st
+
+        code = "JWST/NIRCam.F200W"
+        center, width, peak = BAND_PARAMS[code]
+        # stand-in "measured" curve: asymmetric edges + tilted top —
+        # morphology features the synthesized curve does NOT have
+        lam = np.linspace(center - width, center + width, 257)
+        lo, hi = center - width / 2, center + width / 2
+        t = (1 / (1 + np.exp(-(lam - lo) / (0.03 * width)))
+             * 1 / (1 + np.exp((lam - hi) / (0.06 * width))))
+        t *= peak * (1.0 + 0.1 * (lam - center) / width)
+        f = tmp_path / "JWST_NIRCam.F200W.dat"
+        np.savetxt(f, np.column_stack([lam, np.maximum(t, 0.0)]))
+
+        measured = load_filters_svo_ascii([str(f)])
+        synth = st.FilterSet([realistic_filter(code)])
+        grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=2048)
+        theta = np.column_stack([
+            np.random.default_rng(0).uniform(8, 10, 64),
+            np.linspace(0.1, 3.0, 64),
+            np.full(64, 3e8), np.full(64, 0.5),
+            np.full(64, -2.5), np.full(64, 0.3),
+        ]).astype(np.float32)
+        pn = ("log10_mass", "redshift", "peak_age", "tau",
+              "log10_metallicity", "tau_v")
+        p_m = np.asarray(jax.jit(st.BatchSEDSimulator(
+            grid, measured, pn, sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig()).photometry)(theta))
+        p_s = np.asarray(jax.jit(st.BatchSEDSimulator(
+            grid, synth, pn, sfh="lognormal", zdist="delta",
+            emission=st.EmissionConfig()).photometry)(theta))
+        rel = np.abs(p_s - p_m) / np.maximum(p_m, 1e-30)
+        # same band parameters, different morphology: a few percent on
+        # smooth SEDs. If this creeps up, the synthesized morphology has
+        # drifted from band reality.
+        assert np.median(rel) < 0.05, np.median(rel)
