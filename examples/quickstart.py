@@ -3,11 +3,19 @@
 The reference README's Getting Started flow (10k-galaxy library, 7 NIRCam
 widebands, lognormal SFH, LHC priors, NPE training), end to end on whatever
 device JAX finds. Runs in ~2 minutes on a TPU chip.
+
+Size knobs (CI executes this with small values — the reference executes
+its docs notebooks via nbmake, pyproject.toml:73):
+    SYNFERENCE_QUICKSTART_N       library size (default 10000)
+    SYNFERENCE_QUICKSTART_EPOCHS  max training epochs (default 60)
 """
 
 import os
 import pathlib
 import sys
+
+N_LIBRARY = int(os.environ.get("SYNFERENCE_QUICKSTART_N", 10_000))
+MAX_EPOCHS = int(os.environ.get("SYNFERENCE_QUICKSTART_EPOCHS", 60))
 
 # persistent compile cache: repeat runs skip the multi-minute tunnel compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
@@ -42,7 +50,8 @@ gen = st.LibraryGenerator(sim, {
     "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
 }, unlog_keys=["log10_peak_age"],
    supplementary=("m_uv", "sfr_100", "mass_weighted_age", "t50"))
-gen.generate(n=10_000, out_path="quickstart_library.h5", batch_size=4096)
+gen.generate(n=N_LIBRARY, out_path="quickstart_library.h5",
+             batch_size=min(4096, N_LIBRARY))
 print("library written: quickstart_library.h5")
 
 # -- 3. features + training -------------------------------------------------
@@ -54,7 +63,7 @@ fitter.create_feature_array(FeatureConfig(
 ))
 res = fitter.run_single_sbi(
     model_type="nsf", hidden_features=50, num_transforms=8,
-    train_config=TrainConfig(max_epochs=60, stop_after_epochs=12,
+    train_config=TrainConfig(max_epochs=MAX_EPOCHS, stop_after_epochs=12,
                              batch_size=512, learning_rate=5e-4),
 )
 print(f"trained: best val loss {float(np.min(res.val_losses)):.3f}")

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles hundreds of programs on one
+# CPU core; repeat runs (CI, driver re-runs, local iteration) reuse them.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_synference_tests")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

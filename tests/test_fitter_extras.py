@@ -49,10 +49,12 @@ def test_fitter_simformer(small_fitter):
     s = small_fitter.sample_posterior(small_fitter.features[:3], n_samples=50)
     assert s.shape == (3, 50, 6)
     assert np.isfinite(s).all()
-    # evaluate_model works without log_prob
+    # simformer now has a probability-flow-ODE log_prob, so evaluation
+    # reports a finite mean_log_prob (reference sbi_runner.py:8783-8856)
     small_fitter.split_dataset(0.1)
     report = small_fitter.evaluate_model(n_samples=32, max_objects=32)
-    assert report["mean_log_prob"] is None
+    assert report["mean_log_prob"] is not None
+    assert np.isfinite(report["mean_log_prob"])
 
 
 def test_run_validation_from_file(small_fitter, tmp_path):
