@@ -39,7 +39,7 @@ REF_SEDS_PER_SEC = 13.9  # see module docstring
 
 
 def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
-                     filters=None, lam_min=300.0):
+                     filters=None, lam_min=300.0, sub=1024):
     grid = st.make_synthetic_grid(n_ages=n_ages, n_mets=n_mets, n_wav=n_wav,
                                   lam_min=lam_min)
     if filters is None:
@@ -88,7 +88,6 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
         z_sorted = np.sort(th_np[:, 1], kind="stable")
         th_sorted = jnp.asarray(
             th_np[np.argsort(th_np[:, 1], kind="stable")])
-        sub = 1024
         span = sim.zsorted_max_span(z_sorted, sub)
         kc, w_cols = sim._zsorted_plan(span)
         kw = dict(sub_chunk=sub, kc=kc, w_cols=w_cols)
@@ -191,8 +190,10 @@ def main():
     # ~5 ms (dispatch + arg staging; scripts/realsize_batch_ab.py), which
     # at batch 16384 was ~half the wall time — 65536 amortizes it
     # (1.59 -> 3.3 M SEDs/s measured)
+    # sub=2048 measured fastest here (5.77 vs 5.45 M/s at 1024,
+    # scripts/zsorted_hoist_ab.py session); paper63 below prefers 1024
     realsize_seds, (zs_r, zsf_r), eng_r, sup_r = bench_generation(
-        batch=65536, iters=4, n_ages=64, n_mets=12, n_wav=10_000)
+        batch=65536, iters=4, n_ages=64, n_mets=12, n_wav=10_000, sub=2048)
     # paper scale: the reference paper's 63-filter GENERAL_SURVEY config
     # (realistic measured-morphology curves, instruments.py) on the
     # realistic-size grid — photometry auto-selects the table-free conv
