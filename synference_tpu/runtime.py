@@ -19,6 +19,7 @@ __all__ = [
     "StepTimer",
     "trace_profile",
     "MetricsLogger",
+    "TerminalLossPlot",
 ]
 
 
@@ -106,3 +107,84 @@ class MetricsLogger:
                 if line.strip():
                     out.append(json.loads(line))
         return out
+
+
+class TerminalLossPlot:
+    """Live in-terminal train/val loss chart, redrawn in place each epoch.
+
+    The parity analogue of the reference's terminal loss plot
+    (`/root/reference/src/synference/utils.py:2445-2546`, plotext-based):
+    on ANSI terminals the frame overdraws itself with cursor-up escapes; on
+    non-TTY streams (logs, CI) it degrades to a one-line-per-epoch summary
+    so piped output stays readable. Dependency-free.
+    """
+
+    _BLOCKS = " .:-=+*#%@"
+
+    def __init__(self, width: int = 64, height: int = 10, stream=None,
+                 ansi: bool | None = None, label: str = "loss"):
+        import sys
+
+        self.width = int(width)
+        self.height = int(height)
+        self.stream = stream if stream is not None else sys.stdout
+        self.ansi = (self.stream.isatty() if ansi is None
+                     and hasattr(self.stream, "isatty") else bool(ansi))
+        self.label = label
+        self._train: list = []
+        self._val: list = []
+        self._lines_drawn = 0
+
+    def update(self, epoch: int, train_loss, val_loss=None):
+        """Record one epoch and redraw. Losses may be scalars or per-member
+        arrays (ensembles plot the member mean)."""
+        import numpy as _np
+
+        self._train.append(float(_np.mean(train_loss)))
+        if val_loss is not None:
+            self._val.append(float(_np.mean(val_loss)))
+        if self.ansi:
+            self._draw(epoch)
+        else:
+            v = (f"  val {self._val[-1]:.4f}" if self._val else "")
+            print(f"epoch {epoch:4d}  train {self._train[-1]:.4f}{v}",
+                  file=self.stream, flush=True)
+
+    # -- rendering ---------------------------------------------------------
+    def _series_to_cols(self, series, lo, span):
+        import numpy as _np
+
+        n = len(series)
+        xs = _np.linspace(0, n - 1, self.width) if n > 1 else _np.zeros(1)
+        ys = _np.interp(xs, _np.arange(n), _np.asarray(series))
+        rows = ((ys - lo) / span * (self.height - 1)).round().astype(int)
+        return _np.clip(rows, 0, self.height - 1)
+
+    def _draw(self, epoch: int):
+        import numpy as _np
+
+        both = self._train + self._val
+        lo, hi = float(_np.min(both)), float(_np.max(both))
+        span = max(hi - lo, 1e-12)
+        grid = [[" "] * self.width for _ in range(self.height)]
+        for series, ch in ((self._train, "·"), (self._val, "●")):
+            if not series:
+                continue
+            cols = self._series_to_cols(series, lo, span)
+            for cx, row in enumerate(cols[: self.width]):
+                grid[self.height - 1 - int(row)][cx] = ch
+        v = (f"  val {self._val[-1]:.4f}" if self._val else "")
+        head = (f"{self.label}  epoch {epoch}  "
+                f"train {self._train[-1]:.4f}{v}")
+        lines = [head]
+        lines.append(f"{hi:10.3f} ┤" + "".join(grid[0]))
+        for r in grid[1:-1]:
+            lines.append(" " * 10 + " │" + "".join(r))
+        lines.append(f"{lo:10.3f} ┤" + "".join(grid[-1]))
+        lines.append(" " * 12 + "· train   ● val")
+        if self._lines_drawn:
+            self.stream.write(f"\x1b[{self._lines_drawn}A")
+        for ln in lines:
+            self.stream.write("\x1b[2K" + ln + "\n")
+        self.stream.flush()
+        self._lines_drawn = len(lines)

@@ -45,6 +45,9 @@ class TrainConfig:
     weight_decay: float = 0.0
     checkpoint_path: str | None = None
     checkpoint_every: int = 10
+    # live in-terminal loss chart per epoch (reference utils.py:2445-2546);
+    # degrades to one summary line per epoch on non-TTY streams
+    live_plot: bool = False
 
 
 @dataclass
@@ -215,6 +218,12 @@ def train_ensemble(
     epochs_since_best = jnp.zeros(n_nets, dtype=jnp.int32)
     train_hist, val_hist = [], []
 
+    live = None
+    if cfg.live_plot:
+        from .runtime import TerminalLossPlot
+
+        live = TerminalLossPlot(label=f"npe x{n_nets}")
+
     ckpt = cfg.checkpoint_path
     if ckpt and resume and os.path.exists(ckpt):
         state = load_checkpoint(ckpt)
@@ -236,6 +245,8 @@ def train_ensemble(
         )
         train_hist.append(np.asarray(tr_loss))
         val_hist.append(np.asarray(va_loss))
+        if live is not None:
+            live.update(epoch, train_hist[-1], val_hist[-1])
 
         if ckpt and (epoch + 1) % cfg.checkpoint_every == 0:
             save_checkpoint(ckpt, {

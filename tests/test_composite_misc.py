@@ -196,6 +196,49 @@ class TestRuntime:
         lg.info("hello")
         assert lg.name == "test_logger_xyz"
 
+    def test_terminal_loss_plot(self):
+        """Both render paths of the live loss chart (reference
+        utils.py:2445-2546): ANSI in-place frame and non-TTY line mode."""
+        import io
+
+        from synference_tpu.runtime import TerminalLossPlot
+
+        buf = io.StringIO()
+        p = TerminalLossPlot(width=20, height=5, stream=buf, ansi=True)
+        for e, (tr, va) in enumerate([(2.0, 2.2), (1.5, 1.8), (1.2, 1.7)]):
+            p.update(e, tr, va)
+        out = buf.getvalue()
+        assert "train 1.2000" in out and "val 1.7000" in out
+        assert "\x1b[2K" in out  # ANSI overdraw
+        assert "·" in out and "●" in out
+
+        buf2 = io.StringIO()
+        p2 = TerminalLossPlot(stream=buf2, ansi=False)
+        p2.update(0, np.array([2.0, 3.0]), np.array([2.5, 3.5]))
+        assert buf2.getvalue().strip() == "epoch    0  train 2.5000  val 3.0000"
+
+    def test_train_live_plot(self):
+        """TrainConfig(live_plot=True) drives the chart through a real
+        (tiny) training run without touching sys.stdout's TTY state."""
+        import contextlib
+        import io
+
+        import synference_tpu as st
+        from synference_tpu.flows import build_flow
+        from synference_tpu.train import TrainConfig, train_npe
+
+        rng = np.random.default_rng(0)
+        theta = rng.standard_normal((256, 2)).astype(np.float32)
+        x = (theta + 0.1 * rng.standard_normal((256, 2))).astype(np.float32)
+        flow = build_flow("maf", 2, 2, hidden_features=8, num_transforms=2)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            train_npe(flow, theta, x,
+                      config=TrainConfig(max_epochs=3, batch_size=64,
+                                         live_plot=True))
+        assert "epoch" in buf.getvalue() and "train" in buf.getvalue()
+        del st
+
 
 class TestNewParityHelpers:
     def test_min_max_wav_grid(self):
