@@ -16,6 +16,7 @@ from .catalogue import (
     fit_catalogue,
     mahalanobis_ood,
     ood_feature_contributions,
+    compare_methods_feature_importance,
     ood_vote,
 )
 from .combine import combine_libraries, combine_libraries_matched
@@ -27,6 +28,7 @@ from .diagnostics import (
     expected_coverage,
     feature_importance,
     fisher_forecast,
+    shapley_feature_importance,
     fit_marginal_flow,
     misspecification_check,
     pit_ks_statistic,
@@ -155,7 +157,7 @@ __all__ = [
     "FluxUnit", "convert_flux", "convert_flux_err",
     # catalogue fitting
     "fit_catalogue", "MissingPhotometryHandler", "mahalanobis_ood",
-    "ood_vote", "ood_feature_contributions",
+    "ood_vote", "ood_feature_contributions", "compare_methods_feature_importance", "shapley_feature_importance",
     # composite
     "CompositeSEDSimulator", "grid_combinations",
     "combine_libraries", "combine_libraries_matched",

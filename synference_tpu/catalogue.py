@@ -25,6 +25,7 @@ __all__ = [
     "mahalanobis_ood",
     "ood_vote",
     "ood_feature_contributions",
+    "compare_methods_feature_importance",
     "MissingPhotometryHandler",
     "fit_catalogue",
 ]
@@ -129,6 +130,36 @@ def ood_feature_contributions(train, test, method: str = "mahalanobis",
         "outlier_mask": np.asarray(dist > thresh),
         "threshold": thresh,
     }
+
+
+def compare_methods_feature_importance(train, test, feature_names=None,
+                                       confidence: float = 0.95):
+    """Feature importance across all three distance-based OOD methods in one
+    call (reference `compare_methods_feature_importance`,
+    utils.py:1914-1953, minus the inline matplotlib — use
+    `plotting.plot_feature_importance` on each entry).
+
+    Returns {method: ood_feature_contributions(...) dict} plus an
+    "agreement" key: the mean pairwise Spearman rank correlation of the
+    normalized importances (1.0 = all methods rank features identically).
+    """
+    methods = ("mahalanobis", "robust_mahalanobis", "standardized_euclidean")
+    out = {m: ood_feature_contributions(
+        train, test, method=m, feature_names=feature_names,
+        confidence=confidence) for m in methods}
+    ranks = []
+    for m in methods:
+        imp = out[m]["feature_importance"]
+        ranks.append(np.argsort(np.argsort(imp)).astype(np.float64))
+    cors = []
+    for i in range(len(ranks)):
+        for j in range(i + 1, len(ranks)):
+            a, b = ranks[i], ranks[j]
+            a = (a - a.mean()) / max(a.std(), 1e-12)
+            b = (b - b.mean()) / max(b.std(), 1e-12)
+            cors.append(float((a * b).mean()))
+    out["agreement"] = float(np.mean(cors))
+    return out
 
 
 def _flag_by_train_quantile(score_train, score_test, contamination):

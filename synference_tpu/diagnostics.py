@@ -237,6 +237,73 @@ def feature_importance(posterior, xs, truths, key=None, n_repeats: int = 3):
     return importance
 
 
+def shapley_feature_importance(posterior, xs, truths, key=None,
+                               n_permutations: int = 8,
+                               max_objects: int = 256):
+    """Sampled-permutation Shapley attribution of posterior information.
+
+    The value function is the mean log posterior density of the truths,
+    v(S) = E[log q(θ_true | x_S)], where features outside S are replaced by
+    values drawn from other objects (marginal masking — the flow stays in
+    distribution). φ_i is feature i's average marginal contribution over
+    random feature orderings: the game-theoretic sharing of the total
+    information gain v(all) − v(none), satisfying efficiency exactly
+    (Σ φ_i = v(all) − v(none) for the sampled orderings).
+
+    This is the deeper, axiomatic counterpart of
+    `feature_importance` (one-at-a-time permutation), matching the intent
+    of the reference's SHAP-style analysis (utils.py:1478-1955) on the
+    *fitted model* rather than the OOD geometry. All (D+1)·M masked rows
+    for one ordering evaluate in ONE batched log_prob call.
+
+    Returns dict: shapley (D,), total_gain (scalar, = shapley.sum()),
+    base_log_prob v(all), masked_log_prob v(none).
+    """
+    import jax as _jax
+
+    xs = np.asarray(xs, np.float32)[:max_objects]
+    truths = np.asarray(truths, np.float32)[:max_objects]
+    m, d = xs.shape
+    key = key if key is not None else _jax.random.PRNGKey(0)
+    rng = np.random.default_rng(
+        int(_jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    t_dev = jnp.asarray(np.tile(truths, (d + 1, 1)))
+
+    def stage_values(order):
+        """v(S_0 ⊂ S_1 ⊂ … ⊂ S_D) along one ordering, one device call."""
+        # background: features from a row-shuffled copy (marginal draws)
+        bg = xs[rng.permutation(m)]
+        staged = np.empty((d + 1, m, d), np.float32)
+        cur = bg.copy()
+        staged[0] = cur
+        for step, feat in enumerate(order):
+            cur = cur.copy()
+            cur[:, feat] = xs[:, feat]
+            staged[step + 1] = cur
+        lp = np.asarray(posterior.log_prob(
+            t_dev, jnp.asarray(staged.reshape(-1, d))
+        )).reshape(d + 1, m)
+        lp = np.where(np.isfinite(lp), lp, np.nan)
+        return np.nanmean(lp, axis=1)  # (D+1,)
+
+    phi = np.zeros(d)
+    v_all = v_none = 0.0
+    for _ in range(n_permutations):
+        order = rng.permutation(d)
+        v = stage_values(order)
+        phi[order] += np.diff(v)
+        v_none += v[0]
+        v_all += v[-1]
+    phi /= n_permutations
+    return {
+        "shapley": phi,
+        "total_gain": float(phi.sum()),
+        "base_log_prob": float(v_all / n_permutations),
+        "masked_log_prob": float(v_none / n_permutations),
+    }
+
+
 def evaluate_posterior_fused(posterior, xs, truths, key=None,
                              n_samples: int = 256, batched_rounds: int = 4,
                              parameter_names=None,

@@ -264,9 +264,15 @@ class SBIFitter:
         n_test_g = max(int(len(uniq) * test_fraction), 1)
         test_groups = uniq[perm_g[:n_test_g]]
         is_test = np.isin(source, test_groups)
+        # np.where returns ROW-ORDERED indices — and library rows are
+        # z-sorted (the z-sorted generation engine stores draws in redshift
+        # order), so any `test[:max_objects]` truncation downstream would
+        # evaluate on the lowest-z corner only (observed: a 63-band e2e
+        # "R²(z) = -130" that was var(truth)≈0 on a z∈[0.10,0.31] slice,
+        # not a broken posterior). Shuffle both index arrays.
         self._split = {
-            "test": np.where(is_test)[0],
-            "train": np.where(~is_test)[0],
+            "test": rng.permutation(np.where(is_test)[0]),
+            "train": rng.permutation(np.where(~is_test)[0]),
         }
         return self._split
 

@@ -61,6 +61,24 @@ class TestOOD:
                 res["feature_contributions"].sum(1),
                 res["total_distances"] ** 2, rtol=2e-3)
 
+    def test_compare_methods_feature_importance(self, rng):
+        """Cross-method comparison (reference utils.py:1914-1953): all
+        three methods agree the shifted feature dominates."""
+        from synference_tpu.catalogue import (
+            compare_methods_feature_importance,
+        )
+
+        train = rng.standard_normal((2000, 4))
+        test = rng.standard_normal((20, 4))
+        test[:, 1] += 6.0
+        out = compare_methods_feature_importance(
+            train, test, feature_names=list("abcd"))
+        for m in ("mahalanobis", "robust_mahalanobis",
+                  "standardized_euclidean"):
+            assert out[m]["feature_importance"].argmax() == 1, m
+        assert -1.0 <= out["agreement"] <= 1.0
+        assert out["agreement"] > 0.3  # methods broadly rank alike here
+
     def test_feature_contributions_bad_method(self, rng):
         from synference_tpu.catalogue import ood_feature_contributions
 

@@ -255,6 +255,36 @@ class TestGroupedSplit:
         # all three copies of each test galaxy are in the test set
         assert len(split["test"]) == 3 * len(test_groups)
 
+    def test_split_not_row_ordered_on_sorted_library(self):
+        """z-sorted libraries (the z-sorted generation engine stores draws
+        in redshift order) + a row-ordered test split made
+        `evaluate_model(max_objects=…)` assess only the lowest-z corner
+        (observed as "R²(z) = -130" at 63 bands). The split indices must be
+        shuffled so any prefix is representative."""
+        from synference_tpu.fitter import SBIFitter
+
+        local = np.random.default_rng(3)
+        n = 2000
+        z_sorted = np.sort(local.uniform(0.1, 8.0, n)).astype(np.float32)
+        params = np.stack([local.uniform(8, 11, n).astype(np.float32),
+                           z_sorted], axis=1)
+        phot = 10.0 ** local.uniform(1.0, 4.0, (n, 7))
+        fitter = SBIFitter(
+            photometry=phot, parameters=params,
+            parameter_names=["log10_mass", "redshift"],
+            filter_codes=list(CODES),
+        )
+        fitter.create_feature_array(FeatureConfig(
+            filter_codes=CODES, unit="asinh", depths_ab=(28.0,) * 7,
+            n_scatters=1, include_errors=False,
+        ))
+        split = fitter.split_dataset(test_fraction=0.25, seed=0)
+        for part in ("test", "train"):
+            head_z = fitter.feature_params[split[part][:64], 1]
+            # a row-ordered prefix would span < 2 in z; a shuffled one
+            # covers most of the 0.1-8 range
+            assert float(np.ptp(np.asarray(head_z))) > 5.0, part
+
     def test_source_index_tracks_pruning(self, phot, params):
         from synference_tpu.features import FeaturePipeline
 

@@ -278,6 +278,19 @@ class TestFeatureImportance:
         assert imp[0] > imp[1] and imp[0] > imp[2]
         assert imp[0] > 0.5
 
+        # Shapley attribution agrees on the informative feature AND
+        # satisfies efficiency: the sampled φ sum to the total info gain
+        from synference_tpu.diagnostics import shapley_feature_importance
+
+        sh = shapley_feature_importance(post, x[:256], theta[:256],
+                                        n_permutations=4)
+        phi = sh["shapley"]
+        assert phi[0] > phi[1] and phi[0] > phi[2]
+        np.testing.assert_allclose(
+            phi.sum(), sh["base_log_prob"] - sh["masked_log_prob"],
+            rtol=1e-4)
+        assert sh["total_gain"] > 0.5
+
 
 class TestLC2ST:
     """L-C2ST local coverage test (reference sbi_runner.py:986-1063)."""
