@@ -550,6 +550,7 @@ class FeaturePipeline:
         flux_unit="nJy",
         missing_mask=None,
         extra_values: dict | None = None,
+        norm_values=None,
     ) -> np.ndarray:
         """Replay the training transform on real observations (no
         scattering; reference `create_features_from_observations`,
@@ -567,6 +568,10 @@ class FeaturePipeline:
                 be derived from photometry and must be supplied here (the
                 reference's `provided_feature_parameters` contract,
                 sbi_runner.py:2034-2081).
+            norm_values: (M,) per-object values when `normalize_method`
+                named a parameter/supplementary quantity at training time
+                (interpreted as at training: a flux in nJy for
+                magnitude-space units). Ignored for filter normalization.
         """
         cfg = self.config
         flux = jnp.asarray(flux, jnp.float32)
@@ -586,11 +591,38 @@ class FeaturePipeline:
 
         feature_cols = None
         norm_appended = None
-        if cfg.normalize_method is not None:
-            if cfg.normalize_method not in cfg.filter_codes:
+        if cfg.normalize_method is not None and (
+            cfg.normalize_method not in cfg.filter_codes
+        ):
+            # parameter/supplementary-quantity normalization: the value is
+            # not derivable from the catalogue photometry — the caller must
+            # supply it per object (same contract as extra_values; the
+            # training-side semantics at build() treat it as a flux in nJy
+            # for magnitude units)
+            if norm_values is None:
                 raise ValueError(
-                    "observation replay only supports filter normalization"
+                    f"normalize_method={cfg.normalize_method!r} named a "
+                    "parameter/supplementary quantity at training time; "
+                    "pass norm_values=(M,) with that quantity per object "
+                    "(interpreted as at training: a flux in nJy for "
+                    "magnitude-space units)"
                 )
+            col = jnp.asarray(norm_values, jnp.float32)
+            if self._norm_is_mag():
+                col_np = np.asarray(col)
+                if not (np.isfinite(col_np).all() and (col_np > 0).all()):
+                    raise ValueError(
+                        "norm_values must be positive finite fluxes [nJy] "
+                        "for magnitude-space feature units"
+                    )
+                factor = U.convert_flux(
+                    col, "nJy", cfg.unit,
+                    f_b_njy=float(np.mean(self._softening)))
+                x = x - factor[:, None]
+            else:
+                x = x / jnp.where(col == 0, 1.0, col)[:, None]
+            norm_appended = U.convert_flux(col, "nJy", cfg.norm_unit)
+        elif cfg.normalize_method is not None:
             j = self.kept_codes.index(cfg.normalize_method)
             norm_col = x[:, j]
             raw_norm = f_njy[:, j]
