@@ -118,10 +118,16 @@ def bench_generation(batch=65536, iters=8, n_ages=48, n_mets=8, n_wav=2048,
     return batch / dt, (zs_rate, zsf_rate), engine, sim._lam_support
 
 
-def bench_training(n=100_000, batch=1024, epochs=3):
+def bench_training(n=100_000, batch=1024, epochs=3, fused_k=8):
     """Steady-state steps/sec of the whole-epoch lax.scan train step
     (the reference's tuned NSF config: hidden 69, 15 transforms). Times a
-    warm jitted epoch directly so remote-compile latency isn't counted."""
+    warm jitted epoch directly so remote-compile latency isn't counted.
+
+    Returns (single_dispatch_rate, fused_dispatch_rate): the second fuses
+    `fused_k` epochs into ONE device program — the production path when
+    TrainConfig.epochs_per_dispatch > 1. Training this small is dispatch-
+    latency-bound (MFU 0.01%, BASELINE.md training anatomy), so fusing
+    epochs is the main lever."""
     import optax
 
     rng = np.random.default_rng(1)
@@ -134,8 +140,7 @@ def bench_training(n=100_000, batch=1024, epochs=3):
     steps = n // batch
     idx_all = jnp.arange(steps * batch).reshape(steps, batch)
 
-    @jax.jit
-    def epoch(params, opt):
+    def one_epoch(params, opt):
         def step(c, bidx):
             p, s = c
 
@@ -149,13 +154,34 @@ def bench_training(n=100_000, batch=1024, epochs=3):
         (p, s), ls = jax.lax.scan(step, (params, opt), idx_all)
         return p, s, ls.mean()
 
+    epoch = jax.jit(one_epoch)
+
+    @jax.jit
+    def epoch_fused(params, opt):
+        def e(c, _):
+            p, s = c
+            p, s, l = one_epoch(p, s)
+            return (p, s), l
+
+        (p, s), ls = jax.lax.scan(e, (params, opt), None, length=fused_k)
+        return p, s, ls
+
     params, opt, l = epoch(params, opt)
     jax.block_until_ready(l)
     t0 = time.time()
     for _ in range(epochs):
         params, opt, l = epoch(params, opt)
     jax.block_until_ready(l)
-    return epochs * steps / (time.time() - t0)
+    rate_single = epochs * steps / (time.time() - t0)
+
+    p, o, ls = epoch_fused(params, opt)
+    jax.block_until_ready(ls)
+    t0 = time.time()
+    for _ in range(epochs):
+        p, o, ls = epoch_fused(params, opt)
+    jax.block_until_ready(ls)
+    rate_fused = epochs * fused_k * steps / (time.time() - t0)
+    return rate_single, rate_fused
 
 
 def bench_sampling(n_objects=256, n_samples=1000):
@@ -203,7 +229,7 @@ def main():
     paper63_seds, (zs_p, zsf_p), eng_p, sup_p = bench_generation(
         batch=65536, iters=4, n_ages=64, n_mets=12, n_wav=10_000,
         filters=load_instrument_filters(), lam_min=150.0)
-    train_steps = bench_training()
+    train_steps, train_steps_fused = bench_training()
     samples_per_sec = bench_sampling()
     # headline = the library-generation path (z-sorted window engine when
     # supported — LibraryGenerator sorts its draws by redshift); the
@@ -240,6 +266,9 @@ def main():
                            "conv engine / z-sorted window engine"),
         "paper63_engine": f"{eng_p} support={sup_p}",
         "npe_train_steps_per_sec": round(train_steps, 1),
+        # TrainConfig.epochs_per_dispatch=8: the dispatch-latency floor
+        # amortized over 8 whole epochs per device program
+        "npe_train_steps_per_sec_fused_dispatch": round(train_steps_fused, 1),
         "posterior_samples_per_sec": round(samples_per_sec, 1),
     }
     print(json.dumps(out))

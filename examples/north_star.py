@@ -103,7 +103,8 @@ def main(n_library: int, out: str):
     res = fitter.run_single_sbi(
         model_type="nsf", hidden_features=69, num_transforms=15,
         train_config=TrainConfig(max_epochs=30, stop_after_epochs=6,
-                                 batch_size=2048, learning_rate=7e-4),
+                                 batch_size=2048, learning_rate=7e-4,
+                                 epochs_per_dispatch=3),
     )
     timings["training_s"] = round(time.time() - t0, 1)
     n_epochs = len(res.val_losses)

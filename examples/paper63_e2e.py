@@ -62,7 +62,8 @@ def _survey_depths(codes):
     return tuple(depth(c) for c in codes)
 
 
-def main(n_library: int, out: str, grid=None):
+def main(n_library: int, out: str, grid=None, max_epochs: int = 40,
+         n_nets: int = 1, stop_after: int = 8):
     t_start = time.time()
     timings = {}
 
@@ -111,8 +112,11 @@ def main(n_library: int, out: str, grid=None):
     t0 = time.time()
     res = fitter.run_single_sbi(
         model_type="nsf", hidden_features=69, num_transforms=15,
-        train_config=TrainConfig(max_epochs=40, stop_after_epochs=8,
-                                 batch_size=2048, learning_rate=7e-4),
+        n_nets=n_nets,
+        train_config=TrainConfig(max_epochs=max_epochs,
+                                 stop_after_epochs=stop_after,
+                                 batch_size=2048, learning_rate=7e-4,
+                                 epochs_per_dispatch=4),
     )
     timings["training_s"] = round(time.time() - t0, 1)
     print(f"[{timings['training_s']}s] trained NSF 69x15: "
@@ -147,5 +151,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--out", type=str, default="paper63_result.json")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--n-nets", type=int, default=1)
+    ap.add_argument("--stop-after", type=int, default=8)
     args = ap.parse_args()
-    main(args.n, args.out)
+    main(args.n, args.out, max_epochs=args.epochs, n_nets=args.n_nets,
+         stop_after=args.stop_after)

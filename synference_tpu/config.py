@@ -99,6 +99,7 @@ def run_from_config(config, fitter=None):
         clip_max_norm=float(fixed.get("clip_max_norm", 5.0)),
         max_epochs=max_epochs,
         validation_fraction=float(ta.get("validation_fraction", 0.1)),
+        epochs_per_dispatch=int(ta.get("epochs_per_dispatch", 1)),
     )
 
     skip_opt = bool(ta.get("skip_optimization", True))

@@ -40,6 +40,7 @@ __all__ = [
     "HyperbandPruner",
     "PatientPruner",
     "optimize_sbi",
+    "sweep_learning_rates",
     "DEFAULT_SEARCH_SPACES",
 ]
 
@@ -536,3 +537,47 @@ def optimize_sbi(
 
     best = study.best_trial
     return study, best["params"]
+
+
+def sweep_learning_rates(
+    flow,
+    theta,
+    x,
+    learning_rates,
+    config=None,
+    key=None,
+    groups=None,
+):
+    """Train one flow at K learning rates simultaneously and pick the best.
+
+    The TPU-native form of the reference's per-trial Optuna lr search
+    (custom_runner.py:744-968 suggests lr per trial, each trial its own
+    torch loop): here the K candidates become members of a vmapped ensemble
+    whose optimizer state carries a per-member lr
+    (`train.train_ensemble(member_learning_rates=...)`), so the whole sweep
+    compiles once and runs as ONE device program per epoch — on a
+    latency-bound flow step (see BASELINE.md training anatomy) K trials
+    cost barely more than one.
+
+    Returns dict with `best_lr`, `best_index`, `best_val` (K,),
+    `params` (the winning member's parameters), and the full `TrainResult`.
+    """
+    import jax
+
+    from .train import TrainConfig, train_ensemble
+
+    lrs = np.asarray(learning_rates, np.float64)
+    res = train_ensemble(
+        flow, theta, x, key=key, config=config or TrainConfig(),
+        n_nets=len(lrs), groups=groups, member_learning_rates=lrs,
+    )
+    best_val = np.asarray(res.history["best_val"])
+    best_idx = int(np.argmin(best_val))
+    params = jax.tree_util.tree_map(lambda a: a[best_idx], res.params)
+    return {
+        "best_lr": float(lrs[best_idx]),
+        "best_index": best_idx,
+        "best_val": best_val,
+        "params": params,
+        "result": res,
+    }

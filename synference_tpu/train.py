@@ -45,6 +45,14 @@ class TrainConfig:
     weight_decay: float = 0.0
     checkpoint_path: str | None = None
     checkpoint_every: int = 10
+    # epochs fused into ONE device dispatch (lax.scan over whole epochs).
+    # Training this small is dispatch-latency-bound on a remote-attached
+    # TPU (measured MFU 0.01%, BASELINE.md "training anatomy"): 4 epochs
+    # per dispatch is +35% steps/s. Early-stop/pruning/checkpoint checks
+    # happen every `epochs_per_dispatch` epochs, and the total epoch count
+    # rounds up to a multiple of it (best-val tracking stays per-epoch on
+    # device, so the extra epochs never degrade the returned params).
+    epochs_per_dispatch: int = 1
     # live in-terminal loss chart per epoch (reference utils.py:2445-2546);
     # degrades to one summary line per epoch on non-TTY streams
     live_plot: bool = False
@@ -60,11 +68,30 @@ class TrainResult:
     history: dict = field(default_factory=dict)
 
 
-def _make_optimizer(cfg: TrainConfig):
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+def _make_optimizer(cfg: TrainConfig, traced_lr: bool = False):
+    if traced_lr:
+        # learning rate lives in the optimizer STATE (a traced array) rather
+        # than the program, so members of a vmapped ensemble can each train
+        # at their own lr inside one compiled program
+        adamw = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay)
+    else:
+        adamw = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
     if cfg.clip_max_norm and cfg.clip_max_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), tx)
-    return tx
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.clip_max_norm), adamw)
+    return adamw
+
+
+def _set_member_lrs(opt_state, cfg: TrainConfig, lrs):
+    """Overwrite the injected learning_rate hyperparam (one per member)."""
+    if cfg.clip_max_norm and cfg.clip_max_norm > 0:
+        clip_s, inj_s = opt_state
+        inj_s = inj_s._replace(
+            hyperparams={**inj_s.hyperparams, "learning_rate": lrs})
+        return (clip_s, inj_s)
+    return opt_state._replace(
+        hyperparams={**opt_state.hyperparams, "learning_rate": lrs})
 
 
 def _split_data(theta, x, cfg, key, groups=None):
@@ -121,6 +148,7 @@ def train_ensemble(
     groups=None,
     loss_fn=None,
     epoch_callback=None,
+    member_learning_rates=None,
 ) -> TrainResult:
     """Train n_nets flows simultaneously (vmapped over the member axis).
 
@@ -138,6 +166,12 @@ def train_ensemble(
             during training via Optuna callbacks, custom_runner.py:662-670).
             An abort restores best-so-far params and marks
             `history["pruned"] = True`.
+        member_learning_rates: optional (n_nets,) per-member learning rates
+            (overrides config.learning_rate). The lr is injected into the
+            optimizer state, so K learning-rate trials train as ONE vmapped
+            program — the TPU-native form of HPO lr search (the reference
+            runs each Optuna lr trial as its own torch loop,
+            custom_runner.py:744-968). See `hpo.sweep_learning_rates`.
     """
     cfg = config or TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -154,8 +188,16 @@ def train_ensemble(
 
     member_keys = jax.random.split(k_init, n_nets)
     params = jax.vmap(lambda k: flow.init(k, t_tr, x_tr))(member_keys)
-    tx = _make_optimizer(cfg)
+    traced_lr = member_learning_rates is not None
+    tx = _make_optimizer(cfg, traced_lr=traced_lr)
     opt_state = jax.vmap(tx.init)(params)
+    if traced_lr:
+        lrs = jnp.asarray(member_learning_rates, jnp.float32)
+        if lrs.shape != (n_nets,):
+            raise ValueError(
+                f"member_learning_rates must have shape ({n_nets},), "
+                f"got {lrs.shape}")
+        opt_state = _set_member_lrs(opt_state, cfg, lrs)
 
     if loss_fn is None:
         def loss_fn(p, tb, xb):
@@ -181,9 +223,8 @@ def train_ensemble(
         val_loss = loss_fn(params, d_t_va, d_x_va)
         return params, opt_state, losses.mean(), val_loss
 
-    @jax.jit
-    def epoch_all(params, opt_state, key, best_params, best_val, since_best,
-                  data):
+    def epoch_all_body(params, opt_state, key, best_params, best_val,
+                       since_best, data):
         """One epoch for every member + device-side best-val tracking.
 
         Best-params selection happens on device: doing it host-side costs
@@ -208,6 +249,29 @@ def train_ensemble(
         best_val = jnp.where(improved, va_loss, best_val)
         since_best = jnp.where(improved, 0, since_best + 1)
         return (params, opt_state, tr_loss, va_loss, best_params, best_val,
+                since_best)
+
+    k_dispatch = max(int(cfg.epochs_per_dispatch), 1)
+
+    @jax.jit
+    def epoch_all(params, opt_state, key, best_params, best_val, since_best,
+                  data):
+        """`epochs_per_dispatch` whole epochs fused into one device program
+        (a lax.scan over epoch_all_body) — amortizes the per-dispatch
+        latency floor that dominates small-flow training (BASELINE.md
+        "training anatomy": 2449 -> 3312 steps/s at 4 epochs/dispatch)."""
+        def body(carry, k_epoch):
+            p, s, bp, bv, sb = carry
+            p, s, tr, va, bp, bv, sb = epoch_all_body(
+                p, s, k_epoch, bp, bv, sb, data)
+            return (p, s, bp, bv, sb), (tr, va)
+
+        keys = jax.random.split(key, k_dispatch)
+        (params, opt_state, best_params, best_val, since_best), (trs, vas) = (
+            jax.lax.scan(
+                body, (params, opt_state, best_params, best_val, since_best),
+                keys))
+        return (params, opt_state, trs, vas, best_params, best_val,
                 since_best)
 
     # ---- host-side epoch loop with early stopping + checkpointing --------
@@ -236,34 +300,41 @@ def train_ensemble(
         val_hist = list(state["val_hist"])
         k_loop = state["key"]
 
-    for epoch in range(start_epoch, cfg.max_epochs):
+    epoch = start_epoch
+    while epoch < cfg.max_epochs:
         k_loop, k_epoch = jax.random.split(k_loop)
-        (params, opt_state, tr_loss, va_loss, best_params, best_val,
+        (params, opt_state, tr_block, va_block, best_params, best_val,
          epochs_since_best) = epoch_all(
             params, opt_state, k_epoch, best_params, best_val,
             epochs_since_best, (t_tr, x_tr, t_va, x_va),
         )
-        train_hist.append(np.asarray(tr_loss))
-        val_hist.append(np.asarray(va_loss))
-        if live is not None:
-            live.update(epoch, train_hist[-1], val_hist[-1])
+        # ONE readback per dispatch: (k_dispatch, n_nets) loss blocks
+        tr_block, va_block = np.asarray(tr_block), np.asarray(va_block)
+        for j in range(k_dispatch):
+            train_hist.append(tr_block[j])
+            val_hist.append(va_block[j])
+            if live is not None:
+                live.update(epoch + j, tr_block[j], va_block[j])
+            if epoch_callback is not None and bool(
+                epoch_callback(epoch + j, tr_block[j], va_block[j])
+            ):
+                pruned = True
+                break
+        epoch += k_dispatch
+        if pruned:
+            break
 
-        if ckpt and (epoch + 1) % cfg.checkpoint_every == 0:
+        if ckpt and (epoch // cfg.checkpoint_every
+                     > (epoch - k_dispatch) // cfg.checkpoint_every):
             save_checkpoint(ckpt, {
                 "params": params, "opt_state": opt_state,
                 "best_params": best_params,
                 "best_val": np.asarray(best_val),
-                "epoch": epoch,
+                "epoch": epoch - 1,
                 "epochs_since_best": np.asarray(epochs_since_best),
                 "train_hist": train_hist, "val_hist": val_hist,
                 "key": k_loop,
             })
-
-        if epoch_callback is not None and bool(
-            epoch_callback(epoch, train_hist[-1], val_hist[-1])
-        ):
-            pruned = True
-            break
 
         if bool((np.asarray(epochs_since_best)
                  >= cfg.stop_after_epochs).all()):
@@ -281,7 +352,13 @@ def train_ensemble(
         val_losses=val_arr,
         best_epoch=int(np.argmin(val_arr.mean(axis=1))) if len(val_arr) else 0,
         n_members=n_nets,
-        history={"best_val": best_val.tolist(), "pruned": pruned},
+        history={
+            "best_val": best_val.tolist(),
+            "pruned": pruned,
+            **({"member_learning_rates":
+                np.asarray(member_learning_rates, np.float64).tolist()}
+               if member_learning_rates is not None else {}),
+        },
     )
 
 

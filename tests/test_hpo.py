@@ -209,6 +209,42 @@ class TestPruner:
         assert best is not None
 
 
+def test_sweep_learning_rates_one_program():
+    """K lr candidates train as ONE vmapped program (per-member lr injected
+    into optimizer state); the sweep must find that a sane lr beats an
+    absurdly small one, and the winning member's params must differ from
+    the losers' (i.e. members really trained at different rates)."""
+    import jax
+
+    from synference_tpu.flows import build_flow
+    from synference_tpu.hpo import sweep_learning_rates
+    from synference_tpu.train import TrainConfig
+
+    rng = np.random.default_rng(3)
+    theta = rng.uniform(-1, 1, (800, 2)).astype(np.float32)
+    x = (theta @ rng.standard_normal((2, 3)).astype(np.float32)
+         + 0.05 * rng.standard_normal((800, 3)).astype(np.float32))
+    flow = build_flow("mdn", 2, 3, hidden_features=16, num_components=2)
+    lrs = [1e-9, 3e-3]
+    out = sweep_learning_rates(
+        flow, theta, x, lrs,
+        config=TrainConfig(max_epochs=8, stop_after_epochs=8, batch_size=128),
+        key=jax.random.PRNGKey(0),
+    )
+    assert out["best_val"].shape == (2,)
+    # lr=1e-9 barely moves from init; 3e-3 must achieve a lower loss
+    assert out["best_index"] == 1
+    assert out["best_lr"] == lrs[1]
+    res = out["result"]
+    assert res.history["member_learning_rates"] == lrs
+    # members diverged: stacked params differ across the member axis
+    leaf = jax.tree_util.tree_leaves(res.params)[0]
+    assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+    # winning params are the best member's slice
+    win = jax.tree_util.tree_leaves(out["params"])[0]
+    assert np.allclose(np.asarray(win), np.asarray(leaf[1]))
+
+
 def test_zoo_search_space():
     """The "zoo" space searches the model family itself; trials with
     transform-free models (mdn) must not leak num_transforms."""

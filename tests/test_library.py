@@ -41,6 +41,23 @@ def check_hdf5_schema(path, expect_supp=False):
             assert "SupplementaryParameterNames" in f.attrs
 
 
+def test_testdata_cli_generates_assets(tmp_path):
+    """`synference-tpu-testdata` regenerates the reference's downloadable
+    test assets locally (reference `synference-download-data`,
+    utils.py:2789-2806): a loadable SPS grid + a schema-valid library."""
+    from synference_tpu.grids import SPSGrid
+    from synference_tpu.library import load_library_hdf5
+    from synference_tpu.testdata import generate_test_data
+
+    out = generate_test_data(str(tmp_path / "assets"), n=96, verbose=False)
+    g = SPSGrid.from_hdf5(out["grid"])
+    assert g.n_wav == 1024
+    check_hdf5_schema(out["library"])
+    lib = load_library_hdf5(out["library"])
+    assert lib["photometry"].shape == (7, 96)
+    assert np.isfinite(lib["photometry"]).all()
+
+
 class TestHypercube:
     def test_ranges_and_shapes(self):
         d = draw_from_hypercube({"a": (0.0, 1.0), "b": (-5.0, 5.0)}, 100)

@@ -64,6 +64,35 @@ class TestTraining:
                                     batch_size=128, learning_rate=5e-3))
         assert len(res.val_losses) < 500
 
+    def test_epochs_per_dispatch_fused(self):
+        """K epochs fused into one dispatch (BASELINE.md training anatomy:
+        +35% steps/s on the latency-bound NSF step): history comes back
+        per-epoch, early stopping still fires (checked every K), and the
+        trained model matches the K=1 path's quality."""
+        theta, x = _toy_data(800)
+        flow = build_flow("mdn", 2, 3, hidden_features=16, num_components=3)
+        res4 = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
+                        learning_rate=1e-3, epochs_per_dispatch=4))
+        # per-epoch history, length a multiple of K covering max_epochs
+        assert res4.val_losses.shape == (12, 1)
+        assert res4.val_losses[-1, 0] < res4.val_losses[0, 0]
+        res1 = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
+                        learning_rate=1e-3))
+        assert abs(min(res4.history["best_val"])
+                   - min(res1.history["best_val"])) < 0.5
+        # early stopping with K>1: huge lr diverges fast, patience 2 means
+        # the loop must halt at a multiple of K well before max_epochs
+        res_es = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=400, stop_after_epochs=2, batch_size=128,
+                        learning_rate=5e-3, epochs_per_dispatch=4))
+        assert len(res_es.val_losses) < 400
+        assert len(res_es.val_losses) % 4 == 0
+
     def test_checkpoint_resume(self, tmp_path):
         theta, x = _toy_data(400)
         flow = build_flow("gaussian", 2, 3, hidden_features=8)
