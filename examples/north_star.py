@@ -78,7 +78,7 @@ def main(n_library: int, out: str):
     }, unlog_keys=["log10_peak_age"])
     # batch 16384: at 10⁴ λ the per-batch rest-frame L_ν intermediate is
     # B×L×4 B ≈ 0.66 GB — 65536 would push several GB of live intermediates
-    lib = gen.generate(n=n_library, batch_size=16384, seed=0)
+    lib = gen.generate(n=n_library, seed=0)  # auto batch (65536), device-resident z-sorted
     timings["generation_s"] = round(time.time() - t0, 1)
     print(f"[{timings['generation_s']}s] generated {n_library:,} SEDs "
           f"({n_library / timings['generation_s']:,.0f}/s incl. compile)",

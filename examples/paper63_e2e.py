@@ -89,7 +89,7 @@ def main(n_library: int, out: str, grid=None, max_epochs: int = 40,
         "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
         "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
     }, unlog_keys=["log10_peak_age"])
-    lib = gen.generate(n=n_library, batch_size=16384, seed=0)
+    lib = gen.generate(n=n_library, seed=0)  # auto batch (65536), device-resident z-sorted
     timings["generation_s"] = round(time.time() - t0, 1)
     print(f"[{timings['generation_s']}s] generated {n_library:,} x {n_f} "
           "band fluxes", flush=True)

@@ -58,7 +58,8 @@ from .library import (
     save_library_hdf5,
     simulator_from_library,
 )
-from .hpo import MedianPruner, SearchSpace, Study, optimize_sbi
+from .hpo import (MedianPruner, SearchSpace, Study, optimize_sbi,
+                  sweep_learning_rates)
 from .mcmc import (
     dirichlet_cumsum_transform,
     censored_gaussian_loglike_rows,
@@ -166,6 +167,7 @@ __all__ = [
     "train_simformer",
     # hpo
     "Study", "SearchSpace", "MedianPruner", "optimize_sbi",
+    "sweep_learning_rates",
     # mcmc / online / recovery
     "run_ensemble_mcmc", "fit_observation_mcmc", "fit_observation_hmc",
     "fit_catalogue_map", "fit_catalogue_hmc", "fit_catalogue_vi",

@@ -41,6 +41,7 @@ def library_path(test_grid, nircam_filters, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_full_pipeline(library_path, tmp_path):
     fitter = SBIFitter.init_from_hdf5(library_path)
     assert fitter.photometry.shape == (3000, 7)
@@ -106,6 +107,7 @@ def test_full_pipeline(library_path, tmp_path):
     assert obs_feat.shape[1] == fitter.features.shape[1]
 
 
+@pytest.mark.slow
 def test_ensemble_pipeline(library_path):
     fitter = SBIFitter.init_from_hdf5(library_path)
     fitter.create_feature_array(FeatureConfig(

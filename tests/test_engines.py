@@ -162,6 +162,7 @@ class TestSequentialEngines:
         eps = SIGMA * jax.random.normal(key, (theta.shape[0], 3))
         return theta @ jnp.asarray(A.T) + eps
 
+    @pytest.mark.slow
     def test_snle_converges(self):
         from synference_tpu.online import run_online_snle
 

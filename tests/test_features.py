@@ -426,6 +426,7 @@ class TestParameterTransforms:
         assert np.isfinite(res.parameters).all()
         assert res.parameters.shape[0] < 200
 
+    @pytest.mark.slow
     def test_fitter_trains_on_transformed_theta(self, phot):
         """End-to-end: fitter trains in log10-mass while the library stores
         linear mass; posterior samples live in log10 space."""

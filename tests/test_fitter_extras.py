@@ -57,6 +57,7 @@ def test_fitter_simformer(small_fitter):
     assert np.isfinite(report["mean_log_prob"])
 
 
+@pytest.mark.slow
 def test_run_validation_from_file(small_fitter, tmp_path):
     """Saved model -> run_validation_from_file re-validates it on this
     fitter's held-out split and writes figures + metrics JSON (reference
@@ -96,6 +97,7 @@ def test_fitter_hpo_smoke(small_fitter):
     assert "hidden_features" in best
 
 
+@pytest.mark.slow
 def test_fitter_online(small_fitter, test_grid, nircam_filters):
     """Online TSNPE through the jitted simulator at a fixed observation."""
     sim = BatchSEDSimulator(

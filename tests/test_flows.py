@@ -140,6 +140,7 @@ class TestSupportTransform:
         assert 1.0 < np.asarray(params["theta_std"]).min()
         assert np.asarray(params["theta_std"]).max() < 3.0
 
+    @pytest.mark.slow
     def test_trained_no_leakage_and_recovers(self):
         """Train on data filling a tight box; a raw flow would leak mass
         outside, the support flow cannot (acceptance == 1)."""

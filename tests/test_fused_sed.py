@@ -107,6 +107,7 @@ class TestSupportGate:
 
 
 class TestMegaWithTrimming:
+    @pytest.mark.slow
     def test_trimmed_large_grid_engages_mega(self):
         """λ-support trimming can bring a large grid under the megakernel
         gate; the mega tables must then align with the l_lo>0 knot matrix

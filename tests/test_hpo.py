@@ -162,6 +162,7 @@ class TestPruner:
         assert not p.should_prune(2, 3.0, study, improving)
         assert p.should_prune(2, 3.0, study, stagnant)
 
+    @pytest.mark.slow
     def test_pruning_aborts_training_midrun(self):
         """A pruned trial must actually train FEWER epochs than max_epochs
         (the round-1 implementation replayed losses after full training, so
@@ -245,6 +246,7 @@ def test_sweep_learning_rates_one_program():
     assert np.allclose(np.asarray(win), np.asarray(leaf[1]))
 
 
+@pytest.mark.slow
 def test_zoo_search_space():
     """The "zoo" space searches the model family itself; trials with
     transform-free models (mdn) must not leak num_transforms."""

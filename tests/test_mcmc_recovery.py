@@ -156,6 +156,7 @@ class TestC2ST:
 
 
 class TestMisspecification:
+    @pytest.mark.slow
     def test_flags_shifted_observations(self, rng):
         x_train = rng.standard_normal((3000, 4)).astype(np.float32)
         flow, params = fit_marginal_flow(x_train, max_epochs=15)
@@ -269,6 +270,7 @@ class TestSMC:
         # likelihood mass -> lower evidence
         assert z_good > z_bad
 
+    @pytest.mark.slow
     def test_model_comparison_end_to_end(self, test_grid, nircam_filters):
         """SMC model comparison through the real simulator: the SFH family
         that generated the data should win (or at least not lose badly)."""
@@ -309,6 +311,7 @@ class TestSMC:
 
 
 class TestHMC:
+    @pytest.mark.slow
     def test_hmc_recovers_truth_through_simulator(self):
         """Gradient-based HMC through the differentiable simulator: the
         posterior over (log10_mass, tau_v) given clean mock photometry
@@ -471,6 +474,7 @@ def test_score_compression_recovers_parameter_shifts():
     assert sc["weights"].shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_catalogue_hmc_all_objects_converge():
     """Whole-catalogue HMC: every object's chains concentrate on its own
     generating parameters at the Cramér-Rao scale, in ONE program."""
@@ -507,6 +511,7 @@ def test_catalogue_hmc_all_objects_converge():
     assert (std[:, 0] < 0.1).all()  # Cramér-Rao scale, not prior scale
 
 
+@pytest.mark.slow
 def test_posterior_crosscheck_flow_vs_hmc():
     """The reference's cross-check workflow, closed-loop: an NPE flow
     trained on simulator draws must be much closer (C2ST) to the exact

@@ -120,6 +120,7 @@ def test_graft_entry_single():
     assert np.isfinite(float(out))
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
@@ -228,6 +229,7 @@ class TestShardedGradientFitters:
     axis, so GSPMD partitions them from sharded inputs alone — exact
     MAP agreement with the single-device run, HMC convergence intact."""
 
+    @pytest.mark.slow
     def test_map_and_hmc_with_sharded_objects(self, test_grid):
         import synference_tpu as st
 

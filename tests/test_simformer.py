@@ -91,6 +91,7 @@ def test_simformer_recovers_conditional():
     assert abs(s2[:, 0].mean() - 1.0) < 0.35
 
 
+@pytest.mark.slow
 def test_log_prob_probability_flow():
     """PF-ODE log_prob (reference condition-masked log_prob,
     sbi_runner.py:8783-8856): on a linear-Gaussian task θ ~ N(0,1),

@@ -203,6 +203,7 @@ class TestSpectralNormalizationParity:
                                    rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_tsnpe_recovers_parameters():
     """Simple 2-param simulator: x = [θ0+θ1, θ0−θ1] + noise. TSNPE should
     tighten the posterior around the true θ after a few rounds."""

@@ -146,6 +146,7 @@ class TestPosterior:
         lp = np.asarray(post.log_prob(np.array([[10.0, 0.0]]), x[:1]))
         assert lp[0] == -np.inf
 
+    @pytest.mark.slow
     def test_ensemble_posterior(self):
         post, theta, x = self._trained(n_nets=2)
         s = np.asarray(post.sample(KEY, x[0], 300))
