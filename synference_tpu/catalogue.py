@@ -443,7 +443,14 @@ def reconstruct_photometry(simulator, samples, parameter_names,
     n_pad = int(np.ceil(n / chunk) * chunk)
     if n_pad != n:  # pad to ONE chunk shape: a single compiled program
         flat = np.concatenate([flat, np.repeat(flat[:1], n_pad - n, 0)], 0)
-    fn = jax.jit(simulator.photometry)
+    # cache the jitted program ON the simulator: jit keys on function
+    # identity, so a fresh jax.jit(bound_method) per call would recompile
+    # the forward model every fit_catalogue invocation (minutes over the
+    # axon tunnel) — same pattern as sed.py's _zsorted jit caches
+    fn = getattr(simulator, "_catalogue_phot_jit", None)
+    if fn is None:
+        fn = jax.jit(simulator.photometry)
+        simulator._catalogue_phot_jit = fn
     outs = [np.asarray(fn(jnp.asarray(flat[i:i + chunk])))
             for i in range(0, n_pad, chunk)]
     return np.concatenate(outs, axis=0)[:n].reshape(m, s, -1)
@@ -460,15 +467,22 @@ def recover_seds_batched(simulator, samples, parameter_names,
     host-side per object chunk.
 
     Returns:
-        dict with lam (L,), fnu_quantiles (M, Q, L) [nJy], quantiles.
+        dict with lam (M, L) — per-object OBSERVED-frame axis, the rest
+        grid × the posterior-mean (1+z) (reference recover_SED returns
+        nanmean-over-draws wav, sbi_runner.py:5850+; quantiles are at
+        fixed rest index, exact as the per-object z-width → 0) —
+        lam_rest (L,), fnu_quantiles (M, Q, L) [nJy], quantiles.
     """
     draws = _posterior_to_simulator_columns(
         np.asarray(samples, np.float32)[:, :max_draws, :],
         parameter_names, simulator)
     m, s, p = draws.shape
     obj_chunk = max(1, rows_per_call // s)
-    fn = jax.jit(lambda t: simulator.simulate(t, want_spectra=True)
-                 ["fnu_njy"])
+    fn = getattr(simulator, "_catalogue_sed_jit", None)
+    if fn is None:  # cached on the simulator — see reconstruct_photometry
+        fn = jax.jit(lambda t: simulator.simulate(t, want_spectra=True)
+                     ["fnu_njy"])
+        simulator._catalogue_sed_jit = fn
     qs = []
     for i in range(0, m, obj_chunk):
         blk = draws[i:i + obj_chunk]
@@ -478,8 +492,14 @@ def recover_seds_batched(simulator, samples, parameter_names,
         fnu = np.asarray(fn(jnp.asarray(blk.reshape(obj_chunk * s, p))))
         fnu = fnu.reshape(obj_chunk, s, -1)[:min(obj_chunk, m - i)]
         qs.append(np.quantile(fnu, quantiles, axis=1))  # (Q, mc, L)
+    lam_rest = np.asarray(simulator.grid.lam)
+    zp1 = np.ones(m)
+    if "redshift" in simulator.param_names:
+        zc = draws[:, :, list(simulator.param_names).index("redshift")]
+        zp1 = np.mean(1.0 + np.maximum(zc, 0.0), axis=1)
     return {
-        "lam": np.asarray(simulator.grid.lam),
+        "lam": lam_rest[None, :] * zp1[:, None],  # (M, L) observed frame
+        "lam_rest": lam_rest,
         "fnu_quantiles": np.concatenate(
             [np.moveaxis(q, 0, 1) for q in qs], axis=0),  # (M, Q, L)
         "quantiles": list(quantiles),

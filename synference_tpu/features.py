@@ -634,6 +634,13 @@ class FeaturePipeline:
                 x = x - norm_col[:, None]
             else:
                 x = x / jnp.where(norm_col == 0, 1.0, norm_col)[:, None]
+                # error columns scale with the same per-object norm flux at
+                # build() (training) time — replay must match or the flow is
+                # conditioned on error features off by the norm magnitude
+                if xe is not None:
+                    xe = xe / jnp.abs(
+                        jnp.where(norm_col == 0, 1.0, norm_col)
+                    )[:, None]
             norm_appended = U.convert_flux(raw_norm, "nJy", cfg.norm_unit)
         del feature_cols
 

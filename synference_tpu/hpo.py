@@ -179,6 +179,9 @@ class SuccessiveHalvingPruner:
     def __init__(self, min_resource: int = 1, reduction_factor: int = 4):
         self.min_resource = max(int(min_resource), 1)
         self.rf = int(reduction_factor)
+        if self.rf < 2:  # rf<=1 would spin _is_rung's while-loop forever
+            raise ValueError(
+                f"reduction_factor must be >= 2, got {reduction_factor}")
 
     def _is_rung(self, step: int) -> bool:
         r = self.min_resource
@@ -210,6 +213,9 @@ class HyperbandPruner:
     def __init__(self, min_resource: int = 1, max_resource: int = 60,
                  reduction_factor: int = 3):
         self.rf = int(reduction_factor)
+        if self.rf < 2:  # rf<=1 would spin the bracket loop below forever
+            raise ValueError(
+                f"reduction_factor must be >= 2, got {reduction_factor}")
         n_brackets = 1
         r = int(min_resource)
         while r * self.rf <= int(max_resource):
@@ -501,7 +507,12 @@ def optimize_sbi(
                                _trial=trial):
                 v = float(np.asarray(va_loss).mean())
                 study.report_intermediate(_trial, epoch, v)
-                return pruner.should_prune(epoch, v, study, _trial)
+                try:
+                    return pruner.should_prune(epoch, v, study, _trial)
+                except TypeError:
+                    # user pruners written against the original 3-arg
+                    # interface (step, value, study) keep working
+                    return pruner.should_prune(epoch, v, study)
 
             res = fitter.run_single_sbi(
                 model_type=trial_model,

@@ -797,9 +797,7 @@ class LibraryGenerator:
                 axis=0)
         # global window plan across every sub-chunk — the one readback
         z = theta_dev[:, iz]
-        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / sim._filter_dlog
-        k = jnp.minimum((s / sim._knot_delta).astype(jnp.int32),
-                        sim._n_knots - 2)
+        k = sim._knot_interval_device(z)
         span = int(jnp.max(k[sub - 1::sub] - k[::sub]))
         kc, w_cols = sim._zsorted_plan(span)
         windowed = (kc < sim._n_knots

@@ -34,7 +34,13 @@ def recover_sed(
         max_draws: cap on forwarded draws (cost control).
     Returns:
         dict with:
-            lam: (L,) rest wavelengths [Å]
+            lam: (L,) OBSERVED-frame wavelengths [Å] — rest grid × the
+                posterior-mean (1+z), matching the reference's
+                nanmean-over-draws wav axis (sbi_runner.py:5850+). Each
+                draw's f_ν row lives at λ_rest·(1+z_draw); quantiles are
+                taken at fixed rest index, so the axis is exact only in
+                the z-width → 0 limit (same caveat as the reference).
+            lam_rest: (L,) the rest grid
             fnu_quantiles: (Q, L) observed-frame f_ν [nJy]
             photometry_quantiles: (Q, F) band fluxes [nJy]
             sfh_quantiles: (Q, A) per-age-bin masses [Msun] (if want_sfh)
@@ -47,8 +53,14 @@ def recover_sed(
     out = simulator.simulate(draws, want_spectra=True)
     fnu = np.asarray(out["fnu_njy"])
     phot = np.asarray(out["photometry_njy"])
+    lam_rest = np.asarray(simulator.grid.lam)
+    zp1 = 1.0
+    if "redshift" in simulator.param_names:
+        zc = draws[:, list(simulator.param_names).index("redshift")]
+        zp1 = float(np.mean(1.0 + np.maximum(zc, 0.0)))
     result = {
-        "lam": np.asarray(simulator.grid.lam),
+        "lam": lam_rest * zp1,
+        "lam_rest": lam_rest,
         "fnu_quantiles": np.quantile(fnu, quantiles, axis=0),
         "photometry_quantiles": np.quantile(phot, quantiles, axis=0),
         "quantiles": list(quantiles),

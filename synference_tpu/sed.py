@@ -1189,6 +1189,31 @@ class BatchSEDSimulator:
         cache[(sub, w_cols, kc, fused)] = run
         return run
 
+    def _knot_interval_host(self, z):
+        """Clamped knot-interval index per redshift (host/numpy, f64).
+
+        THE single definition of the z→knot-interval map the window engine
+        plans with: k = min(floor(floor(s)/δ), n_knots−2) where
+        s = log10(1+z)/dlog is the column shift. The clamp matches
+        `_knot_interp` (shifts in/past the top interval interpolate inside
+        interval n_knots−2 with a hi-edge virtual neighbour). Must stay
+        semantically identical to `_knot_interval_device`; f32-vs-f64
+        rounding of s differs by ≤1 knot at interval boundaries, which
+        `_zsorted_plan`'s +5 margin absorbs."""
+        s = (np.log10(1.0 + np.maximum(np.asarray(z), 0.0))
+             / self._filter_dlog)
+        return np.minimum(
+            np.floor_divide(s.astype(np.int64), self._knot_delta),
+            self._n_knots - 2)
+
+    def _knot_interval_device(self, z):
+        """Device twin of `_knot_interval_host` (f32/int32). For s ≥ 0 and
+        integer δ, floor(floor(s)/δ) == floor(s/δ), so the two bodies agree
+        exactly up to f32 rounding of s (absorbed by `_zsorted_plan`)."""
+        s = jnp.log10(1.0 + jnp.maximum(z, 0.0)) / self._filter_dlog
+        return jnp.minimum((s / self._knot_delta).astype(jnp.int32),
+                           self._n_knots - 2)
+
     def _zsorted_plan(self, max_span_knots: int):
         """(kc, w_cols) static window sizes for a given max per-sub-chunk
         knot span: the knot window (floor-knots k−1..k+2 of the cubic must
@@ -1206,11 +1231,7 @@ class BatchSEDSimulator:
         """Max per-sub-chunk knot span for z-sorted rows — feed to
         `_zsorted_plan` / pass its (kc, w_cols) to `photometry_zsorted`
         so every batch of a long generation shares one compiled program."""
-        s = np.log10(1.0 + np.maximum(np.asarray(z_sorted), 0.0))
-        k = np.minimum(
-            np.floor_divide((s / self._filter_dlog).astype(np.int64),
-                            self._knot_delta),
-            self._n_knots - 2)  # match _zsorted_window_plan's clamp
+        k = self._knot_interval_host(z_sorted)
         bs = batch_size or len(k)
         span = 0
         for i in range(0, len(k), bs):
@@ -1283,7 +1304,8 @@ class BatchSEDSimulator:
                                   row_offset: int = 0,
                                   kc: int | None = None,
                                   w_cols: int | None = None,
-                                  fused: bool = False):
+                                  fused: bool = False,
+                                  validate_plan: bool = False):
         """Device-array twin of `photometry_zsorted`: θ (B, P) is a device
         (jax) array sorted by ascending redshift; returns a DEVICE (B, F)
         array. Sortedness is NOT checked (that would force a host sync) —
@@ -1291,7 +1313,14 @@ class BatchSEDSimulator:
 
         When (kc, w_cols) are omitted they are planned from θ's redshifts
         with ONE scalar readback; pass the generation-global values to keep
-        long runs on a single compiled program with zero readbacks.
+        long runs on a single compiled program with zero readbacks. Unlike
+        the host twin, caller-supplied (kc, w_cols) are NOT span-checked by
+        default (the check is a device readback): a plan too small for this
+        batch would clamp k0/l0 and return wrong fluxes. Pass
+        `validate_plan=True` (one scalar readback) while developing a
+        caller that reuses plans across batches; `LibraryGenerator` plans
+        globally over the whole generation, which covers every chunk by
+        construction.
         """
         if not self._window_supported():
             raise ValueError(
@@ -1309,17 +1338,22 @@ class BatchSEDSimulator:
         if pad:
             theta = jnp.concatenate(
                 [theta, jnp.repeat(theta[-1:], pad, axis=0)], axis=0)
-        if kc is None or w_cols is None:
+        if kc is None or w_cols is None or validate_plan:
             if "redshift" in self.param_names:
                 z = theta[:, self.param_names.index("redshift")]
-                s = (jnp.log10(1.0 + jnp.maximum(z, 0.0))
-                     / self._filter_dlog)
-                k = jnp.minimum((s / self._knot_delta).astype(jnp.int32),
-                                self._n_knots - 2)
+                k = self._knot_interval_device(z)
                 span = int(jnp.max(k[sub - 1::sub] - k[::sub]))  # 1 readback
             else:
                 span = 0
             kc_req, w_req = self._zsorted_plan(span)
+            if validate_plan and kc is not None and w_cols is not None and (
+                int(kc) < kc_req or int(w_cols) < w_req
+            ):
+                raise ValueError(
+                    f"supplied window plan (kc={kc}, w_cols={w_cols}) is "
+                    f"smaller than this batch needs (kc>={kc_req}, "
+                    f"w_cols>={w_req}); the program would clamp windows "
+                    "and return wrong fluxes — replan or lower sub_chunk")
             kc = kc_req if kc is None else int(kc)
             w_cols = w_req if w_cols is None else int(w_cols)
         if kc >= self._n_knots or w_cols >= int(self._wlam_sup.shape[0]):
@@ -1342,13 +1376,7 @@ class BatchSEDSimulator:
         the window would be the whole table (callers fall back to the dense
         path), else (kc, w_cols, k0, l0)."""
         delta = self._knot_delta
-        s = (np.log10(1.0 + np.maximum(z_sorted_padded, 0.0))
-             / self._filter_dlog)
-        # match _knot_interp's clamp: shifts in/past the top knot interval
-        # interpolate inside interval n_knots-2 with a hi-edge virtual
-        # neighbour, so plan with the clamped interval index
-        k_flat = np.minimum(
-            np.floor_divide(s.astype(np.int64), delta), self._n_knots - 2)
+        k_flat = self._knot_interval_host(z_sorted_padded)
         k_first = k_flat[::sub]
         k_last = k_flat[sub - 1::sub]
         kc_req, w_req = self._zsorted_plan(int((k_last - k_first).max()))

@@ -396,8 +396,10 @@ class SimformerPosterior:
         instantaneous change-of-variables term gives an exact log-density
         under the learned score (Song et al. 2021 §D.2). Observed tokens
         are frozen (zero drift); the divergence is the exact trace over
-        latent tokens, computed with one JVP per token — n_tokens forward
-        passes per ODE step, affordable at SED-fitting token counts.
+        latent tokens, computed with one JVP per LATENT token (observed
+        tokens have identically zero drift rows, so their directions are
+        skipped — at a 63-observed/6-latent paper-scale posterior mask
+        that is ~10× fewer score-network passes per ODE step).
 
         Reference analogue: the condition-masked `log_prob` of
         `Simformer_Fitter` (sbi_runner.py:8783-8856). This is what lets
@@ -423,14 +425,21 @@ class SimformerPosterior:
         else:
             cond = jnp.asarray(condition_mask, jnp.float32)
         steps = int(n_steps if n_steps is not None else self.n_steps)
+        # latent-token indices are STATIC per condition pattern (part of the
+        # jit cache key): the divergence basis then holds only latent rows
+        lat_idx = tuple(int(i) for i in np.where(np.asarray(cond) == 0)[0])
+        if not lat_idx:
+            raise ValueError("condition_mask marks every token observed — "
+                             "there is no latent density to evaluate")
         cache = self.__dict__.setdefault("_logprob_jit", {})
-        fn = cache.get((n, steps))
+        fn = cache.get((n, steps, lat_idx))
         if fn is None:
-            fn = jax.jit(functools.partial(self._log_prob_impl, steps=steps))
-            cache[(n, steps)] = fn
+            fn = jax.jit(functools.partial(self._log_prob_impl, steps=steps,
+                                           lat_idx=lat_idx))
+            cache[(n, steps, lat_idx)] = fn
         return fn(theta, xs, cond)
 
-    def _log_prob_impl(self, theta, xs, cond, *, steps: int):
+    def _log_prob_impl(self, theta, xs, cond, *, steps: int, lat_idx):
         model, sde = self.model, self.model.sde
         n_tok = model.cfg.n_tokens
         mu = jnp.asarray(self.std["mu"])
@@ -449,7 +458,12 @@ class SimformerPosterior:
             s = model.score(params, v, tb, cond_b, attn)
             return -0.5 * sde.beta(t) * (v + s) * lat[None, :]
 
-        basis = jnp.eye(n_tok) * lat[:, None]  # latent rows; others zero
+        # basis holds ONLY latent directions (static lat_idx): observed
+        # tokens' drift rows are identically zero, so their JVPs would be
+        # wasted full score-network passes
+        li = jnp.asarray(lat_idx, jnp.int32)
+        basis = jnp.zeros((len(lat_idx), n_tok)).at[
+            jnp.arange(len(lat_idx)), li].set(1.0)
 
         def step(carry, i):
             v, ld = carry

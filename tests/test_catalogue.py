@@ -231,6 +231,10 @@ class TestReconPhotometryAndSEDs:
         seds = table["_recovered_seds"]
         assert seds["fnu_quantiles"].shape == (8, 3, test_grid.n_wav)
         assert np.isfinite(seds["fnu_quantiles"]).all()
+        # per-object OBSERVED-frame lam axis (rest grid x mean 1+z):
+        # all library objects have z > 0, so every row sits redward of rest
+        assert seds["lam"].shape == (8, test_grid.n_wav)
+        assert (seds["lam"][:, 0] > seds["lam_rest"][0]).all()
         # band ordering holds pointwise in λ too
         assert (seds["fnu_quantiles"][:, 0] <=
                 seds["fnu_quantiles"][:, 2] + 1e-30).all()

@@ -166,6 +166,25 @@ class TestObservationReplay:
         assert x_obs.shape[1] == 6 + 6 + 1
         assert np.isfinite(x_obs).all()
 
+    def test_linear_norm_error_columns_match_training(self, phot):
+        """Regression: with LINEAR units + filter normalization, build()
+        divides the error columns by the per-object norm flux — replayed
+        observations must apply the SAME scaling or catalogue features are
+        off by orders of magnitude versus training."""
+        cfg = FeatureConfig(
+            filter_codes=CODES, unit="nJy", normalize_method="F200W",
+            include_errors=True, norm_unit="nJy")
+        fp = FeaturePipeline(cfg)
+        errs = 0.05 * phot
+        x_obs = np.asarray(fp.transform_observations(phot, errs, "nJy"))
+        norm = phot[:, 3]
+        expect_flux = np.delete(phot, 3, axis=1) / norm[:, None]
+        expect_err = np.delete(errs, 3, axis=1) / norm[:, None]
+        np.testing.assert_allclose(x_obs[:, :6], expect_flux, rtol=1e-5)
+        np.testing.assert_allclose(x_obs[:, 6:12], expect_err, rtol=1e-5)
+        # and the appended norm column is the raw norm flux
+        np.testing.assert_allclose(x_obs[:, 12], norm, rtol=1e-5)
+
     def test_missing_mask_replay(self, phot):
         cfg = FeatureConfig(
             filter_codes=CODES, unit="asinh", include_errors=True,

@@ -110,6 +110,13 @@ class TestRecovery:
         assert rec["sfh_quantiles"].shape[1] == test_grid.n_ages
         # quantiles ordered
         assert (rec["fnu_quantiles"][0] <= rec["fnu_quantiles"][2] + 1e-6).all()
+        # lam axis is OBSERVED frame: rest grid x posterior-mean (1+z)
+        # (z draws are ~U[1.0, 1.2] -> mean 1+z ~ 2.1); the flux rows are
+        # at lam_obs, so returning the rest grid would misplace the SED
+        zp1 = float(np.mean(1.0 + samples[:, 1]))
+        np.testing.assert_allclose(rec["lam"], rec["lam_rest"] * zp1,
+                                   rtol=1e-6)
+        assert rec["lam"][0] > rec["lam_rest"][0] * 1.9
 
 
 class TestPlotting:
