@@ -102,7 +102,7 @@ def main(n_library: int, out: str):
     t0 = time.time()
     res = fitter.run_single_sbi(
         model_type="nsf", hidden_features=69, num_transforms=15,
-        train_config=TrainConfig(max_epochs=30, stop_after_epochs=6,
+        train_config=TrainConfig(max_epochs=36, stop_after_epochs=10,
                                  batch_size=2048, learning_rate=7e-4,
                                  epochs_per_dispatch=3),
     )
