@@ -332,16 +332,46 @@ class Study:
     def ask(self) -> dict:
         if self.storage:
             self._load()  # pick up other workers' results
+        params = (self._retry_params.pop(0)
+                  if getattr(self, "_retry_params", None) else self._suggest())
         trial = {
             "number": self._allocate_number(),
-            "params": self._suggest(),
+            "params": params,
             "state": "RUNNING",
             "value": None,
             "intermediate": {},
+            "heartbeat": time.time(),
         }
         self.trials.append(trial)
         self._persist(trial)
         return trial
+
+    def retry_stale(self, grace_period: float = 600.0) -> int:
+        """Mark dead workers' RUNNING trials FAILED and requeue their params.
+
+        The reference's Optuna RDB storage uses heartbeat_interval +
+        grace_period with RetryFailedTrialCallback so a crashed worker's
+        trial is retried by a surviving one
+        (`/root/reference/src/synference/custom_runner.py:374-419`). Here
+        `report_intermediate` refreshes a per-trial heartbeat; any RUNNING
+        trial whose heartbeat is older than `grace_period` seconds is
+        marked FAILED and its params go to the front of this worker's ask
+        queue. Returns the number of trials requeued.
+        """
+        if self.storage:
+            self._load()
+        now = time.time()
+        n = 0
+        self._retry_params = getattr(self, "_retry_params", [])
+        for t in self.trials:
+            if (t.get("state") == "RUNNING"
+                    and now - float(t.get("heartbeat", now)) > grace_period):
+                t["state"] = "FAILED"
+                t["retried"] = True
+                self._persist(t)
+                self._retry_params.append(dict(t["params"]))
+                n += 1
+        return n
 
     def _allocate_number(self) -> int:
         """Atomically reserve the next trial number. With shared sqlite
@@ -365,6 +395,8 @@ class Study:
 
     def report_intermediate(self, trial: dict, step: int, value: float):
         trial["intermediate"][str(step)] = float(value)
+        trial["heartbeat"] = time.time()  # liveness for retry_stale
+        self._persist(trial)
 
     def tell(self, trial: dict, value: float | None, state: str = "COMPLETE"):
         trial["value"] = None if value is None else float(value)
@@ -489,6 +521,8 @@ def optimize_sbi(
     pruner = pruner or MedianPruner()
 
     for _ in range(n_trials):
+        if storage:  # reclaim crashed workers' trials (reference heartbeat
+            study.retry_stale()  # semantics, custom_runner.py:374-419)
         trial = study.ask()
         p = dict(trial["params"])
         lr = p.pop("learning_rate", 1.0e-4)

@@ -53,6 +53,12 @@ class TrainConfig:
     # rounds up to a multiple of it (best-val tracking stays per-epoch on
     # device, so the extra epochs never degrade the returned params).
     epochs_per_dispatch: int = 1
+    # "pickle" (host round-trip, single-process) or "orbax": orbax writes
+    # each shard of mesh-sharded params/opt state from its own host with no
+    # device->host gather — the multi-host checkpoint path SURVEY §5
+    # prescribes (the reference's torch checkpoint is single-device,
+    # custom_runner.py:691-706). checkpoint_path is a DIRECTORY for orbax.
+    checkpoint_backend: str = "pickle"
     # live in-terminal loss chart per epoch (reference utils.py:2445-2546);
     # degrades to one summary line per epoch on non-TTY streams
     live_plot: bool = False
@@ -289,16 +295,38 @@ def train_ensemble(
         live = TerminalLossPlot(label=f"npe x{n_nets}")
 
     ckpt = cfg.checkpoint_path
+    backend = cfg.checkpoint_backend
+
+    def _ckpt_state(epoch_done):
+        hist_t, hist_v = train_hist, val_hist
+        if backend == "orbax":  # orbax wants arrays, not python lists
+            hist_t = (np.stack(hist_t) if hist_t
+                      else np.zeros((0, n_nets), np.float32))
+            hist_v = (np.stack(hist_v) if hist_v
+                      else np.zeros((0, n_nets), np.float32))
+        return {
+            "params": params, "opt_state": opt_state,
+            "best_params": best_params,
+            "best_val": np.asarray(best_val),
+            "epoch": (np.asarray(epoch_done) if backend == "orbax"
+                      else epoch_done),
+            "epochs_since_best": np.asarray(epochs_since_best),
+            "train_hist": hist_t, "val_hist": hist_v,
+            "key": k_loop,
+        }
+
     if ckpt and resume and os.path.exists(ckpt):
-        state = load_checkpoint(ckpt)
+        state = load_checkpoint(
+            ckpt, backend=backend,
+            template=_ckpt_state(0) if backend == "orbax" else None)
         params, opt_state = state["params"], state["opt_state"]
         best_params = state["best_params"]
         best_val = jnp.asarray(state["best_val"])
-        start_epoch = state["epoch"] + 1
+        start_epoch = int(state["epoch"]) + 1
         epochs_since_best = jnp.asarray(state["epochs_since_best"])
-        train_hist = list(state["train_hist"])
-        val_hist = list(state["val_hist"])
-        k_loop = state["key"]
+        train_hist = [np.asarray(r) for r in state["train_hist"]]
+        val_hist = [np.asarray(r) for r in state["val_hist"]]
+        k_loop = jnp.asarray(state["key"])
 
     epoch = start_epoch
     while epoch < cfg.max_epochs:
@@ -326,15 +354,7 @@ def train_ensemble(
 
         if ckpt and (epoch // cfg.checkpoint_every
                      > (epoch - k_dispatch) // cfg.checkpoint_every):
-            save_checkpoint(ckpt, {
-                "params": params, "opt_state": opt_state,
-                "best_params": best_params,
-                "best_val": np.asarray(best_val),
-                "epoch": epoch - 1,
-                "epochs_since_best": np.asarray(epochs_since_best),
-                "train_hist": train_hist, "val_hist": val_hist,
-                "key": k_loop,
-            })
+            save_checkpoint(ckpt, _ckpt_state(epoch - 1), backend=backend)
 
         if bool((np.asarray(epochs_since_best)
                  >= cfg.stop_after_epochs).all()):
@@ -342,7 +362,13 @@ def train_ensemble(
     best_val = np.asarray(best_val)
 
     if ckpt and os.path.exists(ckpt):
-        os.remove(ckpt)  # success: drop checkpoint (reference does the same)
+        # success: drop the checkpoint (reference does the same)
+        if os.path.isdir(ckpt):  # orbax checkpoints are directories
+            import shutil
+
+            shutil.rmtree(ckpt)
+        else:
+            os.remove(ckpt)
 
     val_arr = np.stack(val_hist) if val_hist else np.zeros((0, n_nets))
     tr_arr = np.stack(train_hist) if train_hist else np.zeros((0, n_nets))
@@ -367,7 +393,40 @@ def train_ensemble(
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(path: str, state: dict) -> None:
+def save_checkpoint(path: str, state: dict, backend: str = "pickle") -> None:
+    """Atomically persist a training-state pytree.
+
+    backend="pickle": host-copy everything into one file (single-process).
+    backend="orbax": `path` is a directory; device (including mesh-sharded)
+    arrays are written shard-local with no host gather — use this on
+    multi-host meshes where gathering params would not fit one host.
+    """
+    if backend == "orbax":
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        def _orbax_safe(leaf):
+            # single-device / replicated arrays are host-copied first: the
+            # experimental axon tunnel runtime hangs inside tensorstore's
+            # device serialization (measured: a 16 KB array stuck >5 min),
+            # and for unsharded leaves the host copy is what pickle would
+            # do anyway. Mesh-SHARDED arrays keep the shard-local
+            # tensorstore path — the reason this backend exists.
+            if isinstance(leaf, jax.Array) and len(leaf.devices()) == 1:
+                return np.asarray(leaf)
+            return leaf
+
+        state = jax.tree_util.tree_map(_orbax_safe, state)
+        tmp = path + ".tmp-new"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        with ocp.PyTreeCheckpointer() as ckpt:
+            ckpt.save(os.path.abspath(tmp), state)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return
     host_state = jax.tree_util.tree_map(
         lambda a: np.asarray(a) if isinstance(a, jnp.ndarray) else a, state
     )
@@ -377,6 +436,27 @@ def save_checkpoint(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, backend: str = "pickle",
+                    template: dict | None = None) -> dict:
+    """Inverse of `save_checkpoint`.
+
+    For orbax, pass `template` — a state dict with the SAME tree structure
+    (fresh params/optimizer state work; array shapes need not match) —
+    so container types (optax NamedTuple states) are restored exactly:
+    orbax returns plain tuples for namedtuples, so the result is
+    re-unflattened against the template's treedef.
+    """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckpt:
+            restored = (ckpt.restore(os.path.abspath(path), item=template)
+                        if template is not None
+                        else ckpt.restore(os.path.abspath(path)))
+        if template is not None:
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template),
+                jax.tree_util.tree_leaves(restored))
+        return restored
     with open(path, "rb") as f:
         return pickle.load(f)

@@ -64,6 +64,32 @@ class TestStudy:
         s3 = Study(space=s1.space, storage=path)
         assert len(s3.trials) == 11
 
+    def test_retry_stale_reclaims_dead_worker_trial(self, tmp_path):
+        """A RUNNING trial whose heartbeat went quiet is marked FAILED and
+        its params are retried by the surviving worker (the reference's
+        Optuna heartbeat + RetryFailedTrialCallback semantics,
+        custom_runner.py:374-419)."""
+        path = str(tmp_path / "study.db")
+        sp = SearchSpace({"x": ("float", -5.0, 5.0)})
+        w1 = Study(space=sp, storage=path, seed=0)
+        t_dead = w1.ask()  # worker "crashes" here: trial stays RUNNING
+        w1.report_intermediate(t_dead, 0, 9.9)
+        t_dead["heartbeat"] = 0.0  # simulate an ancient heartbeat
+        w1._persist(t_dead)
+
+        w2 = Study(space=sp, storage=path, seed=1)
+        assert w2.retry_stale(grace_period=60.0) == 1
+        # the dead trial is FAILED in shared storage...
+        dead = [t for t in w2.trials if t["number"] == t_dead["number"]][0]
+        assert dead["state"] == "FAILED" and dead["retried"]
+        # ...and the next ask reuses its params instead of sampling fresh
+        t_retry = w2.ask()
+        assert t_retry["params"] == t_dead["params"]
+        # a live trial (recent heartbeat) is NOT reclaimed
+        t_live = w2.ask()
+        w2.report_intermediate(t_live, 0, 1.0)
+        assert w2.retry_stale(grace_period=60.0) == 0
+
 
 class TestPruner:
     def test_median_pruner(self):

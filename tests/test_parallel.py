@@ -425,3 +425,45 @@ class TestShardedZSorted:
             np.abs(p_ref), 1e-30)
         sig = p_ref > 1e-3 * p_ref.max(axis=1, keepdims=True)
         assert np.quantile(rel[sig], 0.99) < 2e-3
+
+
+class TestOrbaxShardedCheckpoint:
+    def test_sharded_state_roundtrip(self, tmp_path):
+        """Orbax checkpointing of MESH-SHARDED training state (SURVEY §5:
+        'single sharded array checkpointed via orbax/tensorstore instead of
+        per-rank HDF5 files + merge'): member-sharded params + optax state
+        save and restore with values, container types (NamedTuples), and
+        shardings intact — no host gather."""
+        from synference_tpu.train import load_checkpoint, save_checkpoint
+
+        mesh = make_mesh(axis_names=("ensemble",))
+        n_dev = len(jax.devices())
+        flow = build_flow("mdn", 2, 3, hidden_features=8, num_components=2)
+        keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+        t0 = jnp.zeros((16, 2))
+        x0 = jnp.zeros((16, 3))
+        params = jax.vmap(lambda k: flow.init(k, t0, x0))(keys)
+        params = jax.tree_util.tree_map(
+            lambda a: shard_along(a, mesh, "ensemble", 0), params)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+        opt_state = jax.vmap(tx.init)(params)
+        state = {"params": params, "opt_state": opt_state,
+                 "epoch": np.asarray(3)}
+        path = str(tmp_path / "sharded_ck")
+        save_checkpoint(path, state, backend="orbax")
+
+        template = {"params": params, "opt_state": jax.vmap(tx.init)(params),
+                    "epoch": np.asarray(0)}
+        restored = load_checkpoint(path, backend="orbax", template=template)
+        assert int(restored["epoch"]) == 3
+        # container types survive (optax NamedTuple state usable directly:
+        # attribute access works, which a plain tuple would break)
+        clip_s, adam_s = restored["opt_state"]
+        assert hasattr(adam_s[0], "count") and hasattr(adam_s[0], "mu")
+        # values match leaf-for-leaf
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored arrays carry the template's mesh sharding
+        leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+        assert not leaf.sharding.is_fully_replicated

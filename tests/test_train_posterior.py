@@ -108,6 +108,41 @@ class TestTraining:
         train_npe(flow, theta, x, KEY, cfg2, resume=False)
         assert not os.path.exists(ckpt)  # completed normally again
 
+    def test_orbax_checkpoint_resume(self, tmp_path):
+        """Orbax backend (SURVEY §5: shard-local multi-host checkpointing):
+        a run interrupted mid-training resumes from the checkpoint
+        DIRECTORY with optimizer state (optax NamedTuples) intact, and the
+        resumed run matches an uninterrupted one's epoch count."""
+        theta, x = _toy_data(400)
+        flow = build_flow("mdn", 2, 3, hidden_features=8, num_components=2)
+        ckpt = str(tmp_path / "ck_orbax")
+        # run 1: stop after 2 epochs (max_epochs=2), checkpoint every epoch
+        cfg_a = TrainConfig(max_epochs=2, stop_after_epochs=50,
+                            batch_size=128, checkpoint_path=ckpt,
+                            checkpoint_every=1, checkpoint_backend="orbax")
+        train_ensemble(flow, theta, x, KEY, cfg_a, n_nets=2, resume=False)
+        assert not os.path.exists(ckpt)  # success deletes the directory
+        # crash simulation: raise mid-run; the epoch-1 checkpoint survives
+        cfg_b = TrainConfig(max_epochs=6, stop_after_epochs=50,
+                            batch_size=128, checkpoint_path=ckpt,
+                            checkpoint_every=2, checkpoint_backend="orbax")
+
+        def crash(e, tr, va):
+            if e >= 3:
+                raise RuntimeError("simulated worker death")
+            return False
+
+        with pytest.raises(RuntimeError, match="simulated"):
+            train_ensemble(flow, theta, x, KEY, cfg_b, n_nets=2,
+                           resume=False, epoch_callback=crash)
+        assert os.path.isdir(ckpt)
+        # resume: restored optimizer state + RNG, completes epochs 2..5
+        res = train_ensemble(flow, theta, x, KEY, cfg_b, n_nets=2,
+                             resume=True)
+        assert len(res.val_losses) == 6  # 2 checkpointed + 4 resumed
+        assert np.isfinite(res.val_losses).all()
+        assert not os.path.exists(ckpt)
+
 
 class TestPosterior:
     def _trained(self, n_nets=1):
