@@ -28,6 +28,7 @@ __all__ = [
     "compare_methods_feature_importance",
     "MissingPhotometryHandler",
     "fit_catalogue",
+    "fit_catalogue_table",
 ]
 
 
@@ -554,6 +555,8 @@ def fit_catalogue(
         out["flag_ood"] = flags
         out["ood_votes"] = votes.sum(axis=0)
 
+    if missing_mask is not None:
+        out["n_missing"] = np.asarray(missing_mask).sum(axis=1).astype(int)
     if missing_mask is not None and missing_data_handler is not None:
         from . import units as U
 
@@ -573,7 +576,6 @@ def fit_catalogue(
                 missing_mask, n_samples,
             )
         )
-        out["n_missing"] = np.asarray(missing_mask).sum(axis=1).astype(int)
     elif hasattr(fitter.posterior, "sample_batch_with_acceptance"):
         samples, acc = fitter.posterior.sample_batch_with_acceptance(
             key, jnp.asarray(feats), n_samples
@@ -612,3 +614,82 @@ def fit_catalogue(
     out["_samples"] = samples
     out["_features"] = feats
     return out
+
+
+def fit_catalogue_table(
+    fitter,
+    observations,
+    flux_columns,
+    err_columns,
+    flux_unit: str = "nJy",
+    missing_data_flag=None,
+    append_to_input: bool = True,
+    save_path: str | None = None,
+    **kwargs,
+):
+    """Table-level catalogue fitting: pandas in, pandas out.
+
+    The reference's `fit_catalogue` consumes an astropy Table / pandas
+    DataFrame, appends per-parameter quantile columns to it, and writes it
+    out (`/root/reference/src/synference/sbi_runner.py:2948-3317`,
+    `append_to_input`, `missing_data_flag=-99`). This wrapper gives
+    `fit_catalogue` the same I/O convention (pandas only — astropy is not
+    in this environment; a dict of 1-D arrays also works as input).
+
+    Args:
+        observations: pandas DataFrame (or dict of equal-length 1-D
+            arrays; converted to a DataFrame).
+        flux_columns / err_columns: column names, ordered to match
+            `fitter.filter_codes`.
+        missing_data_flag: value marking missing fluxes (the reference
+            uses -99); matching entries (and non-finite fluxes) become the
+            missing-band mask passed to `fit_catalogue`.
+        append_to_input: True = return a COPY of the input with result
+            columns appended (reference default); False = result columns
+            only (plus an ID column if the input has one).
+        save_path: optional CSV path for the returned table (the
+            reference persists its astropy Table the same way).
+        **kwargs: forwarded to `fit_catalogue` (n_samples, quantiles,
+            check_ood, simulator, recover_seds, ...).
+
+    Returns:
+        (DataFrame, raw fit_catalogue dict) — the dict keeps the
+        non-tabular outputs (`_samples`, `_recovered_seds`, ...).
+    """
+    import pandas as pd
+
+    if not isinstance(observations, pd.DataFrame):
+        observations = pd.DataFrame(observations)
+    if len(flux_columns) != len(fitter.filter_codes) or (
+        len(err_columns) != len(fitter.filter_codes)
+    ):
+        raise ValueError(
+            f"need one flux and one err column per fitter filter "
+            f"({len(fitter.filter_codes)}), got {len(flux_columns)} flux / "
+            f"{len(err_columns)} err")
+    missing = [c for c in tuple(flux_columns) + tuple(err_columns)
+               if c not in observations.columns]
+    if missing:
+        raise ValueError(f"columns not in the table: {missing}")
+
+    flux = observations[list(flux_columns)].to_numpy(np.float32)
+    err = observations[list(err_columns)].to_numpy(np.float32)
+    missing_mask = kwargs.pop("missing_mask", None)
+    if missing_data_flag is not None and missing_mask is None:
+        missing_mask = ((flux == missing_data_flag)
+                        | ~np.isfinite(flux)).astype(np.float32)
+
+    out = fit_catalogue(fitter, flux, err, flux_unit,
+                        missing_mask=missing_mask, **kwargs)
+
+    table = observations.copy() if append_to_input else pd.DataFrame(
+        {"ID": (observations["ID"] if "ID" in observations.columns
+                else np.arange(len(observations)) + 1)})
+    n = len(observations)
+    for k, v in out.items():
+        arr = np.asarray(v) if not isinstance(v, dict) else None
+        if arr is not None and arr.ndim == 1 and arr.shape[0] == n:
+            table[k] = arr
+    if save_path is not None:
+        table.to_csv(save_path, index=False)
+    return table, out

@@ -166,6 +166,48 @@ class TestFitCatalogue:
         # in-distribution inputs: few OOD flags
         assert table["flag_ood"].mean() < 0.5
 
+    def test_dataframe_table_roundtrip(self, trained_fitter, tmp_path):
+        """fit_catalogue_table: pandas in, pandas out with appended quantile
+        columns, missing_data_flag -> mask, CSV persistence (reference
+        fit_catalogue's Table workflow, sbi_runner.py:2948-3317)."""
+        import pandas as pd
+
+        from synference_tpu.catalogue import fit_catalogue_table
+
+        fitter, lib = trained_fitter
+        phot = lib["photometry"].T[:6].copy()
+        codes = list(fitter.filter_codes)
+        df = pd.DataFrame({"ID": np.arange(6) + 100})
+        for j, c in enumerate(codes):
+            df[f"flux_{c}"] = phot[:, j]
+            df[f"err_{c}"] = 0.05 * phot[:, j]
+        df.loc[0, f"flux_{codes[2]}"] = -99.0  # reference missing flag
+        csv = str(tmp_path / "cat.csv")
+        table, raw = fit_catalogue_table(
+            fitter, df,
+            flux_columns=[f"flux_{c}" for c in codes],
+            err_columns=[f"err_{c}" for c in codes],
+            missing_data_flag=-99.0, save_path=csv,
+            n_samples=100, check_ood=False)
+        # input columns survive, quantile columns appended, lengths match
+        assert list(table["ID"]) == list(df["ID"])
+        for name in fitter.parameter_names:
+            assert f"{name}_q50" in table.columns
+        assert len(table) == 6
+        # the flagged band produced a missing-mask entry
+        assert raw["n_missing"][0] == 1
+        assert (np.asarray(raw["n_missing"][1:]) == 0).all()
+        # CSV written and re-readable
+        back = pd.read_csv(csv)
+        assert f"{fitter.parameter_names[0]}_q50" in back.columns
+        # append_to_input=False: ID + result columns only
+        t2, _ = fit_catalogue_table(
+            fitter, df,
+            flux_columns=[f"flux_{c}" for c in codes],
+            err_columns=[f"err_{c}" for c in codes],
+            append_to_input=False, n_samples=50, check_ood=False)
+        assert "ID" in t2.columns and f"flux_{codes[0]}" not in t2.columns
+
     def test_ood_flags_garbage(self, trained_fitter):
         fitter, lib = trained_fitter
         garbage = np.full((5, 7), 1.0e9, np.float32)
