@@ -78,7 +78,12 @@ class AGNSimulator(BatchSEDSimulator):
         lnu = lnu * jnp.exp(-tau_v * self._dust_curve)
         z = params.get("redshift", jnp.asarray(0.0))
         if fused:
-            # photometry-only fast path (see BatchSEDSimulator._core)
+            # photometry-only fast path (see BatchSEDSimulator._core):
+            # _photometry_fused expects the SUPPORT-TRIMMED λ range — the
+            # base _core trims, so this override must too or the
+            # lnu · _wlam_sup product shape-errors whenever trimming is on
+            if self._lam_support is not None:
+                lnu = lnu[self._lam_support[0]:self._lam_support[1]]
             return {"_lnu": lnu, "_z": z}
         fnu_njy, _ = self._observe(params, lnu)
         out = {"fnu_njy": fnu_njy, "_z": z}

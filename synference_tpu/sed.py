@@ -840,6 +840,14 @@ class BatchSEDSimulator:
         single reprocessed channel with one dust screen. Anything else
         falls back to the (still fast) XLA fused path."""
         em = self.emission
+        # subclasses overriding the forward model (AGNSimulator._core) or
+        # channel mixing must not be silently replaced by the stellar-grid
+        # megakernel — same guard as _window_supported. Checked FIRST:
+        # such subclasses may not even carry the pallas-path attributes
+        if (type(self)._core is not BatchSEDSimulator._core
+                or type(self)._apply_emission
+                is not BatchSEDSimulator._apply_emission):
+            return False
         if (self.photometry_backend != "pallas"
                 or self._pallas_variant != "interp"
                 or self._interp_order not in (1, 3)

@@ -343,3 +343,50 @@ class TestAGNLineMixingEdges:
         # ratio equals 1 exactly (same attenuation at the line λ)
         np.testing.assert_allclose(
             lq1["ew_rest"], lq0["ew_rest"], rtol=1e-4)
+
+
+class TestAGNFastPathGates:
+    def test_mega_gate_rejects_core_override(self, agn):
+        """The megakernel computes stellar-grid SFZH photometry directly —
+        a subclass overriding _core (AGNSimulator) must never be routed
+        through it, or log10_l_agn/agn_slope are silently ignored. The
+        gate must hold even when the backend resolves to pallas/interp
+        (as on a real TPU)."""
+        agn.__dict__["photometry_backend"] = "pallas"
+        agn.__dict__["_pallas_variant"] = "interp"
+        try:
+            assert agn._mega_supported() is False
+            assert agn._window_supported() is False
+        finally:
+            agn.__dict__.pop("photometry_backend")
+            agn.__dict__.pop("_pallas_variant")
+
+    def test_fused_core_returns_trimmed_support(self, test_grid,
+                                                nircam_filters):
+        """_photometry_fused expects the support-trimmed λ range from
+        _core(fused=True); the AGN override must trim like the base class
+        or the fused product shape-errors on trimmed grids. Build with the
+        interp variant (the TPU default) so trimming is active, and check
+        the fused photometry agrees with the exact spectra path."""
+        agn_p = AGNSimulator(test_grid, nircam_filters,
+                             photometry_backend="pallas",
+                             photometry_variant="interp")
+        if agn_p._lam_support is not None:
+            l0, l1 = agn_p._lam_support
+            theta = jnp.asarray([44.0, 1.0, -0.5, 0.2], jnp.float32)
+            out = agn_p._core(theta, want_spectra=False, fused=True)
+            assert out["_lnu"].shape == (l1 - l0,)
+            assert bool(jnp.isfinite(out["_lnu"]).all())
+        # end-to-end: the fused path must use the AGN forward model (the
+        # mega gate must not reroute it onto the stellar grid)
+        rng = np.random.default_rng(0)
+        th = np.column_stack([
+            rng.uniform(43, 45, 16), rng.uniform(0.5, 3.0, 16),
+            rng.uniform(-1.0, 0.0, 16), rng.uniform(0.0, 1.0, 16),
+        ]).astype(np.float32)
+        p_fused = np.asarray(agn_p.photometry(th))
+        p_exact = np.asarray(
+            AGNSimulator(test_grid, nircam_filters).photometry(th))
+        sig = p_exact > 1e-3 * p_exact.max(axis=1, keepdims=True)
+        rel = np.abs(p_fused - p_exact)[sig] / p_exact[sig]
+        assert np.quantile(rel, 0.99) < 2e-2
