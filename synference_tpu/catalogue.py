@@ -314,25 +314,45 @@ class MissingPhotometryHandler:
         nmc: imputations per object.
         kde_bandwidth_frac: per-band KDE sigma as a fraction of the weighted
             neighbour std (Silverman-ish; reference uses gaussian_kde).
+        noise_models: optional per-band sequence of `NoiseModel`s (length F,
+            None entries allowed). When set, each missing-band KDE draw is
+            treated as the TRUE flux and rescattered through that band's
+            noise model — imputed vectors then carry realistic noise and a
+            model-sampled σ, the reference's "Mode 2: Flux + Uncertainty"
+            (`sbi_runner.py:7839-7864`).
     """
 
     def __init__(self, library_phot_njy, k_neighbors: int = 64,
-                 nmc: int = 16, kde_bandwidth_frac: float = 0.5):
+                 nmc: int = 16, kde_bandwidth_frac: float = 0.5,
+                 noise_models=None):
         self.library = jnp.asarray(library_phot_njy, jnp.float32)
         self.k = int(k_neighbors)
         self.nmc = int(nmc)
         self.bw = float(kde_bandwidth_frac)
+        if noise_models is not None:
+            noise_models = list(noise_models)
+            if len(noise_models) != self.library.shape[1]:
+                raise ValueError(
+                    f"noise_models must have one entry per band "
+                    f"({self.library.shape[1]}), got {len(noise_models)}")
+        self.noise_models = noise_models
 
-    def impute(self, key, flux_njy, err_njy, missing_mask):
+    def impute(self, key, flux_njy, err_njy, missing_mask,
+               return_errors: bool = False):
         """Vectorized imputation.
 
         Args:
             flux_njy: (M, F) observed fluxes (missing entries ignored).
             err_njy: (M, F) 1σ errors for valid bands.
             missing_mask: (M, F) 1 = missing.
+            return_errors: also return (M, nmc, F) σ vectors — the observed
+                errors for valid bands; for missing bands the noise-model σ
+                when `noise_models` is set, else a nominal 10% + 1 nJy.
         Returns:
-            (M, nmc, F) imputed flux vectors (valid bands repeated as-is).
+            (M, nmc, F) imputed flux vectors (valid bands repeated as-is),
+            plus the σ array when `return_errors`.
         """
+        key, k_noise = jax.random.split(key)
         flux = jnp.asarray(flux_njy, jnp.float32)
         err = jnp.maximum(jnp.asarray(err_njy, jnp.float32), 1.0e-3)
         miss = jnp.asarray(missing_mask, jnp.float32)
@@ -364,7 +384,32 @@ class MissingPhotometryHandler:
             return jnp.where(m[None, :] == 1.0, drawn, f[None, :])
 
         keys = jax.random.split(key, flux.shape[0])
-        return jax.vmap(one)(keys, flux, err, miss)
+        imputed = jax.vmap(one)(keys, flux, err, miss)  # (M, nmc, F)
+
+        # σ defaults: observed errors, nominal floor on missing bands
+        miss3 = miss[:, None, :]
+        sig = jnp.broadcast_to(err[:, None, :], imputed.shape)
+        sig = jnp.where(miss3 == 1.0, 0.1 * jnp.abs(imputed) + 1.0, sig)
+
+        if self.noise_models is not None:
+            # rescatter: the KDE draw is the TRUE flux; push it through the
+            # band's noise model so the imputed vector carries realistic
+            # noise + a model σ (reference generate_imputations Mode 2,
+            # sbi_runner.py:7839-7864). Per-band host loop (few bands, each
+            # apply() batched over all M·nmc draws).
+            band_keys = jax.random.split(k_noise, imputed.shape[-1])
+            for j, model in enumerate(self.noise_models):
+                if model is None:
+                    continue
+                scat, s_j = model.apply(band_keys[j], imputed[..., j])
+                m_j = miss3[..., j]
+                imputed = imputed.at[..., j].set(
+                    jnp.where(m_j == 1.0, scat, imputed[..., j]))
+                sig = sig.at[..., j].set(
+                    jnp.where(m_j == 1.0, s_j, sig[..., j]))
+        if return_errors:
+            return imputed, sig
+        return imputed
 
     def process_observations(self, key, posterior, feature_fn, flux_njy,
                              err_njy, missing_mask, n_samples: int = 1000):
@@ -378,18 +423,13 @@ class MissingPhotometryHandler:
             (M, n_samples, P) pooled posterior draws.
         """
         k_imp, k_samp = jax.random.split(key)
-        imputed = self.impute(k_imp, flux_njy, err_njy, missing_mask)
+        # missing-band errors: noise-model σ when models were given (the
+        # reference's Mode 2), else nominal 10% + 1 nJy on the imputed flux
+        imputed, sig = self.impute(k_imp, flux_njy, err_njy, missing_mask,
+                                   return_errors=True)
         m, nmc, f = imputed.shape
         flat_flux = imputed.reshape(m * nmc, f)
-        # errors for missing bands: the observed error may be a NaN
-        # placeholder; give the imputed flux a nominal 10% error instead
-        flat_err = jnp.repeat(jnp.asarray(err_njy, jnp.float32), nmc, axis=0)
-        miss_rep = jnp.repeat(
-            jnp.asarray(missing_mask, jnp.float32), nmc, axis=0
-        )
-        flat_err = jnp.where(
-            miss_rep == 1.0, 0.1 * jnp.abs(flat_flux) + 1.0, flat_err
-        )
+        flat_err = sig.reshape(m * nmc, f)
         feats = feature_fn(flat_flux, flat_err)  # (M*nmc, D)
         per = -(-n_samples // nmc)  # ceil: never return fewer than requested
         samples = posterior.sample_batch(k_samp, feats, per)  # (M*nmc, per, P)
@@ -587,6 +627,23 @@ def fit_catalogue(
     else:
         samples = np.asarray(
             fitter.posterior.sample_batch(key, jnp.asarray(feats), n_samples)
+        )
+
+    # MCMC-sampled posteriors (NLE/NRE) expose per-object convergence
+    # diagnostics: surface them as columns + a warning flag so that a
+    # non-converged chain set cannot silently feed wrong quantiles into the
+    # table (the reference inherits convergence handling from its sampler
+    # libraries, sbi_runner.py:5148-5578)
+    diag = getattr(fitter.posterior, "last_diagnostics", None)
+    if diag is not None and np.asarray(diag["rhat"]).shape[0] == len(samples):
+        rhat = np.asarray(diag["rhat"])
+        ess = np.asarray(diag["ess"])
+        out["mcmc_rhat_max"] = np.nanmax(rhat, axis=1)
+        out["mcmc_ess_min"] = np.nanmin(ess, axis=1)
+        thresh = getattr(fitter.posterior, "rhat_warn", 1.1)
+        out["flag_mcmc_unconverged"] = (
+            ~np.isfinite(out["mcmc_rhat_max"])
+            | (out["mcmc_rhat_max"] > thresh)
         )
 
     for i, name in enumerate(fitter.parameter_names):

@@ -119,8 +119,9 @@ def _supp_scale_mask(scale_supplementary, supp_names, supp_units=None):
 
 
 def _base_setup(libraries, base_names, redshift_param, mass_params,
-                log_base_masses):
-    """Normalize per-base inputs -> list of dicts with unit-mass photometry."""
+                log_base_masses, spectral_mode=False):
+    """Normalize per-base inputs -> list of dicts with unit-mass photometry
+    (or unit-mass observed spectra when `spectral_mode`)."""
     n_bases = len(libraries)
     if base_names is None:
         base_names = [
@@ -132,16 +133,43 @@ def _base_setup(libraries, base_names, redshift_param, mass_params,
     if np.isscalar(log_base_masses):
         log_base_masses = [float(log_base_masses)] * n_bases
 
-    filter_codes = list(libraries[0]["filter_codes"])
+    if spectral_mode:
+        # spectra replace photometry as the combined observable (reference
+        # `create_spectral_grid` -> `create_full_library(spectral_mode=True)`,
+        # library.py:4887-4919: scaled "observed_spectra" instead of
+        # per-filter fluxes; wavelengths stand in for filter codes)
+        if "spectra" not in libraries[0]:
+            raise ValueError("spectral_mode requires libraries with a "
+                             "'spectra' dataset (generate want_spectra=True)")
+        lam = np.asarray(libraries[0].get("wavelengths")) \
+            if "wavelengths" in libraries[0] else None
+        n_rows = (lam.shape[0] if lam is not None
+                  else np.asarray(libraries[0]["spectra"]).shape[0])
+        filter_codes = lam  # the reference stores wavelengths here
+    else:
+        filter_codes = list(libraries[0]["filter_codes"])
+        n_rows = len(filter_codes)
     bases = []
     for i, lib in enumerate(libraries):
-        if list(lib["filter_codes"]) != filter_codes:
+        if spectral_mode:
+            if "spectra" not in lib:
+                raise ValueError(f"base {i} has no spectra; cannot combine "
+                                 "in spectral_mode")
+            lam_i = (np.asarray(lib.get("wavelengths"))
+                     if "wavelengths" in lib else None)
+            if (filter_codes is not None and lam_i is not None
+                    and not np.array_equal(lam_i, filter_codes)):
+                raise ValueError(
+                    f"base {i} has a different wavelength grid to base 0; "
+                    "cannot combine spectra")
+        elif list(lib["filter_codes"]) != filter_codes:
             raise ValueError(
                 f"base {i} has different filters to base 0; cannot combine"
             )
         names = list(lib["parameter_names"])
         params = _as_rows(lib["parameters"], len(names))
-        phot = _as_rows(lib["photometry"], len(filter_codes))
+        phot = _as_rows(lib["spectra" if spectral_mode else "photometry"],
+                        n_rows)
         if redshift_param not in names:
             raise ValueError(f"base {i} lacks parameter {redshift_param!r}")
         z_rows = params[names.index(redshift_param)]
@@ -196,6 +224,7 @@ def combine_libraries(
     scale_supplementary=True,
     out_path: str | None = None,
     z_atol: float = 1.0e-5,
+    spectral_mode: bool = False,
 ) -> dict:
     """Outer-product combination: every (z × mass × weight × base-row) combo.
 
@@ -221,6 +250,14 @@ def combine_libraries(
             flux-like quantities with mag-like ones such as M_UV);
             ``"auto"`` classifies built-in supplementary/line columns by
             their physics (unit-string fallback for custom columns).
+        spectral_mode: combine the bases' observed SPECTRA instead of their
+            photometry (the reference's `create_spectral_grid` /
+            `create_full_library(spectral_mode=True)`,
+            library.py:4887-4919). Bases must share one wavelength grid;
+            the result carries "spectra" + "wavelengths" keys and the saved
+            file stores `Grid/Spectra` + `Grid/Wavelengths`. Spectra scale
+            with stellar mass exactly like photometry (L_ν per Msun), so
+            the renormalization is identical.
 
     Returns the combined library dict ((F, N)/(P, N) convention); parameter
     columns are [redshift, log_mass, weight_fraction?, base varying params].
@@ -240,9 +277,10 @@ def combine_libraries(
     redshifts = np.atleast_1d(np.asarray(redshifts, np.float64))
 
     bases, filter_codes = _base_setup(
-        libraries, base_names, redshift_param, mass_params, log_base_masses
+        libraries, base_names, redshift_param, mass_params, log_base_masses,
+        spectral_mode,
     )
-    n_filt = len(filter_codes)
+    n_filt = bases[0]["phot_unit"].shape[0]
     supp_names = bases[0]["supp_names"]
     supp_mask = _supp_scale_mask(scale_supplementary, supp_names,
                                  bases[0].get("supp_units"))
@@ -309,13 +347,20 @@ def combine_libraries(
         if supp is not None:
             supp_out.append(supp.reshape(len(supp_names), -1))
 
+    combined = np.concatenate(phot_out, axis=1).astype(np.float32)
     result = {
-        "photometry": np.concatenate(phot_out, axis=1).astype(np.float32),
         "parameters": np.concatenate(par_out, axis=1).astype(np.float32),
         "parameter_names": param_columns,
-        "filter_codes": filter_codes,
         "photometry_units": libraries[0].get("photometry_units", "nJy"),
     }
+    if spectral_mode:
+        result["spectra"] = combined
+        result["filter_codes"] = filter_codes  # = the wavelength grid
+        if filter_codes is not None:
+            result["wavelengths"] = np.asarray(filter_codes)
+    else:
+        result["photometry"] = combined
+        result["filter_codes"] = filter_codes
     if supp_names:
         result["supplementary_parameters"] = np.concatenate(
             supp_out, axis=1
@@ -326,14 +371,19 @@ def combine_libraries(
             out_path,
             parameters=result["parameters"],
             parameter_names=result["parameter_names"],
-            photometry=result["photometry"],
-            filter_codes=result["filter_codes"],
+            photometry=result.get("photometry"),
+            spectra=result.get("spectra"),
+            filter_codes=None if spectral_mode else result["filter_codes"],
             supplementary_parameters=result.get("supplementary_parameters"),
             supplementary_parameter_names=result.get(
                 "supplementary_parameter_names"
             ),
             photometry_units=result["photometry_units"],
             model_name="+".join(b["name"] for b in bases),
+            extra_datasets=(
+                {"Wavelengths": result["wavelengths"]}
+                if spectral_mode and "wavelengths" in result else None
+            ),
         )
     return result
 
@@ -349,11 +399,14 @@ def combine_libraries_matched(
     mass_name: str = "log_mass",
     scale_supplementary=True,
     out_path: str | None = None,
+    spectral_mode: bool = False,
 ) -> dict:
     """Matched (pre-drawn) combination: row k of every base describes the
     same galaxy (reference `create_full_library`, library.py:3982-4072) —
     no outer product; `log_stellar_masses` and `combination_weights` are
-    per-row arrays of length N.
+    per-row arrays of length N. With `spectral_mode` the combined
+    observable is the bases' spectra (the reference's
+    `create_spectral_grid` path, library.py:4887-4919).
     """
     libraries = list(libraries)
     n_bases = len(libraries)
@@ -361,7 +414,8 @@ def combine_libraries_matched(
         if n_bases != 1:
             raise ValueError("combination_weights required for >1 base")
     bases, filter_codes = _base_setup(
-        libraries, base_names, redshift_param, mass_params, log_base_masses
+        libraries, base_names, redshift_param, mass_params, log_base_masses,
+        spectral_mode,
     )
     n = bases[0]["phot_unit"].shape[1]
     for i, b in enumerate(bases):
@@ -381,7 +435,7 @@ def combine_libraries_matched(
     supp_names = bases[0]["supp_names"]
     supp_mask = _supp_scale_mask(scale_supplementary, supp_names,
                                  bases[0].get("supp_units"))
-    phot = np.zeros((len(filter_codes), n), np.float64)
+    phot = np.zeros((bases[0]["phot_unit"].shape[0], n), np.float64)
     supp = (
         np.zeros((len(supp_names), n), np.float64) if supp_names else None
     )
@@ -399,14 +453,20 @@ def combine_libraries_matched(
         param_columns.extend(b["param_names"])
 
     result = {
-        "photometry": phot.astype(np.float32),
         "parameters": np.stack(
             [np.asarray(c, np.float64) for c in par_cols]
         ).astype(np.float32),
         "parameter_names": param_columns,
-        "filter_codes": filter_codes,
         "photometry_units": libraries[0].get("photometry_units", "nJy"),
     }
+    if spectral_mode:
+        result["spectra"] = phot.astype(np.float32)
+        result["filter_codes"] = filter_codes  # = the wavelength grid
+        if filter_codes is not None:
+            result["wavelengths"] = np.asarray(filter_codes)
+    else:
+        result["photometry"] = phot.astype(np.float32)
+        result["filter_codes"] = filter_codes
     if supp_names:
         result["supplementary_parameters"] = supp.astype(np.float32)
         result["supplementary_parameter_names"] = supp_names
@@ -415,13 +475,18 @@ def combine_libraries_matched(
             out_path,
             parameters=result["parameters"],
             parameter_names=result["parameter_names"],
-            photometry=result["photometry"],
-            filter_codes=result["filter_codes"],
+            photometry=result.get("photometry"),
+            spectra=result.get("spectra"),
+            filter_codes=None if spectral_mode else result["filter_codes"],
             supplementary_parameters=result.get("supplementary_parameters"),
             supplementary_parameter_names=result.get(
                 "supplementary_parameter_names"
             ),
             photometry_units=result["photometry_units"],
             model_name="+".join(b["name"] for b in bases),
+            extra_datasets=(
+                {"Wavelengths": result["wavelengths"]}
+                if spectral_mode and "wavelengths" in result else None
+            ),
         )
     return result

@@ -346,7 +346,7 @@ class Study:
         self._persist(trial)
         return trial
 
-    def retry_stale(self, grace_period: float = 600.0) -> int:
+    def retry_stale(self, grace_period: float = 1800.0) -> int:
         """Mark dead workers' RUNNING trials FAILED and requeue their params.
 
         The reference's Optuna RDB storage uses heartbeat_interval +
@@ -357,6 +357,15 @@ class Study:
         trial whose heartbeat is older than `grace_period` seconds is
         marked FAILED and its params go to the front of this worker's ask
         queue. Returns the number of trials requeued.
+
+        The default grace (1800 s) sits well above the worst-case first
+        dispatch on a remote-attached TPU (2-10 min compile, CLAUDE.md):
+        a live worker's heartbeat is only refreshed once per fused-epoch
+        block, and its FIRST refresh lands after that compile — a shorter
+        grace would requeue still-compiling trials. With sqlite storage the
+        reclaim is a single-transaction compare-and-swap, so when several
+        surviving workers race on the same stale trial exactly one wins
+        the requeue (the others see rowcount 0 and skip it).
         """
         if self.storage:
             self._load()
@@ -366,12 +375,38 @@ class Study:
         for t in self.trials:
             if (t.get("state") == "RUNNING"
                     and now - float(t.get("heartbeat", now)) > grace_period):
+                old_payload = json.dumps(t)
                 t["state"] = "FAILED"
                 t["retried"] = True
-                self._persist(t)
+                if self._is_sql():
+                    if not self._swap_if_unchanged(
+                            t["number"], old_payload, t):
+                        t["state"] = "RUNNING"  # another worker won the race
+                        t.pop("retried", None)
+                        continue
+                else:
+                    self._persist(t)
                 self._retry_params.append(dict(t["params"]))
                 n += 1
         return n
+
+    def _swap_if_unchanged(self, number, old_payload, trial) -> bool:
+        """One-transaction compare-and-swap of a trial row: the UPDATE only
+        lands if the stored payload is still byte-identical to what this
+        worker loaded (payloads are always written by json.dumps, so a
+        load->dump round-trip reproduces the stored bytes)."""
+        for attempt in range(5):
+            try:
+                with self._conn() as con:
+                    cur = con.execute(
+                        "UPDATE trials SET payload=? "
+                        "WHERE number=? AND payload=?",
+                        (json.dumps(trial), number, old_payload),
+                    )
+                    return cur.rowcount == 1
+            except sqlite3.OperationalError:
+                time.sleep(0.2 * (attempt + 1))
+        return False
 
     def _allocate_number(self) -> int:
         """Atomically reserve the next trial number. With shared sqlite

@@ -22,6 +22,7 @@ from .priors import BoxUniform
 __all__ = [
     "run_ensemble_mcmc",
     "run_batched_mcmc",
+    "split_rhat_ess",
     "run_smc",
     "model_comparison",
     "gaussian_loglike",
@@ -148,6 +149,56 @@ def run_ensemble_mcmc(
     return np.asarray(kept), np.asarray(kept_lp), float(acc.mean())
 
 
+def split_rhat_ess(chain):
+    """Split-R̂ and ESS for per-walker chains, fully batched.
+
+    Args:
+        chain: (T, M, W, P) post-burn-in walker chains (T kept steps, M
+            objects, W walkers, P parameters).
+    Returns:
+        (rhat (M, P), ess (M, P)). Split-R̂ treats walkers as chains and
+        halves each in time (Gelman-Rubin; values ≲1.05 indicate
+        convergence). ESS follows the emcee convention — walker-averaged
+        autocorrelation, Geyer initial-positive-pair truncation,
+        ess = W·T/τ. The reference inherits these from its sampler
+        libraries (dynesty/emcee, sbi_runner.py:5148-5578); here they are
+        computed on-device so `fit_catalogue` can flag non-converged
+        objects whose quantile columns would silently be wrong.
+    """
+    chain = jnp.asarray(chain)
+    t = int(chain.shape[0])
+    m, w, p = chain.shape[1], chain.shape[2], chain.shape[3]
+    if t < 4:
+        nan = jnp.full((m, p), jnp.nan, jnp.float32)
+        return nan, nan
+    t2 = (t // 2) * 2
+    c = chain[:t2].astype(jnp.float32)
+
+    # ---- split-R̂: 2W chains of length t2/2 ------------------------------
+    n = t2 // 2
+    halves = jnp.concatenate([c[:n], c[n:t2]], axis=2)  # (n, M, 2W, P)
+    mean_c = halves.mean(axis=0)
+    var_c = halves.var(axis=0, ddof=1)
+    w_var = var_c.mean(axis=1)  # (M, P)
+    b_var = n * mean_c.var(axis=1, ddof=1)
+    var_hat = (n - 1) / n * w_var + b_var / n
+    rhat = jnp.sqrt(var_hat / jnp.maximum(w_var, 1.0e-30))
+
+    # ---- ESS: walker-averaged autocorrelation, Geyer pairs ---------------
+    x = c - c.mean(axis=0)
+    nfft = 1 << (2 * t2 - 1).bit_length()
+    f = jnp.fft.rfft(x, n=nfft, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:t2].real / t2
+    denom = jnp.maximum(acov[0].mean(axis=1), 1.0e-30)  # (M, P)
+    rho = acov.mean(axis=2) / denom[None]  # (t2, M, P)
+    n_pairs = t2 // 2
+    gamma = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]  # (n_pairs, M, P)
+    pos = jnp.cumprod(gamma > 0.0, axis=0)  # stop at first negative pair
+    tau = jnp.maximum(2.0 * jnp.sum(gamma * pos, axis=0) - 1.0, 1.0)
+    ess = w * t2 / tau
+    return rhat, ess
+
+
 def run_batched_mcmc(
     loglike_fn,
     prior: BoxUniform,
@@ -158,6 +209,7 @@ def run_batched_mcmc(
     burn_in: int = 300,
     thin: int = 2,
     stretch_a: float = 2.0,
+    return_diagnostics: bool = False,
 ):
     """Stretch-move MCMC for M conditions AT ONCE: the NLE/NRE posterior
     sampler (the reference samples each object's MCMC posterior serially
@@ -169,8 +221,12 @@ def run_batched_mcmc(
         loglike_fn: (theta (B, P), x (B, C)) -> (B,) log-likelihood
             (or any unnormalized log-density term to add to the prior's).
         xs: (M, C) conditions.
+        return_diagnostics: also return per-object convergence diagnostics
+            `{"rhat": (M, P), "ess": (M, P)}` from `split_rhat_ess` on the
+            kept walker chains.
     Returns:
-        samples (M, n_kept, P), acceptance fraction (scalar).
+        samples (M, n_kept, P), acceptance fraction (scalar)
+        [, diagnostics dict].
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
@@ -229,6 +285,11 @@ def run_batched_mcmc(
     (_, _), (chain, acc) = jax.lax.scan(step, (walkers, lp), keys)
     # chain (n_steps, M, W, P) -> kept (M, n_kept, P)
     kept = chain[burn_in::thin]
+    if return_diagnostics:
+        rhat, ess = split_rhat_ess(kept)
+        diag = {"rhat": rhat, "ess": ess}
+        kept = jnp.moveaxis(kept, 1, 0).reshape(m, -1, dim)
+        return kept, acc.mean(), diag
     kept = jnp.moveaxis(kept, 1, 0).reshape(m, -1, dim)
     return kept, acc.mean()
 

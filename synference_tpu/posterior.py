@@ -228,12 +228,17 @@ class _MCMCPosterior:
     """
 
     def __init__(self, prior: BoxUniform, n_walkers: int = 64,
-                 burn_in: int = 256, thin: int = 2):
+                 burn_in: int = 256, thin: int = 2,
+                 rhat_warn: float = 1.1):
         self.prior = prior
         self.n_walkers = n_walkers + (n_walkers % 2)
         self.burn_in = burn_in
         self.thin = thin
+        self.rhat_warn = float(rhat_warn)
         self.last_acceptance: float | None = None
+        # per-object convergence diagnostics of the most recent
+        # sample_batch call: {"rhat": (M, P), "ess": (M, P)} numpy arrays
+        self.last_diagnostics: dict | None = None
 
     # subclasses implement: _loglike(theta (B,P), x (B,C)) -> (B,)
 
@@ -249,17 +254,41 @@ class _MCMCPosterior:
 
     def sample_batch(self, key, xs, n: int):
         """(M, C) -> (M, n, D) via batched MCMC; keeps the freshest n
-        post-burn-in states per object. Sets `self.last_acceptance`."""
+        post-burn-in states per object. Sets `self.last_acceptance` and
+        `self.last_diagnostics` (split-R̂/ESS per object; a chain set with
+        max R̂ above `rhat_warn` logs a warning — its quantiles are not
+        trustworthy, the failure mode the reference's sampler libraries
+        would have surfaced)."""
+        import numpy as _np
+
         from .mcmc import run_batched_mcmc
+        from .runtime import setup_logger
 
         keep_steps = -(-n // self.n_walkers)
         n_steps = self.burn_in + keep_steps * self.thin
-        kept, acc = run_batched_mcmc(
+        kept, acc, diag = run_batched_mcmc(
             self._loglike, self.prior, xs, key=key,
             n_walkers=self.n_walkers, n_steps=n_steps,
             burn_in=self.burn_in, thin=self.thin,
+            return_diagnostics=True,
         )
         self.last_acceptance = float(acc)
+        self.last_diagnostics = {
+            "rhat": _np.asarray(diag["rhat"]),
+            "ess": _np.asarray(diag["ess"]),
+        }
+        rhat_arr = self.last_diagnostics["rhat"]
+        finite = _np.isfinite(rhat_arr)
+        rhat_max = float(rhat_arr[finite].max()) if finite.any() \
+            else float("nan")
+        if _np.isfinite(rhat_max) and rhat_max > self.rhat_warn:
+            per_obj = _np.where(finite, rhat_arr, -_np.inf).max(axis=1)
+            n_bad = int((per_obj > self.rhat_warn).sum())
+            setup_logger("synference_tpu.mcmc").warning(
+                "batched MCMC: %d/%d objects have split-R-hat > %.2f "
+                "(max %.3f) — their posterior quantiles are unreliable; "
+                "raise burn_in/n_steps", n_bad, kept.shape[0],
+                self.rhat_warn, rhat_max)
         return kept[:, -n:]
 
     def sample(self, key, x, n: int, **kw):

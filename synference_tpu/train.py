@@ -53,6 +53,17 @@ class TrainConfig:
     # rounds up to a multiple of it (best-val tracking stays per-epoch on
     # device, so the extra epochs never degrade the returned params).
     epochs_per_dispatch: int = 1
+    # Run the ENTIRE training loop as ONE device program: a lax.while_loop
+    # over epochs carrying params/optimizer/best-val/early-stop state, so an
+    # NSF-69x15 run costs a single dispatch instead of max_epochs /
+    # epochs_per_dispatch of them (the ~13.7 ms/dispatch fixed cost measured
+    # in BASELINE.md "training anatomy" vanishes; early stopping happens on
+    # device at per-epoch granularity). None = auto: used whenever no
+    # host-side per-epoch feature is requested (epoch_callback, live_plot,
+    # checkpointing). Explicit True is still ignored when one of those
+    # features forces the host loop. The reference's analogue is the
+    # explicit torch epoch loop, custom_runner.py:531-742.
+    whole_run: bool | None = None
     # "pickle" (host round-trip, single-process) or "orbax": orbax writes
     # each shard of mesh-sharded params/opt state from its own host with no
     # device->host gather — the multi-host checkpoint path SURVEY §5
@@ -171,7 +182,12 @@ def train_ensemble(
             aborts training (mid-run HPO pruning, the reference prunes
             during training via Optuna callbacks, custom_runner.py:662-670).
             An abort restores best-so-far params and marks
-            `history["pruned"] = True`.
+            `history["pruned"] = True`. Pruning GRANULARITY is
+            `epochs_per_dispatch`: with K > 1 a prune signal at epoch j
+            inside a fused block takes effect after the block, so up to
+            K-1 extra epochs run — benign for the returned params (best-val
+            tracking is per-epoch on device) but the extra epochs do train.
+            Use K=1 if exact per-epoch prune semantics matter.
         member_learning_rates: optional (n_nets,) per-member learning rates
             (overrides config.learning_rate). The lr is injected into the
             optimizer state, so K learning-rate trials train as ONE vmapped
@@ -193,17 +209,27 @@ def train_ensemble(
     steps_per_epoch = max(n_train // bs, 1)
 
     member_keys = jax.random.split(k_init, n_nets)
-    params = jax.vmap(lambda k: flow.init(k, t_tr, x_tr))(member_keys)
     traced_lr = member_learning_rates is not None
     tx = _make_optimizer(cfg, traced_lr=traced_lr)
-    opt_state = jax.vmap(tx.init)(params)
     if traced_lr:
         lrs = jnp.asarray(member_learning_rates, jnp.float32)
         if lrs.shape != (n_nets,):
             raise ValueError(
                 f"member_learning_rates must have shape ({n_nets},), "
                 f"got {lrs.shape}")
-        opt_state = _set_member_lrs(opt_state, cfg, lrs)
+    else:
+        lrs = None
+
+    def init_members(m_keys, d_t_tr, d_x_tr):
+        """Stacked member params + optimizer state. Called inside a jitted
+        program: eager (op-by-op) init of an NSF-69x15 dispatches hundreds
+        of tiny ops through the tunnel at ~3 ms each — seconds of pure
+        launch latency per train call."""
+        p = jax.vmap(lambda k: flow.init(k, d_t_tr, d_x_tr))(m_keys)
+        s = jax.vmap(tx.init)(p)
+        if traced_lr:
+            s = _set_member_lrs(s, cfg, lrs)
+        return p, s
 
     if loss_fn is None:
         def loss_fn(p, tb, xb):
@@ -256,6 +282,71 @@ def train_ensemble(
         since_best = jnp.where(improved, 0, since_best + 1)
         return (params, opt_state, tr_loss, va_loss, best_params, best_val,
                 since_best)
+
+    # ---- whole-run single-dispatch path (device-resident early stop) -----
+    use_whole_run = cfg.whole_run if cfg.whole_run is not None else True
+    use_whole_run = (use_whole_run and epoch_callback is None
+                     and not cfg.live_plot and cfg.checkpoint_path is None)
+    if use_whole_run:
+        max_e = int(cfg.max_epochs)
+        patience = int(cfg.stop_after_epochs)
+
+        @jax.jit
+        def whole_run_fn(m_keys, key, data):
+            """The ENTIRE training run as one device program: member init,
+            a while_loop over epochs with on-device early stopping and
+            best-params tracking. Loss history is written into fixed
+            (max_epochs, n_nets) buffers (NaN beyond the stopping epoch);
+            ONE dispatch and one readback for the whole run."""
+            params, opt_state = init_members(m_keys, data[0], data[1])
+            tr_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
+            va_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
+            init = (jnp.int32(0), params, opt_state, key, params,
+                    jnp.full((n_nets,), jnp.inf, jnp.float32),
+                    jnp.zeros((n_nets,), jnp.int32), tr_hist, va_hist)
+
+            def cond(carry):
+                e, _p, _s, _k, _bp, _bv, sb, _t, _v = carry
+                return (e < max_e) & jnp.logical_not(
+                    jnp.all(sb >= patience))
+
+            def body(carry):
+                e, p, s, k, bp, bv, sb, trh, vah = carry
+                k, ke = jax.random.split(k)
+                p, s, tr, va, bp, bv, sb = epoch_all_body(
+                    p, s, ke, bp, bv, sb, data)
+                trh = jax.lax.dynamic_update_index_in_dim(trh, tr, e, 0)
+                vah = jax.lax.dynamic_update_index_in_dim(vah, va, e, 0)
+                return (e + 1, p, s, k, bp, bv, sb, trh, vah)
+
+            e, _p, _s, _k, bp, bv, _sb, trh, vah = jax.lax.while_loop(
+                cond, body, init)
+            return e, bp, bv, trh, vah
+
+        n_run, best_params, best_val, trh, vah = whole_run_fn(
+            member_keys, k_loop, (t_tr, x_tr, t_va, x_va))
+        n_run = int(n_run)
+        tr_arr = np.asarray(trh)[:n_run]
+        val_arr = np.asarray(vah)[:n_run]
+        best_val = np.asarray(best_val)
+        return TrainResult(
+            params=best_params,
+            train_losses=tr_arr,
+            val_losses=val_arr,
+            best_epoch=(int(np.argmin(val_arr.mean(axis=1)))
+                        if len(val_arr) else 0),
+            n_members=n_nets,
+            history={
+                "best_val": best_val.tolist(),
+                "pruned": False,
+                "whole_run": True,
+                **({"member_learning_rates":
+                    np.asarray(member_learning_rates, np.float64).tolist()}
+                   if member_learning_rates is not None else {}),
+            },
+        )
+
+    params, opt_state = jax.jit(init_members)(member_keys, t_tr, x_tr)
 
     k_dispatch = max(int(cfg.epochs_per_dispatch), 1)
 
@@ -362,8 +453,12 @@ def train_ensemble(
     best_val = np.asarray(best_val)
 
     if ckpt and os.path.exists(ckpt):
-        # success: drop the checkpoint (reference does the same)
-        if os.path.isdir(ckpt):  # orbax checkpoints are directories
+        # success: drop the checkpoint (reference does the same). Only the
+        # orbax backend owns a DIRECTORY; under the pickle backend a
+        # directory at checkpoint_path is a user mistake (e.g. pointed at
+        # pre-existing data) and os.remove raising is the right outcome —
+        # never rmtree a directory this run didn't write.
+        if backend == "orbax" and os.path.isdir(ckpt):
             import shutil
 
             shutil.rmtree(ckpt)

@@ -116,6 +116,43 @@ class TestMissingHandler:
         # imputed band1 should cluster near 600
         assert abs(np.median(imp[0, :, 1]) - 600.0) < 60.0
 
+    def test_noise_model_rescatter(self, rng):
+        """With per-band noise models, the missing-band KDE draw is
+        rescattered through that band's model and σ comes from the model
+        (reference generate_imputations Mode 2, sbi_runner.py:7839-7864)."""
+        from synference_tpu.noise_models import DepthNoiseModel
+
+        b0 = rng.uniform(100, 1000, 2000).astype(np.float32)
+        lib = np.stack([b0, 2 * b0], axis=1)
+        # 5σ depth of 25 AB -> σ ≈ 727 nJy: far larger than the KDE spread,
+        # so the rescatter visibly widens the imputed distribution
+        nm = DepthNoiseModel(depth_ab=25.0, depth_sigma_level=5.0)
+        h_plain = MissingPhotometryHandler(lib, k_neighbors=32, nmc=64)
+        h_noise = MissingPhotometryHandler(lib, k_neighbors=32, nmc=64,
+                                           noise_models=[None, nm])
+        flux = np.array([[300.0, 0.0]], np.float32)
+        err = np.full((1, 2), 10.0, np.float32)
+        miss = np.array([[0, 1]], np.float32)
+        imp_p = np.asarray(h_plain.impute(KEY, flux, err, miss))
+        imp_n, sig_n = h_noise.impute(KEY, flux, err, miss,
+                                      return_errors=True)
+        imp_n, sig_n = np.asarray(imp_n), np.asarray(sig_n)
+        # valid band untouched by rescatter (model only hits missing bands)
+        np.testing.assert_allclose(imp_n[0, :, 0], 300.0)
+        np.testing.assert_allclose(sig_n[0, :, 0], 10.0)
+        # missing band: σ equals the depth-model σ, spread widens
+        expected_sigma = float(np.asarray(
+            nm.apply(KEY, np.array([600.0], np.float32))[1])[0])
+        np.testing.assert_allclose(sig_n[0, :, 1], expected_sigma, rtol=1e-5)
+        assert imp_n[0, :, 1].std() > 2.0 * imp_p[0, :, 1].std()
+        # nmc-consistency: still centred near the true 600
+        assert abs(np.median(imp_n[0, :, 1]) - 600.0) < 0.6 * expected_sigma
+
+    def test_rescatter_length_mismatch_raises(self, rng):
+        lib = rng.uniform(100, 1000, (50, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="noise_models"):
+            MissingPhotometryHandler(lib, noise_models=[None])
+
 
 @pytest.fixture(scope="module")
 def trained_fitter(test_grid, nircam_filters):

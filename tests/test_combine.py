@@ -128,6 +128,73 @@ class TestOuterProduct:
         assert fitter.parameters.shape[1] == 5
 
 
+class TestSpectralMode:
+    """Spectra-mode combination (reference `create_spectral_grid` ->
+    `create_full_library(spectral_mode=True)`, library.py:4887-4919):
+    the combined observable is the bases' observed spectra under the same
+    mass renormalization; wavelengths stand in for filter codes."""
+
+    def _spec_library(self, name, param, n_per_z, zs, base_logmass=9.0,
+                      seed=0, n_lam=16):
+        lib = _toy_library(name, param, n_per_z, zs, base_logmass, seed)
+        rng = np.random.default_rng(seed + 100)
+        n = lib["parameters"].shape[1]
+        lam = np.geomspace(1e3, 1e5, n_lam)
+        # per-row spectra proportional to mass with a distinctive shape
+        shape = 1.0 + rng.uniform(0, 1, (n_lam, n))
+        lib["spectra"] = (shape * 10.0 ** base_logmass).astype(np.float32)
+        lib["wavelengths"] = lam
+        return lib
+
+    def test_matched_spectral(self, tmp_path):
+        zs = [1.0]
+        a = self._spec_library("s", "alpha", 4, zs, seed=11)
+        b = self._spec_library("g", "beta", 4, zs, seed=12)
+        log_m = np.array([8.0, 9.0, 10.0, 11.0])
+        w = np.tile([[0.4, 0.6]], (4, 1))
+        path = str(tmp_path / "spec_combined.h5")
+        out = combine_libraries_matched([a, b], log_m, w, out_path=path,
+                                        spectral_mode=True)
+        assert "photometry" not in out
+        assert out["spectra"].shape == (16, 4)
+        np.testing.assert_allclose(out["wavelengths"], a["wavelengths"])
+        sa = np.asarray(a["spectra"], np.float64) / 1e9
+        sb = np.asarray(b["spectra"], np.float64) / 1e9
+        for k in range(4):
+            expected = (0.4 * sa[:, k] + 0.6 * sb[:, k]) * 10.0 ** log_m[k]
+            np.testing.assert_allclose(out["spectra"][:, k], expected,
+                                       rtol=2e-5)
+        # round-trips through the reference schema with Grid/Spectra
+        lib = load_library_hdf5(path)
+        np.testing.assert_allclose(lib["spectra"], out["spectra"], rtol=1e-6)
+        np.testing.assert_allclose(lib["wavelengths"], a["wavelengths"])
+
+    def test_outer_product_spectral(self):
+        zs = [0.5]
+        a = self._spec_library("s", "alpha", 3, zs, base_logmass=9.0, seed=13)
+        out = combine_libraries([a], [8.0, 9.0, 10.0], zs,
+                                spectral_mode=True)
+        assert out["spectra"].shape == (16, 9)
+        # the m=9 block reproduces the base spectra exactly
+        np.testing.assert_allclose(out["spectra"][:, 3:6], a["spectra"],
+                                   rtol=2e-5)
+
+    def test_mismatched_wavelength_grids_raise(self):
+        zs = [1.0]
+        a = self._spec_library("s", "alpha", 2, zs, seed=14)
+        b = self._spec_library("g", "beta", 2, zs, seed=15)
+        b["wavelengths"] = b["wavelengths"] * 1.01
+        with pytest.raises(ValueError, match="wavelength grid"):
+            combine_libraries_matched([a, b], np.full(2, 9.0),
+                                      np.tile([[0.5, 0.5]], (2, 1)),
+                                      spectral_mode=True)
+
+    def test_missing_spectra_raise(self):
+        a = _toy_library("s", "alpha", 2, [1.0])
+        with pytest.raises(ValueError, match="spectra"):
+            combine_libraries([a], [9.0], [1.0], spectral_mode=True)
+
+
 class TestMatched:
     def test_matched_rows(self):
         zs = [1.0]

@@ -66,6 +66,89 @@ class TestMCMC:
         assert (fr >= 0).all()
 
 
+class TestConvergenceDiagnostics:
+    """Split-R̂/ESS on batched chains (the reference inherits convergence
+    handling from dynesty/emcee, sbi_runner.py:5148-5578)."""
+
+    @staticmethod
+    def _target(theta, x):
+        # per-object Gaussian likelihood centred at x
+        return -0.5 * jnp.sum(((theta - x) / 0.3) ** 2, axis=-1)
+
+    def test_long_chain_converges(self):
+        from synference_tpu.mcmc import run_batched_mcmc
+
+        prior = BoxUniform([-5.0, -5.0], [5.0, 5.0])
+        xs = jnp.asarray([[1.0, -0.5], [-1.0, 2.0]], jnp.float32)
+        kept, acc, diag = run_batched_mcmc(
+            self._target, prior, xs, KEY, n_walkers=32, n_steps=2200,
+            burn_in=600, thin=2, return_diagnostics=True)
+        rhat, ess = np.asarray(diag["rhat"]), np.asarray(diag["ess"])
+        assert rhat.shape == (2, 2) and ess.shape == (2, 2)
+        assert (rhat < 1.1).all()
+        assert (ess > 100).all()
+
+    def test_short_chain_flags_nonconvergence(self):
+        """A deliberately short chain on a needle-in-a-box target must
+        report high R̂ — the silent-wrong-quantiles failure mode."""
+        from synference_tpu.mcmc import run_batched_mcmc
+
+        def needle(theta, x):
+            return -0.5 * jnp.sum(((theta - x) / 0.01) ** 2, axis=-1)
+
+        prior = BoxUniform([-5.0, -5.0], [5.0, 5.0])
+        xs = jnp.asarray([[1.0, -0.5]], jnp.float32)
+        kept, acc, diag = run_batched_mcmc(
+            needle, prior, xs, KEY, n_walkers=32, n_steps=20,
+            burn_in=4, thin=1, return_diagnostics=True)
+        assert float(np.nanmax(np.asarray(diag["rhat"]))) > 1.1
+
+    def test_tiny_chain_returns_nan(self):
+        from synference_tpu.mcmc import split_rhat_ess
+
+        rhat, ess = split_rhat_ess(np.zeros((2, 3, 8, 2), np.float32))
+        assert np.isnan(np.asarray(rhat)).all()
+
+    def test_posterior_records_diagnostics_and_catalogue_flags(self, rng):
+        """NLE/NRE posterior sampling records last_diagnostics; a
+        short-chain posterior makes fit_catalogue's unconverged flag
+        fire."""
+        from synference_tpu.posterior import _MCMCPosterior
+
+        class ToyPosterior(_MCMCPosterior):
+            def _loglike(self, theta, x):
+                return -0.5 * jnp.sum(((theta - x) / 0.01) ** 2, axis=-1)
+
+        prior = BoxUniform([-5.0], [5.0])
+        # deliberately short: burn_in 2, a handful of kept steps
+        post = ToyPosterior(prior, n_walkers=16, burn_in=2, thin=1)
+        xs = jnp.asarray([[1.0], [-2.0]], jnp.float32)
+        s = post.sample_batch(KEY, xs, 64)
+        assert s.shape[0] == 2
+        assert post.last_diagnostics is not None
+        assert post.last_diagnostics["rhat"].shape == (2, 1)
+        assert np.nanmax(post.last_diagnostics["rhat"]) > post.rhat_warn
+
+        # fit_catalogue surfaces the flag
+        from synference_tpu.catalogue import fit_catalogue
+
+        class ToyFitter:
+            parameter_names = ["a"]
+            features = None
+            posterior = post
+
+            def features_from_observations(self, flux, err, unit,
+                                           missing_mask=None):
+                return np.asarray(flux, np.float32)
+
+        out = fit_catalogue(ToyFitter(), np.array([[1.0], [-2.0]]),
+                            np.array([[0.1], [0.1]]), check_ood=False,
+                            n_samples=64)
+        assert out["flag_mcmc_unconverged"].all()
+        assert (out["mcmc_rhat_max"] > 1.1).all()
+        assert "mcmc_ess_min" in out
+
+
 class TestMCMCThroughSimulator:
     def test_recovers_injected_parameters(self, test_grid, nircam_filters):
         sim = BatchSEDSimulator(

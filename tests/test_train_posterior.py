@@ -74,14 +74,15 @@ class TestTraining:
         res4 = train_ensemble(
             flow, theta, x, KEY,
             TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
-                        learning_rate=1e-3, epochs_per_dispatch=4))
+                        learning_rate=1e-3, epochs_per_dispatch=4,
+                        whole_run=False))
         # per-epoch history, length a multiple of K covering max_epochs
         assert res4.val_losses.shape == (12, 1)
         assert res4.val_losses[-1, 0] < res4.val_losses[0, 0]
         res1 = train_ensemble(
             flow, theta, x, KEY,
             TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
-                        learning_rate=1e-3))
+                        learning_rate=1e-3, whole_run=False))
         assert abs(min(res4.history["best_val"])
                    - min(res1.history["best_val"])) < 0.5
         # early stopping with K>1: huge lr diverges fast, patience 2 means
@@ -89,9 +90,51 @@ class TestTraining:
         res_es = train_ensemble(
             flow, theta, x, KEY,
             TrainConfig(max_epochs=400, stop_after_epochs=2, batch_size=128,
-                        learning_rate=5e-3, epochs_per_dispatch=4))
+                        learning_rate=5e-3, epochs_per_dispatch=4,
+                        whole_run=False))
         assert len(res_es.val_losses) < 400
         assert len(res_es.val_losses) % 4 == 0
+
+    def test_whole_run_single_dispatch(self):
+        """The device-resident whole-run path (ONE dispatch: lax.while_loop
+        over epochs with on-device early stop + best-params tracking) is
+        the default when no host-side per-epoch feature is requested. Its
+        trained quality matches the host-loop path, early stopping fires
+        at per-EPOCH granularity (no rounding to a dispatch multiple), and
+        requesting a callback falls back to the host loop."""
+        theta, x = _toy_data(800)
+        flow = build_flow("mdn", 2, 3, hidden_features=16, num_components=3)
+        res = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
+                        learning_rate=1e-3))
+        assert res.history.get("whole_run") is True
+        assert res.val_losses.shape == (12, 1)
+        assert res.val_losses[-1, 0] < res.val_losses[0, 0]
+        res_host = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=12, stop_after_epochs=12, batch_size=256,
+                        learning_rate=1e-3, whole_run=False))
+        assert abs(min(res.history["best_val"])
+                   - min(res_host.history["best_val"])) < 0.5
+        # early stop: diverging lr halts the while_loop well before
+        # max_epochs, at exact per-epoch granularity
+        res_es = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=400, stop_after_epochs=2, batch_size=128,
+                        learning_rate=5e-3))
+        assert res_es.history.get("whole_run") is True
+        assert len(res_es.val_losses) < 400
+        assert np.isfinite(res_es.val_losses).all()  # NaN tail trimmed
+        # a per-epoch callback forces the host loop even with whole_run=True
+        seen = []
+        res_cb = train_ensemble(
+            flow, theta, x, KEY,
+            TrainConfig(max_epochs=3, stop_after_epochs=12, batch_size=256,
+                        whole_run=True),
+            epoch_callback=lambda e, tr, va: seen.append(e) and False)
+        assert res_cb.history.get("whole_run") is not True
+        assert seen == [0, 1, 2]
 
     def test_checkpoint_resume(self, tmp_path):
         theta, x = _toy_data(400)
