@@ -100,20 +100,27 @@ def main(n_library: int, out: str):
           flush=True)
 
     t0 = time.time()
+    # 8 vmapped members: the whole-run single-dispatch trainer runs the
+    # ENTIRE 8-seed ensemble as ONE device program (round-4 anatomy:
+    # 8 members cost ~2.9x one), and the member spread gives the
+    # seed-to-seed error bar on every calibration metric below
+    n_nets = 8
     res = fitter.run_single_sbi(
         model_type="nsf", hidden_features=69, num_transforms=15,
+        n_nets=n_nets,
         train_config=TrainConfig(max_epochs=36, stop_after_epochs=10,
-                                 batch_size=2048, learning_rate=7e-4,
-                                 epochs_per_dispatch=3),
+                                 batch_size=2048, learning_rate=7e-4),
     )
     timings["training_s"] = round(time.time() - t0, 1)
     n_epochs = len(res.val_losses)
-    print(f"[{timings['training_s']}s] trained NSF 69x15: {n_epochs} epochs, "
-          f"best val {float(np.min(res.val_losses)):.3f}", flush=True)
+    print(f"[{timings['training_s']}s] trained NSF 69x15 x{n_nets}: "
+          f"{n_epochs} epochs, best val "
+          f"{float(np.min(res.val_losses)):.3f}", flush=True)
 
     # -- calibration ------------------------------------------------------
     t0 = time.time()
     report = fitter.evaluate_model(n_samples=256, max_objects=512)
+    members = fitter.evaluate_members(n_samples=256, max_objects=512)
     timings["evaluation_s"] = round(time.time() - t0, 1)
     timings["total_s"] = round(time.time() - t_start, 1)
 
@@ -124,14 +131,28 @@ def main(n_library: int, out: str):
         "pit_ks": [round(v, 4) for v in report["pit_ks"]],
         "mean_log_prob": report["mean_log_prob"],
         "r2": [round(v, 3) for v in report["point"]["r2"]],
+        # seed-to-seed CIs across the 8 independently-seeded members
+        # (VERDICT r4: single-seed TARP had 4x run-to-run spread)
+        "tarp_ci": {k: members["tarp_deviation"][k]
+                    for k in ("mean", "std", "ci95", "per_member")},
+        "pit_ks_max_ci": {k: members["pit_ks_max"][k]
+                          for k in ("mean", "std", "ci95")},
+        "r2_members_mean": members["r2"]["mean"],
+        "r2_members_std": members["r2"]["std"],
+        "n_members": n_nets,
         "n_devices": 1,
     }
     print(json.dumps(result, indent=2), flush=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
+    # the pass criterion is the member CI, not a single-seed point
+    # (VERDICT r4 item 3): mean + ci95 must stay inside the < 0.05 band
+    tarp_hi = (result["tarp_ci"]["mean"] + result["tarp_ci"]["ci95"])
     print(f"total {timings['total_s']}s "
-          f"({'PASS' if result['tarp_deviation'] < 0.05 else 'check'} "
-          "TARP within ~1 sigma)", flush=True)
+          f"({'PASS' if tarp_hi < 0.05 else 'check'} "
+          f"TARP {result['tarp_ci']['mean']:.4f} ± "
+          f"{result['tarp_ci']['ci95']:.4f} across {n_nets} seeds)",
+          flush=True)
 
 
 if __name__ == "__main__":

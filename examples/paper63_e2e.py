@@ -115,16 +115,17 @@ def main(n_library: int, out: str, grid=None, max_epochs: int = 40,
         n_nets=n_nets,
         train_config=TrainConfig(max_epochs=max_epochs,
                                  stop_after_epochs=stop_after,
-                                 batch_size=2048, learning_rate=7e-4,
-                                 epochs_per_dispatch=4),
+                                 batch_size=2048, learning_rate=7e-4),
     )
     timings["training_s"] = round(time.time() - t0, 1)
-    print(f"[{timings['training_s']}s] trained NSF 69x15: "
+    print(f"[{timings['training_s']}s] trained NSF 69x15 x{n_nets}: "
           f"{len(res.val_losses)} epochs, best val "
           f"{float(np.min(res.val_losses)):.3f}", flush=True)
 
     t0 = time.time()
     report = fitter.evaluate_model(n_samples=256, max_objects=512)
+    members = (fitter.evaluate_members(n_samples=256, max_objects=512)
+               if n_nets > 1 else None)
     timings["evaluation_s"] = round(time.time() - t0, 1)
     timings["total_s"] = round(time.time() - t_start, 1)
 
@@ -138,6 +139,15 @@ def main(n_library: int, out: str, grid=None, max_epochs: int = 40,
         "mean_log_prob": report["mean_log_prob"],
         "r2": [round(v, 3) for v in report["point"]["r2"]],
     }
+    if members is not None:
+        # seed-to-seed CIs across the vmapped members (VERDICT r4 item 3)
+        result["tarp_ci"] = {k: members["tarp_deviation"][k]
+                             for k in ("mean", "std", "ci95", "per_member")}
+        result["pit_ks_max_ci"] = {k: members["pit_ks_max"][k]
+                                   for k in ("mean", "std", "ci95")}
+        result["r2_members_mean"] = members["r2"]["mean"]
+        result["r2_members_std"] = members["r2"]["std"]
+        result["n_members"] = n_nets
     print(json.dumps(result, indent=2), flush=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=2)

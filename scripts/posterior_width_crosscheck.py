@@ -1,0 +1,240 @@
+"""NPE vs exact-likelihood posterior widths on held-out paper-63 objects.
+
+VERDICT r4 item 2: BASELINE.md asserts that the low peak_age/tau R^2 of the
+paper-63 NPE "reflects the physics, not a model deficiency" — i.e. the
+posteriors are honestly wide. Only this framework can check that claim
+directly: `mcmc.fit_catalogue_hmc` samples the EXACT likelihood through the
+differentiable simulator (the reference's forward model is autodiff-opaque
+C/OpenMP, sbi_runner.py:5148-5578 falls back to nested sampling).
+
+Protocol:
+  1. paper-63 config (realistic multi-axis grid, 63 survey curves, the
+     survey depth noise model of examples/paper63_e2e.py).
+  2. Train the production NSF-69x15 NPE on an n-SED library.
+  3. Draw held-out theta*, scatter x_obs once through the SAME depth noise.
+  4. NPE posterior: featurize x_obs via the replay pipeline, sample.
+  5. Exact posterior: HMC in the library's DRAW space (log10 peak_age —
+     matching the NPE's implicit prior measure) with the same Gaussian
+     depth likelihood; batched ensemble MCMC as an independent second
+     sampler on the same posterior.
+  6. Record per-object per-parameter posterior sigmas + ratios to
+     posterior_width_crosscheck.json.
+
+Run on the TPU: python scripts/posterior_width_crosscheck.py [--n 300000]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import synference_tpu as st
+from synference_tpu import units as U
+from synference_tpu.features import FeatureConfig
+from synference_tpu.train import TrainConfig
+
+# the library draw space (examples/paper63_e2e.py): NPE's implicit prior is
+# uniform over THESE coordinates (peak_age is drawn log-uniformly)
+PRIOR_RANGES = {
+    "log10_mass": (7.5, 11.0), "redshift": (0.1, 8.0),
+    "log10_peak_age": (7.6, 9.2), "tau": (0.1, 1.2),
+    "log10_metallicity": (-3.9, -1.6), "tau_v": (0.0, 2.0),
+}
+DRAW_NAMES = list(PRIOR_RANGES)
+
+
+class LogAgeSimulator:
+    """theta' with log10_peak_age -> the base simulator's raw peak_age.
+
+    HMC must sample in the library's draw space so its prior measure
+    matches the NPE's; this wrapper makes `fit_catalogue_hmc` (which calls
+    `.photometry` and flips `._mega_off`) see that space."""
+
+    def __init__(self, sim):
+        self._sim = sim
+
+    @property
+    def _mega_off(self):
+        return self._sim._mega_off
+
+    @_mega_off.setter
+    def _mega_off(self, v):
+        self._sim._mega_off = v
+
+    def photometry(self, theta):
+        raw = jnp.concatenate([
+            theta[:, :2],
+            10.0 ** theta[:, 2:3],
+            theta[:, 3:],
+        ], axis=1)
+        return self._sim.photometry(raw)
+
+
+def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
+         smoke=False):
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]
+                           / "examples"))
+    from paper63_e2e import _realistic_grid, _survey_depths
+
+    t0 = time.time()
+    from synference_tpu.instruments import load_instrument_filters
+
+    if smoke:  # tiny-config CPU validation of the protocol
+        jax.config.update("jax_platforms", "cpu")
+        grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=2048)
+        centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0,
+                   44400.0]
+        widths = [2000.0, 2600.0, 3300.0, 4600.0, 7000.0, 7800.0, 10200.0]
+        filters = st.FilterSet([
+            st.tophat_filter(f"F{i}", c, w)
+            for i, (c, w) in enumerate(zip(centers, widths))])
+    else:
+        grid = _realistic_grid()
+        filters = load_instrument_filters()
+    sim = st.BatchSEDSimulator(
+        grid=grid, filters=filters,
+        param_names=("log10_mass", "redshift", "peak_age", "tau",
+                     "log10_metallicity", "tau_v"),
+        sfh="lognormal", zdist="delta",
+        emission=st.EmissionConfig(reprocessed_types=("total",)),
+    )
+    gen = st.LibraryGenerator(sim, PRIOR_RANGES,
+                              unlog_keys=["log10_peak_age"])
+    lib = gen.generate(n=n_library, seed=seed)
+    print(f"[{time.time()-t0:.0f}s] library {n_library:,}", flush=True)
+
+    fitter = st.SBIFitter(
+        photometry=lib["photometry"].T, parameters=lib["parameters"].T,
+        parameter_names=lib["parameter_names"],
+        filter_codes=lib["filter_codes"],
+    )
+    depths = _survey_depths(fitter.filter_codes)
+    fitter.create_feature_array(FeatureConfig(
+        filter_codes=tuple(fitter.filter_codes), unit="asinh",
+        depths_ab=depths, n_scatters=1, include_errors=True,
+    ))
+    fitter.run_single_sbi(
+        model_type="nsf", hidden_features=69, num_transforms=15,
+        train_config=TrainConfig(max_epochs=epochs,
+                                 stop_after_epochs=stop_after,
+                                 batch_size=2048, learning_rate=7e-4),
+    )
+    print(f"[{time.time()-t0:.0f}s] NPE trained", flush=True)
+
+    # ---- held-out objects -----------------------------------------------
+    rng = np.random.default_rng(seed + 1000)
+    draw = np.column_stack([
+        rng.uniform(lo, hi, n_objects) for lo, hi in PRIOR_RANGES.values()
+    ]).astype(np.float32)
+    raw = draw.copy()
+    raw[:, 2] = 10.0 ** raw[:, 2]  # peak_age
+    x_true = np.asarray(jax.jit(sim.photometry)(jnp.asarray(raw)))
+    sigma = np.asarray(
+        U.ab_depth_to_sigma_njy(np.asarray(depths, np.float64), 5.0),
+        np.float32)
+    sigma = np.broadcast_to(sigma, x_true.shape).copy()
+    x_obs = (x_true
+             + sigma * rng.standard_normal(x_true.shape)).astype(np.float32)
+
+    # ---- NPE posterior ---------------------------------------------------
+    feats = fitter.features_from_observations(x_obs, sigma, "nJy")
+    npe_samp = np.asarray(fitter.posterior.sample_batch(
+        jax.random.PRNGKey(seed + 1), jnp.asarray(feats), 4000))
+    # raw theta -> draw space (log peak_age)
+    npe_draw = npe_samp.copy()
+    npe_draw[:, :, 2] = np.log10(np.maximum(npe_samp[:, :, 2], 1.0))
+    print(f"[{time.time()-t0:.0f}s] NPE sampled", flush=True)
+
+    # ---- exact-likelihood HMC in draw space ------------------------------
+    prior = st.BoxUniform([lo for lo, _ in PRIOR_RANGES.values()],
+                          [hi for _, hi in PRIOR_RANGES.values()])
+    wrapper = LogAgeSimulator(sim)
+    hmc_samp, hmc_lp, hmc_acc = st.fit_catalogue_hmc(
+        wrapper, x_obs, sigma, prior, key=jax.random.PRNGKey(seed + 2),
+        n_chains=16, n_warmup=300, n_samples=500, n_leapfrog=12)
+    hmc_samp = np.asarray(hmc_samp)
+    print(f"[{time.time()-t0:.0f}s] HMC acc={float(hmc_acc):.2f}",
+          flush=True)
+
+    # ---- second check: batched stretch-move MCMC on the same posterior ---
+    from synference_tpu.mcmc import run_batched_mcmc
+
+    n_f = x_obs.shape[1]
+
+    def loglike(theta, x_aug):
+        model = wrapper.photometry(theta)
+        xo, sg = x_aug[:, :n_f], x_aug[:, n_f:]
+        return -0.5 * jnp.sum(((model - xo) / sg) ** 2, axis=-1)
+
+    xs_aug = np.concatenate([x_obs, sigma], axis=1)
+    mc_steps = 1500 if smoke else 5000
+    mc_samp, mc_acc, mc_diag = run_batched_mcmc(
+        loglike, prior, xs_aug, key=jax.random.PRNGKey(seed + 3),
+        n_walkers=64, n_steps=mc_steps, burn_in=mc_steps // 2, thin=4,
+        return_diagnostics=True)
+    mc_samp = np.asarray(mc_samp)
+    print(f"[{time.time()-t0:.0f}s] MCMC acc={float(mc_acc):.2f} "
+          f"rhat_max={float(np.nanmax(np.asarray(mc_diag['rhat']))):.3f}",
+          flush=True)
+
+    # ---- widths ----------------------------------------------------------
+    def sig(s):  # robust sigma: half the 16-84 interval
+        q16, q84 = np.quantile(s, [0.16, 0.84], axis=1)
+        return 0.5 * (q84 - q16)
+
+    s_npe, s_hmc, s_mc = sig(npe_draw), sig(hmc_samp), sig(mc_samp)
+    ratio = s_npe / np.maximum(s_hmc, 1e-12)
+    result = {
+        "config": {"n_library": n_library, "n_objects": n_objects,
+                   "seed": seed, "filters": len(filters.codes),
+                   "parameter_names": DRAW_NAMES,
+                   "npe": "nsf 69x15, asinh features, depth noise"},
+        "hmc_acceptance": float(hmc_acc),
+        "mcmc_acceptance": float(mc_acc),
+        "mcmc_rhat_max": float(np.nanmax(np.asarray(mc_diag["rhat"]))),
+        "sigma_npe": s_npe.round(5).tolist(),
+        "sigma_hmc": s_hmc.round(5).tolist(),
+        "sigma_mcmc": s_mc.round(5).tolist(),
+        "ratio_npe_over_hmc": ratio.round(4).tolist(),
+        "ratio_median_per_param": dict(zip(
+            DRAW_NAMES, np.median(ratio, axis=0).round(4).tolist())),
+        "hmc_vs_mcmc_median_per_param": dict(zip(
+            DRAW_NAMES,
+            np.median(s_hmc / np.maximum(s_mc, 1e-12), axis=0)
+            .round(4).tolist())),
+        "prior_sigma_draw_space": [
+            round(0.68 * (hi - lo) / 2, 4)  # half 16-84 of a uniform
+            for lo, hi in PRIOR_RANGES.values()],
+        "total_s": round(time.time() - t0, 1),
+    }
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result["ratio_median_per_param"], indent=2),
+          flush=True)
+    print(f"saved {out} in {result['total_s']}s", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=300_000)
+    ap.add_argument("--objects", type=int, default=8)
+    ap.add_argument("--out", type=str, default="posterior_width_crosscheck.json")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU validation run")
+    args = ap.parse_args()
+    if args.smoke:
+        main(min(args.n, 20_000), min(args.objects, 2), args.out,
+             epochs=min(args.epochs, 8), stop_after=8, smoke=True)
+    else:
+        main(args.n, args.objects, args.out, epochs=args.epochs)

@@ -548,6 +548,24 @@ class SBIFitter:
             parameter_names=self.parameter_names,
         )
 
+    def evaluate_members(self, n_samples: int = 256, key=None,
+                         max_objects: int = 512):
+        """Per-member calibration with seed-to-seed error bars: every
+        vmapped ensemble member is an independent training seed, so the
+        member spread of TARP/PIT/R² is the run-to-run CI a single-seed
+        report hides. One jitted vmap over members
+        (`diagnostics.evaluate_members_fused`); requires n_nets > 1."""
+        from .diagnostics import evaluate_members_fused
+
+        if getattr(self, "train_result", None) is None \
+                or self.train_result.n_members < 2:
+            raise ValueError("evaluate_members needs an n_nets>1 ensemble")
+        idx = self._split["test"][:max_objects]
+        return evaluate_members_fused(
+            self.flow, self.train_result.params, self.prior,
+            self.features[idx], self.feature_params[idx], key=key,
+            n_samples=n_samples, parameter_names=self.parameter_names)
+
     # ------------------------------------------------------------------
     def save_state(self, path: str):
         """Persist flow spec + params + prior + feature flags (reference

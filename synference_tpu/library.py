@@ -429,7 +429,7 @@ class LibraryGenerator:
         pmapped_fn=None,
         resume_path: str | None = None,
         presort: bool = False,
-        zsorted_fused: bool = False,
+        zsorted_fused: bool | str = "auto",
         device_sampling: bool | None = None,
     ) -> dict:
         """Generate n mock SEDs; returns the library dict, optionally writes
@@ -448,6 +448,11 @@ class LibraryGenerator:
         I/O per chunk — the round-1 single-npz version rewrote every
         accumulated chunk after each new one, O(n²) total. Chunk files are
         deleted on success.
+
+        `zsorted_fused`: window-engine body choice — True/False force the
+        fused Pallas megakernel / staged XLA body; "auto" (default)
+        micro-probes both once per configuration and keeps the winner
+        (see `_choose_zsorted_fused`).
 
         `device_sampling`: draw θ, sort, window-plan and simulate entirely
         on device (`sample_parameters_device` +
@@ -589,16 +594,9 @@ class LibraryGenerator:
                 use_offset = False
         elif use_zsorted:
             sub_chunk, kc, w_cols = zs_plan
-            fuse = zsorted_fused and sim._window_mega_supported()
-            if zsorted_fused and not fuse:
-                import warnings
-
-                warnings.warn(
-                    "zsorted_fused=True requested but the windowed "
-                    "megakernel is unsupported for this simulator "
-                    "(see BatchSEDSimulator._window_mega_supported); "
-                    "falling back to the staged XLA window body",
-                    RuntimeWarning, stacklevel=2)
+            fuse = self._choose_zsorted_fused(
+                sim, zsorted_fused, sub_chunk, kc, w_cols,
+                theta_pad[:batch_size], n_pad // batch_size, device=False)
 
             def batch_fn(t, _i=None):
                 return {"photometry_njy": sim.photometry_zsorted(
@@ -775,6 +773,72 @@ class LibraryGenerator:
             )
         return result
 
+    @staticmethod
+    def _choose_zsorted_fused(sim, requested, sub, kc, w_cols, probe_theta,
+                              n_chunks, device):
+        """Resolve the z-sorted engine's fused-window flag.
+
+        requested True/False is honored (with a support check + warning).
+        "auto" (the default) runs a ONE-TIME micro-probe per
+        (sub, kc, w_cols, batch) configuration: time one warm
+        production-shaped chunk through the staged XLA window body and the
+        fused Pallas window body, keep the winner, cache the decision on
+        the simulator (the auto_batch_size pattern). Data-driven because no
+        static default is right: the fused body wins the 7-band configs
+        but loses paper-63 (BENCH_r04: 2.87M vs 3.67M — at 63 filters the
+        windowed conv matmuls are large enough that XLA's own tiling beats
+        the VMEM-resident megakernel, whose working set starts spilling).
+        Probing is skipped (staged body used) when the run is too short to
+        amortize the loser's compile (< 4 chunks) or the megakernel is
+        unsupported.
+        """
+        import jax
+
+        mega_ok = sim._window_mega_supported()
+        if requested != "auto":
+            fuse = bool(requested) and mega_ok
+            if requested and not mega_ok:
+                import warnings
+
+                warnings.warn(
+                    "zsorted_fused=True requested but the windowed "
+                    "megakernel is unsupported for this simulator "
+                    "(see BatchSEDSimulator._window_mega_supported); "
+                    "falling back to the staged XLA window body",
+                    RuntimeWarning, stacklevel=3)
+            return fuse
+        if not mega_ok:
+            return False
+        key = ("dev" if device else "host", int(sub), int(kc), int(w_cols),
+               int(probe_theta.shape[0]))
+        cache = getattr(sim, "_zsorted_fused_probe", None)
+        if cache is None:
+            cache = sim._zsorted_fused_probe = {}
+        if key in cache:
+            return cache[key]
+        if n_chunks < 4:
+            return False
+        import time as _time
+
+        call = (sim.photometry_zsorted_device if device
+                else sim.photometry_zsorted)
+        times = {}
+        for f_try in (False, True):
+            try:
+                r = call(probe_theta, sub_chunk=sub, kc=kc, w_cols=w_cols,
+                         fused=f_try)
+                jax.block_until_ready(r)  # compile + first dispatch
+                t0 = _time.time()
+                r = call(probe_theta, sub_chunk=sub, kc=kc, w_cols=w_cols,
+                         fused=f_try)
+                jax.block_until_ready(r)
+                times[f_try] = _time.time() - t0
+            except Exception:  # Mosaic VMEM/lowering failure -> never pick
+                times[f_try] = float("inf")
+        choice = bool(times[True] < times[False])
+        cache[key] = choice
+        return choice
+
     def _generate_device(self, n, batch_size, seed, out_path, resume_path,
                          zsorted_fused):
         """Device-resident photometry-only generation: θ drawn, z-sorted,
@@ -803,16 +867,9 @@ class LibraryGenerator:
         windowed = (kc < sim._n_knots
                     and w_cols < int(sim._wlam_sup.shape[0]))
         if windowed:
-            fuse = zsorted_fused and sim._window_mega_supported()
-            if zsorted_fused and not fuse:
-                import warnings
-
-                warnings.warn(
-                    "zsorted_fused=True requested but the windowed "
-                    "megakernel is unsupported for this simulator "
-                    "(see BatchSEDSimulator._window_mega_supported); "
-                    "falling back to the staged XLA window body",
-                    RuntimeWarning, stacklevel=2)
+            fuse = self._choose_zsorted_fused(
+                sim, zsorted_fused, sub, kc, w_cols, theta_dev[:bs],
+                n_pad // bs, device=True)
 
             def chunk_fn(t, i):
                 return sim.photometry_zsorted_device(

@@ -135,6 +135,106 @@ def _split_data(theta, x, cfg, key, groups=None):
     return (theta[train_idx], x[train_idx]), (theta[val_idx], x[val_idx])
 
 
+def _make_epoch_all_body(loss_fn, tx, n_nets, n_train, bs, steps_per_epoch):
+    """Build the one-epoch-for-all-members body used by both training
+    paths (host loop and whole-run while_loop).
+
+    Best-params selection happens on device: doing it host-side costs one
+    dispatch per parameter leaf per epoch, which dominates wall clock on
+    remote-attached TPUs. The dataset rides in as an ARGUMENT (broadcast
+    across the member vmap), never a closure: closed-over arrays become
+    HLO constants, and an 80 MB constant blob both bloats the axon
+    remote-compile request and slows XLA constant processing (the
+    north-star's 1e6-row epoch program compiled minutes slower that way).
+    """
+
+    def epoch_one_member(params, opt_state, perm_key, data):
+        """One member, one epoch: scan over shuffled minibatches."""
+        d_t_tr, d_x_tr, d_t_va, d_x_va = data
+        perm = jax.random.permutation(perm_key, n_train)
+        idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+
+        def step(carry, batch_idx):
+            p, s = carry
+            tb, xb = d_t_tr[batch_idx], d_x_tr[batch_idx]
+            l, g = jax.value_and_grad(loss_fn)(p, tb, xb)
+            updates, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), idx
+        )
+        val_loss = loss_fn(params, d_t_va, d_x_va)
+        return params, opt_state, losses.mean(), val_loss
+
+    def epoch_all_body(params, opt_state, key, best_params, best_val,
+                       since_best, data):
+        """One epoch for every member + device-side best-val tracking."""
+        keys = jax.random.split(key, n_nets)
+        params, opt_state, tr_loss, va_loss = jax.vmap(
+            epoch_one_member, in_axes=(0, 0, 0, None)
+        )(params, opt_state, keys, data)
+        improved = va_loss < best_val
+
+        def pick(new, old):
+            m = improved.reshape((n_nets,) + (1,) * (new.ndim - 1))
+            return jnp.where(m, new, old)
+
+        best_params = jax.tree_util.tree_map(pick, params, best_params)
+        best_val = jnp.where(improved, va_loss, best_val)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return (params, opt_state, tr_loss, va_loss, best_params, best_val,
+                since_best)
+
+    return epoch_all_body
+
+
+# Cache of compiled whole-run programs keyed by (flow id, loss id, statics):
+# HPO loops and seed sweeps call train_ensemble repeatedly on identical
+# shapes, and retracing the scan-in-while flow graph costs seconds per call.
+# Values hold strong refs to (fn, flow, loss) so ids stay valid while cached.
+_WHOLE_RUN_CACHE: dict = {}
+
+
+def _build_whole_run_fn(init_members, epoch_all_body, n_nets, max_e,
+                        patience):
+    """The ENTIRE training run as one device program: member init, then a
+    while_loop over epochs with on-device early stopping and best-params
+    tracking. Loss history is written into fixed (max_epochs, n_nets)
+    buffers (NaN beyond the stopping epoch); ONE dispatch and one readback
+    for the whole run."""
+
+    @jax.jit
+    def whole_run_fn(m_keys, key, data, member_lrs):
+        params, opt_state = init_members(m_keys, data[0], data[1],
+                                         member_lrs)
+        tr_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
+        va_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
+        init = (jnp.int32(0), params, opt_state, key, params,
+                jnp.full((n_nets,), jnp.inf, jnp.float32),
+                jnp.zeros((n_nets,), jnp.int32), tr_hist, va_hist)
+
+        def cond(carry):
+            e, _p, _s, _k, _bp, _bv, sb, _t, _v = carry
+            return (e < max_e) & jnp.logical_not(jnp.all(sb >= patience))
+
+        def body(carry):
+            e, p, s, k, bp, bv, sb, trh, vah = carry
+            k, ke = jax.random.split(k)
+            p, s, tr, va, bp, bv, sb = epoch_all_body(
+                p, s, ke, bp, bv, sb, data)
+            trh = jax.lax.dynamic_update_index_in_dim(trh, tr, e, 0)
+            vah = jax.lax.dynamic_update_index_in_dim(vah, va, e, 0)
+            return (e + 1, p, s, k, bp, bv, sb, trh, vah)
+
+        e, _p, _s, _k, bp, bv, _sb, trh, vah = jax.lax.while_loop(
+            cond, body, init)
+        return e, bp, bv, trh, vah
+
+    return whole_run_fn
+
+
 def train_npe(
     flow: ConditionalFlow,
     theta,
@@ -220,68 +320,29 @@ def train_ensemble(
     else:
         lrs = None
 
-    def init_members(m_keys, d_t_tr, d_x_tr):
+    def init_members(m_keys, d_t_tr, d_x_tr, member_lrs):
         """Stacked member params + optimizer state. Called inside a jitted
         program: eager (op-by-op) init of an NSF-69x15 dispatches hundreds
         of tiny ops through the tunnel at ~3 ms each — seconds of pure
-        launch latency per train call."""
+        launch latency per train call. `member_lrs` is a traced ARGUMENT
+        (not a closure) so the cached whole-run program stays correct
+        across lr-sweep calls; ignored unless member_learning_rates was
+        given."""
         p = jax.vmap(lambda k: flow.init(k, d_t_tr, d_x_tr))(m_keys)
         s = jax.vmap(tx.init)(p)
         if traced_lr:
-            s = _set_member_lrs(s, cfg, lrs)
+            s = _set_member_lrs(s, cfg, member_lrs)
         return p, s
 
+    lrs_arg = lrs if traced_lr else jnp.zeros((n_nets,), jnp.float32)
+
+    user_loss = loss_fn
     if loss_fn is None:
         def loss_fn(p, tb, xb):
             return -flow.log_prob(p, tb, xb).mean()
 
-    def epoch_one_member(params, opt_state, perm_key, data):
-        """One member, one epoch: scan over shuffled minibatches."""
-        d_t_tr, d_x_tr, d_t_va, d_x_va = data
-        perm = jax.random.permutation(perm_key, n_train)
-        idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
-
-        def step(carry, batch_idx):
-            p, s = carry
-            tb, xb = d_t_tr[batch_idx], d_x_tr[batch_idx]
-            l, g = jax.value_and_grad(loss_fn)(p, tb, xb)
-            updates, s = tx.update(g, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), l
-
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), idx
-        )
-        val_loss = loss_fn(params, d_t_va, d_x_va)
-        return params, opt_state, losses.mean(), val_loss
-
-    def epoch_all_body(params, opt_state, key, best_params, best_val,
-                       since_best, data):
-        """One epoch for every member + device-side best-val tracking.
-
-        Best-params selection happens on device: doing it host-side costs
-        one dispatch per parameter leaf per epoch, which dominates wall
-        clock on remote-attached TPUs. The dataset rides in as an ARGUMENT
-        (broadcast across the member vmap), never a closure: closed-over
-        arrays become HLO constants, and an 80 MB constant blob both bloats
-        the axon remote-compile request and slows XLA constant processing
-        (the north-star's 1e6-row epoch program compiled minutes slower
-        that way)."""
-        keys = jax.random.split(key, n_nets)
-        params, opt_state, tr_loss, va_loss = jax.vmap(
-            epoch_one_member, in_axes=(0, 0, 0, None)
-        )(params, opt_state, keys, data)
-        improved = va_loss < best_val
-
-        def pick(new, old):
-            m = improved.reshape((n_nets,) + (1,) * (new.ndim - 1))
-            return jnp.where(m, new, old)
-
-        best_params = jax.tree_util.tree_map(pick, params, best_params)
-        best_val = jnp.where(improved, va_loss, best_val)
-        since_best = jnp.where(improved, 0, since_best + 1)
-        return (params, opt_state, tr_loss, va_loss, best_params, best_val,
-                since_best)
+    epoch_all_body = _make_epoch_all_body(
+        loss_fn, tx, n_nets, n_train, bs, steps_per_epoch)
 
     # ---- whole-run single-dispatch path (device-resident early stop) -----
     use_whole_run = cfg.whole_run if cfg.whole_run is not None else True
@@ -290,41 +351,32 @@ def train_ensemble(
     if use_whole_run:
         max_e = int(cfg.max_epochs)
         patience = int(cfg.stop_after_epochs)
-
-        @jax.jit
-        def whole_run_fn(m_keys, key, data):
-            """The ENTIRE training run as one device program: member init,
-            a while_loop over epochs with on-device early stopping and
-            best-params tracking. Loss history is written into fixed
-            (max_epochs, n_nets) buffers (NaN beyond the stopping epoch);
-            ONE dispatch and one readback for the whole run."""
-            params, opt_state = init_members(m_keys, data[0], data[1])
-            tr_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
-            va_hist = jnp.full((max_e, n_nets), jnp.nan, jnp.float32)
-            init = (jnp.int32(0), params, opt_state, key, params,
-                    jnp.full((n_nets,), jnp.inf, jnp.float32),
-                    jnp.zeros((n_nets,), jnp.int32), tr_hist, va_hist)
-
-            def cond(carry):
-                e, _p, _s, _k, _bp, _bv, sb, _t, _v = carry
-                return (e < max_e) & jnp.logical_not(
-                    jnp.all(sb >= patience))
-
-            def body(carry):
-                e, p, s, k, bp, bv, sb, trh, vah = carry
-                k, ke = jax.random.split(k)
-                p, s, tr, va, bp, bv, sb = epoch_all_body(
-                    p, s, ke, bp, bv, sb, data)
-                trh = jax.lax.dynamic_update_index_in_dim(trh, tr, e, 0)
-                vah = jax.lax.dynamic_update_index_in_dim(vah, va, e, 0)
-                return (e + 1, p, s, k, bp, bv, sb, trh, vah)
-
-            e, _p, _s, _k, bp, bv, _sb, trh, vah = jax.lax.while_loop(
-                cond, body, init)
-            return e, bp, bv, trh, vah
+        # the compiled whole-run program is cached across train_ensemble
+        # calls (HPO loops/sweeps call this repeatedly): retracing the
+        # scan-in-while NSF graph costs seconds per call otherwise. Keyed
+        # by the flow/loss identities (strong refs held, so ids stay valid
+        # while cached) + every static baked into the closure.
+        cache_key = (
+            id(flow), None if user_loss is None else id(user_loss),
+            n_nets, max_e, patience, bs, n_train, steps_per_epoch,
+            t_tr.shape, x_tr.shape, traced_lr,
+            float(cfg.learning_rate), float(cfg.weight_decay),
+            float(cfg.clip_max_norm or 0.0),
+        )
+        cached = _WHOLE_RUN_CACHE.get(cache_key)
+        if cached is None:
+            whole_run_fn = _build_whole_run_fn(
+                init_members, epoch_all_body, n_nets, max_e, patience)
+            if len(_WHOLE_RUN_CACHE) >= 8:
+                _WHOLE_RUN_CACHE.pop(next(iter(_WHOLE_RUN_CACHE)))
+            # hold refs to flow/loss so their ids cannot be reused while
+            # this entry is alive
+            _WHOLE_RUN_CACHE[cache_key] = (whole_run_fn, flow, user_loss)
+        else:
+            whole_run_fn = cached[0]
 
         n_run, best_params, best_val, trh, vah = whole_run_fn(
-            member_keys, k_loop, (t_tr, x_tr, t_va, x_va))
+            member_keys, k_loop, (t_tr, x_tr, t_va, x_va), lrs_arg)
         n_run = int(n_run)
         tr_arr = np.asarray(trh)[:n_run]
         val_arr = np.asarray(vah)[:n_run]
@@ -346,7 +398,8 @@ def train_ensemble(
             },
         )
 
-    params, opt_state = jax.jit(init_members)(member_keys, t_tr, x_tr)
+    params, opt_state = jax.jit(init_members)(member_keys, t_tr, x_tr,
+                                              lrs_arg)
 
     k_dispatch = max(int(cfg.epochs_per_dispatch), 1)
 

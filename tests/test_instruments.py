@@ -147,3 +147,79 @@ class TestSynthesizedMorphologyError:
         # smooth SEDs. If this creeps up, the synthesized morphology has
         # drifted from band reality.
         assert np.median(rel) < 0.05, np.median(rel)
+
+
+class TestRealDigitizedCurves:
+    """Measured (hand-digitized) transmission tables for three survey
+    bands — tests/data/filters/, see its README for provenance — give the
+    REAL synthesized-morphology photometry error, not a synthetic
+    stand-in (VERDICT r4 missing #1 / next #4; reference consumes SVO
+    downloads, grab_filters_for_node.py)."""
+
+    CODES = {
+        "JWST_NIRCam.F200W.dat": ("JWST/NIRCam.F200W", 19886.0),
+        "Paranal_VISTA.Ks.dat": ("Paranal/VISTA.Ks", 21521.0),
+        "Subaru_HSC.r.dat": ("Subaru/HSC.r", 6200.0),
+    }
+
+    @staticmethod
+    def _fixture_dir():
+        import os
+
+        return os.path.join(os.path.dirname(__file__), "data", "filters")
+
+    def test_pivots_match_published(self):
+        import os
+
+        d = self._fixture_dir()
+        for fname, (code, pivot_pub) in self.CODES.items():
+            fs = load_filters_svo_ascii([os.path.join(d, fname)],
+                                        codes=[code])
+            # digitization sanity: pivot within 1% of the published value
+            assert abs(fs[0].pivot - pivot_pub) / pivot_pub < 0.01, (
+                code, fs[0].pivot)
+
+    def test_synthesized_morphology_error_vs_real_curves(self):
+        """The recorded claim: synthesized-morphology band fluxes agree
+        with measured-curve band fluxes to a few percent median across a
+        realistic θ sweep — the error bound quoted in BASELINE.md for the
+        63-filter paper config."""
+        import os
+
+        import jax
+
+        import synference_tpu as st
+
+        d = self._fixture_dir()
+        codes = [c for _, (c, _) in self.CODES.items()]
+        files = [os.path.join(d, f) for f in self.CODES]
+        measured = load_filters_svo_ascii(files, codes=codes)
+        synth = st.FilterSet([realistic_filter(c) for c in codes])
+
+        grid = st.make_synthetic_grid(n_ages=16, n_mets=4, n_wav=4096,
+                                      lam_min=300.0)
+        rng = np.random.default_rng(1)
+        n = 128
+        theta = np.column_stack([
+            rng.uniform(8, 10.5, n), rng.uniform(0.05, 4.0, n),
+            rng.uniform(1e8, 8e8, n), rng.uniform(0.2, 1.0, n),
+            rng.uniform(-3.5, -1.8, n), rng.uniform(0.0, 1.5, n),
+        ]).astype(np.float32)
+        pn = ("log10_mass", "redshift", "peak_age", "tau",
+              "log10_metallicity", "tau_v")
+        kw = dict(param_names=pn, sfh="lognormal", zdist="delta",
+                  emission=st.EmissionConfig(igm="inoue14"))
+        p_m = np.asarray(jax.jit(st.BatchSEDSimulator(
+            grid, measured, **kw).photometry)(theta))
+        p_s = np.asarray(jax.jit(st.BatchSEDSimulator(
+            grid, synth, **kw).photometry)(theta))
+        # only bands carrying real flux (IGM can darken HSC.r at z~4)
+        sig = p_m > 1e-3 * p_m.max(axis=1, keepdims=True)
+        rel = np.abs(p_s - p_m)[sig] / p_m[sig]
+        med, p99 = np.median(rel), np.quantile(rel, 0.99)
+        print(f"synthesized-vs-measured band flux error: median "
+              f"{med:.4f}, p99 {p99:.4f}", flush=True)
+        # measured bound for BASELINE.md; generous assert so digitization
+        # noise does not flake the suite
+        assert med < 0.05, med
+        assert p99 < 0.15, p99

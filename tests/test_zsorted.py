@@ -77,6 +77,72 @@ class TestZSortedEngine:
         assert p_zs.shape == p_ref.shape
         _assert_parity(p_zs, p_ref)
 
+
+class TestEngineAutoProbe:
+    """Data-driven fused-window selection (VERDICT r4 item 8): the
+    "auto" default micro-probes both window bodies once per config and
+    caches the winner on the simulator."""
+
+    class FakeSim:
+        def __init__(self, mega=True, fused_dt=0.0, staged_dt=0.02,
+                     fail_fused=False):
+            self.mega = mega
+            self.dt = {True: fused_dt, False: staged_dt}
+            self.fail_fused = fail_fused
+            self.calls = []
+
+        def _window_mega_supported(self):
+            return self.mega
+
+        def photometry_zsorted_device(self, t, sub_chunk, kc, w_cols,
+                                      fused=False):
+            import time
+
+            if fused and self.fail_fused:
+                raise RuntimeError("Mosaic lowering failed")
+            self.calls.append(fused)
+            time.sleep(self.dt[fused])
+            return np.zeros((len(t), 2), np.float32)
+
+    @staticmethod
+    def _choose(sim, requested="auto", n_chunks=8):
+        theta = np.zeros((64, 6), np.float32)
+        return LibraryGenerator._choose_zsorted_fused(
+            sim, requested, 32, 10, 100, theta, n_chunks, device=True)
+
+    def test_probe_picks_faster_and_caches(self):
+        sim = self.FakeSim(fused_dt=0.0, staged_dt=0.05)
+        assert self._choose(sim) is True
+        n_probe_calls = len(sim.calls)
+        assert n_probe_calls == 4  # warmup + timed, per variant
+        # cached: second resolution makes no further probe calls
+        assert self._choose(sim) is True
+        assert len(sim.calls) == n_probe_calls
+
+        slow_fused = self.FakeSim(fused_dt=0.05, staged_dt=0.0)
+        assert self._choose(slow_fused) is False
+
+    def test_explicit_flags_skip_probe(self):
+        sim = self.FakeSim()
+        assert self._choose(sim, requested=True) is True
+        assert self._choose(sim, requested=False) is False
+        assert sim.calls == []  # no probing
+
+    def test_short_runs_and_unsupported_skip_probe(self):
+        sim = self.FakeSim()
+        assert self._choose(sim, n_chunks=2) is False
+        assert sim.calls == []
+        no_mega = self.FakeSim(mega=False)
+        assert self._choose(no_mega) is False
+        assert no_mega.calls == []
+        # explicit True on unsupported sim warns and degrades
+        with pytest.warns(RuntimeWarning, match="megakernel"):
+            assert self._choose(no_mega, requested=True) is False
+
+    def test_failing_fused_never_picked(self):
+        sim = self.FakeSim(fail_fused=True, staged_dt=0.05)
+        assert self._choose(sim) is False
+
     def test_fixed_redshift(self, grid, filters):
         sim = BatchSEDSimulator(
             grid, filters, tuple(p for p in PNAMES if p != "redshift"),
