@@ -549,10 +549,20 @@ def _knot_interp(vals, s, n_knots: int, delta: int, order: int):
         # perfectly conditioned at any magnitude.
         same = ((da > 0.0) & (db > 0.0)) | ((da < 0.0) & (db < 0.0))
         m = jnp.abs(da) + jnp.abs(db)
-        m_s = jnp.where(same, m, 1.0)
-        na = jnp.where(same, da / m_s, 0.5)
-        nb = jnp.where(same, db / m_s, 0.5)
-        return jnp.where(same, m_s * (2.0 * na * nb) / (na + nb), 0.0)
+        # FORWARD-mode trap (round-5 verify drive): the JVP rule for
+        # div(x, y) forms (-g·x)·y⁻²; at knot-value scales y = m ~ 1e30
+        # that is inf·0 = NaN even though the true tangent is O(g). The
+        # normalized slopes are homogeneous of degree 0 in (da, db), so
+        # rescaling both by a STOP-GRADIENT 1/m changes nothing — primal
+        # or derivative, either AD mode — while keeping every division
+        # operand O(1).
+        sc = jax.lax.stop_gradient(1.0 / jnp.maximum(m, 1.0e-30))
+        das, dbs = da * sc, db * sc
+        ms = jnp.abs(das) + jnp.abs(dbs)  # carries tangents, O(1)
+        ms_s = jnp.where(same, ms, 1.0)
+        na = jnp.where(same, das / ms_s, 0.5)
+        nb = jnp.where(same, dbs / ms_s, 0.5)
+        return jnp.where(same, m * (2.0 * na * nb) / (na + nb), 0.0)
 
     m0, m1 = slope(d0, d1), slope(d1, d2)
     t2 = t * t
