@@ -133,16 +133,21 @@ def make_whole(n_epochs, variant):
     return run
 
 
+def force(r):
+    """Host-materialize: jax.block_until_ready returns immediately on
+    axon-tunnel buffers (measured — a 240-epoch run 'completed' in 10 ms),
+    so timings must round-trip a value to the host."""
+    return float(np.asarray(r[1]))
+
+
 data = (t_tr, x_tr, t_va, x_va)
 for variant in ("full", "noval", "nobest", "scan4", "bare"):
     ts = {}
     for e in (40, 240):
         fn = make_whole(e, variant)
-        r = fn(params0, opt0, jax.random.PRNGKey(1), data)
-        jax.block_until_ready(r)
+        force(fn(params0, opt0, jax.random.PRNGKey(1), data))
         t0 = time.time()
-        r = fn(params0, opt0, jax.random.PRNGKey(2), data)
-        jax.block_until_ready(r)
+        force(fn(params0, opt0, jax.random.PRNGKey(2), data))
         ts[e] = time.time() - t0
     marg = (ts[240] - ts[40]) / 200 * 1000
     print(f"{variant}: warm40 {ts[40]:.2f}s warm240 {ts[240]:.2f}s "

@@ -172,9 +172,23 @@ def _make_epoch_all_body(loss_fn, tx, n_nets, n_train, bs, steps_per_epoch):
                        since_best, data):
         """One epoch for every member + device-side best-val tracking."""
         keys = jax.random.split(key, n_nets)
-        params, opt_state, tr_loss, va_loss = jax.vmap(
-            epoch_one_member, in_axes=(0, 0, 0, None)
-        )(params, opt_state, keys, data)
+        if n_nets == 1:
+            # skip the member vmap: a unit-batched program costs a real
+            # +9.4 ms/epoch on v5e (measured, scripts/whole_run_gap_ab.py
+            # — batched gathers/permutation lower differently), i.e. 1.4x
+            # on the single-flow marginal rate. Leading-axis squeezes are
+            # metadata-only.
+            squeeze = jax.tree_util.tree_map
+            p1, s1, tr, va = epoch_one_member(
+                squeeze(lambda a: a[0], params),
+                squeeze(lambda a: a[0], opt_state), keys[0], data)
+            params = squeeze(lambda a: a[None], p1)
+            opt_state = squeeze(lambda a: a[None], s1)
+            tr_loss, va_loss = tr[None], va[None]
+        else:
+            params, opt_state, tr_loss, va_loss = jax.vmap(
+                epoch_one_member, in_axes=(0, 0, 0, None)
+            )(params, opt_state, keys, data)
         improved = va_loss < best_val
 
         def pick(new, old):
@@ -190,11 +204,38 @@ def _make_epoch_all_body(loss_fn, tx, n_nets, n_train, bs, steps_per_epoch):
     return epoch_all_body
 
 
-# Cache of compiled whole-run programs keyed by (flow id, loss id, statics):
-# HPO loops and seed sweeps call train_ensemble repeatedly on identical
-# shapes, and retracing the scan-in-while flow graph costs seconds per call.
+# Cache of compiled whole-run programs keyed by (flow spec, loss id,
+# statics): HPO loops and seed sweeps call train_ensemble repeatedly on
+# identical shapes, and retracing the scan-in-while flow graph costs seconds
+# per call. Keying by the flow's canonicalized `spec()` (not object id) lets
+# trials that rebuild an identical architecture share one traced program —
+# `from_spec` round-trips prove the spec fully determines the computation.
 # Values hold strong refs to (fn, flow, loss) so ids stay valid while cached.
 _WHOLE_RUN_CACHE: dict = {}
+
+
+def _canon_spec(v):
+    """Hashable, full-precision canonical form of a flow spec value (plain
+    repr truncates arrays and rounds floats — collisions would silently
+    reuse a program compiled for different support bounds)."""
+    if isinstance(v, (np.ndarray, jnp.ndarray)):
+        return ("arr", tuple(v.shape),
+                tuple(np.asarray(v, np.float64).ravel().tolist()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_spec(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_spec(x)) for k, x in v.items()))
+    return v
+
+
+def _flow_cache_key(flow):
+    spec = getattr(flow, "spec", None)
+    if spec is None:
+        return id(flow)
+    try:
+        return _canon_spec(spec())
+    except TypeError:  # unhashable/unknown content: fall back to identity
+        return id(flow)
 
 
 def _build_whole_run_fn(init_members, epoch_all_body, n_nets, max_e,
@@ -309,14 +350,22 @@ def train_ensemble(
     steps_per_epoch = max(n_train // bs, 1)
 
     member_keys = jax.random.split(k_init, n_nets)
-    traced_lr = member_learning_rates is not None
+    # whole-run decided up front: that path ALWAYS injects the lr into the
+    # optimizer state (a traced argument), so lr-only HPO trials reuse one
+    # compiled+traced program instead of retracing per learning rate
+    use_whole_run = cfg.whole_run if cfg.whole_run is not None else True
+    use_whole_run = (use_whole_run and epoch_callback is None
+                     and not cfg.live_plot and cfg.checkpoint_path is None)
+    traced_lr = (member_learning_rates is not None) or use_whole_run
     tx = _make_optimizer(cfg, traced_lr=traced_lr)
-    if traced_lr:
+    if member_learning_rates is not None:
         lrs = jnp.asarray(member_learning_rates, jnp.float32)
         if lrs.shape != (n_nets,):
             raise ValueError(
                 f"member_learning_rates must have shape ({n_nets},), "
                 f"got {lrs.shape}")
+    elif traced_lr:
+        lrs = jnp.full((n_nets,), cfg.learning_rate, jnp.float32)
     else:
         lrs = None
 
@@ -345,9 +394,6 @@ def train_ensemble(
         loss_fn, tx, n_nets, n_train, bs, steps_per_epoch)
 
     # ---- whole-run single-dispatch path (device-resident early stop) -----
-    use_whole_run = cfg.whole_run if cfg.whole_run is not None else True
-    use_whole_run = (use_whole_run and epoch_callback is None
-                     and not cfg.live_plot and cfg.checkpoint_path is None)
     if use_whole_run:
         max_e = int(cfg.max_epochs)
         patience = int(cfg.stop_after_epochs)
@@ -357,11 +403,13 @@ def train_ensemble(
         # by the flow/loss identities (strong refs held, so ids stay valid
         # while cached) + every static baked into the closure.
         cache_key = (
-            id(flow), None if user_loss is None else id(user_loss),
+            _flow_cache_key(flow),
+            None if user_loss is None else id(user_loss),
             n_nets, max_e, patience, bs, n_train, steps_per_epoch,
             t_tr.shape, x_tr.shape, traced_lr,
-            float(cfg.learning_rate), float(cfg.weight_decay),
-            float(cfg.clip_max_norm or 0.0),
+            # learning_rate intentionally NOT in the key: it rides in the
+            # optimizer state as a traced argument on this path
+            float(cfg.weight_decay), float(cfg.clip_max_norm or 0.0),
         )
         cached = _WHOLE_RUN_CACHE.get(cache_key)
         if cached is None:
