@@ -23,6 +23,10 @@ import synference_tpu as st
 from synference_tpu.features import FeatureConfig
 from synference_tpu.train import TrainConfig
 
+# CI runs this at small n (docs/agn.md is the prose walk-through)
+N_LIBRARY = int(os.environ.get("SYNFERENCE_AGN_N", 20_000))
+MAX_EPOCHS = int(os.environ.get("SYNFERENCE_AGN_EPOCHS", 60))
+
 # -- 1. forward model: Cloudy-layout AGN grid --------------------------------
 grid = st.make_synthetic_agn_grid(n_u=6, n_nh=4, n_wav=2048)
 centers = [9000.0, 11500.0, 15000.0, 20000.0, 27700.0, 35600.0, 44400.0]
@@ -41,7 +45,7 @@ gen = st.LibraryGenerator(sim, {
     "covering_fraction_blr": (0.02, 0.3), "covering_fraction_nlr": (0.05, 0.5),
     "tau_v": (0.0, 1.5),
 })
-gen.generate(n=20_000, out_path="agn_library.h5", batch_size=4096)
+gen.generate(n=N_LIBRARY, out_path="agn_library.h5", batch_size=4096)
 print("library written: agn_library.h5")
 
 # -- 3. features + training ---------------------------------------------------
@@ -53,7 +57,7 @@ fitter.create_feature_array(FeatureConfig(
 ))
 res = fitter.run_single_sbi(
     model_type="nsf", hidden_features=50, num_transforms=8,
-    train_config=TrainConfig(max_epochs=60, stop_after_epochs=12,
+    train_config=TrainConfig(max_epochs=MAX_EPOCHS, stop_after_epochs=12,
                              batch_size=512, learning_rate=5e-4),
 )
 print(f"trained: best val loss {float(np.min(res.val_losses)):.3f}")
