@@ -16,9 +16,15 @@ Protocol:
   5. Exact posterior: HMC in the library's DRAW space (log10 peak_age —
      matching the NPE's implicit prior measure) with the same Gaussian
      depth likelihood; batched ensemble MCMC as an independent second
-     sampler on the same posterior.
-  6. Record per-object per-parameter posterior sigmas + ratios to
-     posterior_width_crosscheck.json.
+     sampler on the same posterior. Both samplers are SEEDED from NPE
+     posterior draws ("NPE proposes, exact likelihood refines"): a 63-band
+     survey-depth likelihood concentrates the posterior to ~1e-6 of the
+     prior box, so prior-initialized chains cannot localize within any
+     reasonable budget (measured: prior-init HMC gave sigma_z ~ 2 — chains
+     still wandering — and prior-init stretch-move acceptance 0.07 with
+     R-hat 660).
+  6. Record per-object per-parameter posterior sigmas + ratios + split-R̂
+     to posterior_width_crosscheck.json.
 
 Run on the TPU: python scripts/posterior_width_crosscheck.py [--n 300000]
 """
@@ -155,16 +161,29 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
     npe_draw[:, :, 2] = np.log10(np.maximum(npe_samp[:, :, 2], 1.0))
     print(f"[{time.time()-t0:.0f}s] NPE sampled", flush=True)
 
-    # ---- exact-likelihood HMC in draw space ------------------------------
+    # ---- exact-likelihood HMC in draw space (NPE-seeded chains) ---------
     prior = st.BoxUniform([lo for lo, _ in PRIOR_RANGES.values()],
                           [hi for _, hi in PRIOR_RANGES.values()])
     wrapper = LogAgeSimulator(sim)
+    n_chains, n_hmc = 16, 500
+    rng2 = np.random.default_rng(seed + 7)
+    hmc_init = np.stack([
+        d[rng2.choice(d.shape[0], n_chains, replace=False)]
+        for d in npe_draw])  # (M, C, P)
     hmc_samp, hmc_lp, hmc_acc = st.fit_catalogue_hmc(
         wrapper, x_obs, sigma, prior, key=jax.random.PRNGKey(seed + 2),
-        n_chains=16, n_warmup=300, n_samples=500, n_leapfrog=12)
+        n_chains=n_chains, n_warmup=400, n_samples=n_hmc, n_leapfrog=12,
+        init_theta=hmc_init)
     hmc_samp = np.asarray(hmc_samp)
-    print(f"[{time.time()-t0:.0f}s] HMC acc={float(hmc_acc):.2f}",
-          flush=True)
+    # per-chain split-R-hat/ESS: samples are (M, C*S, P) chain-contiguous
+    from synference_tpu.mcmc import split_rhat_ess
+
+    chains = hmc_samp.reshape(n_objects, n_chains, n_hmc, -1)
+    hmc_rhat, hmc_ess = split_rhat_ess(
+        jnp.asarray(np.moveaxis(chains, 2, 0)))
+    hmc_rhat = np.asarray(hmc_rhat)
+    print(f"[{time.time()-t0:.0f}s] HMC acc={float(hmc_acc):.2f} "
+          f"rhat_max={float(np.nanmax(hmc_rhat)):.3f}", flush=True)
 
     # ---- second check: batched stretch-move MCMC on the same posterior ---
     from synference_tpu.mcmc import run_batched_mcmc
@@ -178,10 +197,14 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
 
     xs_aug = np.concatenate([x_obs, sigma], axis=1)
     mc_steps = 1500 if smoke else 5000
+    n_walkers = 64
+    mc_init = np.stack([
+        d[rng2.choice(d.shape[0], n_walkers, replace=False)]
+        for d in npe_draw])  # (M, W, P)
     mc_samp, mc_acc, mc_diag = run_batched_mcmc(
         loglike, prior, xs_aug, key=jax.random.PRNGKey(seed + 3),
-        n_walkers=64, n_steps=mc_steps, burn_in=mc_steps // 2, thin=4,
-        return_diagnostics=True)
+        n_walkers=n_walkers, n_steps=mc_steps, burn_in=mc_steps // 2,
+        thin=4, return_diagnostics=True, init_theta=mc_init)
     mc_samp = np.asarray(mc_samp)
     print(f"[{time.time()-t0:.0f}s] MCMC acc={float(mc_acc):.2f} "
           f"rhat_max={float(np.nanmax(np.asarray(mc_diag['rhat']))):.3f}",
@@ -198,8 +221,11 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
         "config": {"n_library": n_library, "n_objects": n_objects,
                    "seed": seed, "filters": len(filters.codes),
                    "parameter_names": DRAW_NAMES,
-                   "npe": "nsf 69x15, asinh features, depth noise"},
+                   "npe": "nsf 69x15, asinh features, depth noise",
+                   "sampler_init": "npe-seeded chains/walkers"},
         "hmc_acceptance": float(hmc_acc),
+        "hmc_rhat_max": float(np.nanmax(hmc_rhat)),
+        "hmc_rhat_median": float(np.nanmedian(hmc_rhat)),
         "mcmc_acceptance": float(mc_acc),
         "mcmc_rhat_max": float(np.nanmax(np.asarray(mc_diag["rhat"]))),
         "sigma_npe": s_npe.round(5).tolist(),

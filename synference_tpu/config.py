@@ -113,8 +113,16 @@ def run_from_config(config, fitter=None):
             n_warmup_steps=int(pruner_cfg.get("n_warmup_steps", 3)),
         ) if str(pruner_cfg.get("type", "Median")).lower() == "median" \
             else None
+        # optional explicit search space (the reference's custom_loop.yaml
+        # declares parameter ranges in the config): YAML lists become the
+        # ("int", lo, hi) / ("categorical", [..]) tuples SearchSpace takes
+        space = opt.get("search_space")
+        if space is not None:
+            space = {k: tuple(v) if isinstance(v, (list, tuple)) else v
+                     for k, v in dict(space).items()}
         study, best = optimize_sbi(
             fitter, model_type=model,
+            search_space=space,
             n_trials=int(opt.get("n_trials", 20)),
             max_epochs=max_epochs,
             storage=(dict(opt.get("study", {})).get("storage") or None),

@@ -210,6 +210,7 @@ def run_batched_mcmc(
     thin: int = 2,
     stretch_a: float = 2.0,
     return_diagnostics: bool = False,
+    init_theta=None,
 ):
     """Stretch-move MCMC for M conditions AT ONCE: the NLE/NRE posterior
     sampler (the reference samples each object's MCMC posterior serially
@@ -224,6 +225,12 @@ def run_batched_mcmc(
         return_diagnostics: also return per-object convergence diagnostics
             `{"rhat": (M, P), "ess": (M, P)}` from `split_rhat_ess` on the
             kept walker chains.
+        init_theta: optional (M, n_walkers, P) walker initialization
+            (clipped just inside the prior box). Seeding walkers from an
+            amortized posterior's draws ("NPE proposes, exact likelihood
+            refines") localizes the ensemble in peaked/multimodal
+            posteriors that prior-initialized walkers cannot find within
+            the run budget.
     Returns:
         samples (M, n_kept, P), acceptance fraction (scalar)
         [, diagnostics dict].
@@ -244,7 +251,17 @@ def run_batched_mcmc(
         return jnp.where(jnp.isfinite(lp), ll + lp, -jnp.inf)
 
     k_init, k_run = jax.random.split(key)
-    walkers = prior.sample(k_init, m * n_walkers).reshape(m, n_walkers, dim)
+    if init_theta is None:
+        walkers = prior.sample(k_init, m * n_walkers
+                               ).reshape(m, n_walkers, dim)
+    else:
+        walkers = jnp.asarray(init_theta, jnp.float32)
+        if walkers.shape != (m, n_walkers, dim):
+            raise ValueError(
+                f"init_theta must be ({m}, {n_walkers}, {dim}), "
+                f"got {walkers.shape}")
+        pad = 1.0e-4 * (prior.high - prior.low)
+        walkers = jnp.clip(walkers, prior.low + pad, prior.high - pad)
     lp = jax.vmap(full_lp)(walkers, xs)  # (M, W)
 
     def half_step(walkers, lp, k, first_half):
@@ -537,6 +554,7 @@ def fit_observation_hmc(
     n_leapfrog: int = 12,
     target_accept: float = 0.8,
     upper_limits=None,
+    init_theta=None,
 ):
     """Gradient-based HMC straight through the DIFFERENTIABLE simulator.
 
@@ -560,7 +578,9 @@ def fit_observation_hmc(
         n_samples=n_samples, n_leapfrog=n_leapfrog,
         target_accept=target_accept,
         upper_limits=(None if upper_limits is None
-                      else jnp.atleast_2d(jnp.asarray(upper_limits, bool))))
+                      else jnp.atleast_2d(jnp.asarray(upper_limits, bool))),
+        init_theta=(None if init_theta is None
+                    else jnp.asarray(init_theta, jnp.float32)[None]))
     return samples[0], lps[0], acc
 
 
@@ -576,6 +596,7 @@ def fit_catalogue_hmc(
     n_leapfrog: int = 12,
     target_accept: float = 0.8,
     upper_limits=None,
+    init_theta=None,
 ):
     """Exact-likelihood HMC posteriors for a WHOLE CATALOGUE at once:
     M objects × C chains advance as one `lax.scan` program — every
@@ -587,6 +608,11 @@ def fit_catalogue_hmc(
 
     Args:
         x_obs_njy: (M, F) observed fluxes; sigma_njy: (F,) or (M, F).
+        init_theta: optional (M, n_chains, P) chain starts replacing the
+            prior-sweep initialization — seed from an amortized
+            posterior's draws when the likelihood is too peaked for 256
+            prior candidates to land near the typical set (63-band survey
+            depths concentrate the posterior to ~1e-6 of the prior box).
     Returns:
         samples (M, n_chains·n_samples, P), log-posteriors
         (M, n_chains·n_samples), mean acceptance (float).
@@ -674,22 +700,29 @@ def fit_catalogue_hmc(
         return u, lp_vec, jnp.exp(log_alpha).mean()
 
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    # initialize each object's chains at its best-of-prior-sweep points
-    # (one vectorized forward pass): a chain started in an e^-500 tail
-    # where the logit geometry collapses (∂θ/∂u → 0 near the box edge)
-    # can random-walk for the entire run before reaching the typical set
-    n_cand = max(256, 8 * c)
-    cand = prior.sample(k_init, n_cand)
-    model_c = simulator.photometry(cand)  # (n_cand, F)
-    ll_c = censored_gaussian_loglike_rows(
-        jnp.broadcast_to(model_c[None], (m,) + model_c.shape
-                         ).reshape(m * n_cand, -1),
-        jnp.repeat(x_obs, n_cand, axis=0),
-        jnp.repeat(sigma, n_cand, axis=0),
-        None if lim is None else jnp.repeat(lim, n_cand, axis=0),
-    ).reshape(m, n_cand)
-    top = jnp.argsort(-ll_c, axis=1)[:, :c]  # (M, C)
-    theta0 = cand[top].reshape(m * c, dim)
+    if init_theta is not None:
+        theta0 = jnp.asarray(init_theta, jnp.float32)
+        if theta0.shape != (m, c, dim):
+            raise ValueError(
+                f"init_theta must be ({m}, {c}, {dim}), got {theta0.shape}")
+        theta0 = theta0.reshape(m * c, dim)
+    else:
+        # initialize each object's chains at its best-of-prior-sweep points
+        # (one vectorized forward pass): a chain started in an e^-500 tail
+        # where the logit geometry collapses (∂θ/∂u → 0 near the box edge)
+        # can random-walk for the entire run before reaching the typical set
+        n_cand = max(256, 8 * c)
+        cand = prior.sample(k_init, n_cand)
+        model_c = simulator.photometry(cand)  # (n_cand, F)
+        ll_c = censored_gaussian_loglike_rows(
+            jnp.broadcast_to(model_c[None], (m,) + model_c.shape
+                             ).reshape(m * n_cand, -1),
+            jnp.repeat(x_obs, n_cand, axis=0),
+            jnp.repeat(sigma, n_cand, axis=0),
+            None if lim is None else jnp.repeat(lim, n_cand, axis=0),
+        ).reshape(m, n_cand)
+        top = jnp.argsort(-ll_c, axis=1)[:, :c]  # (M, C)
+        theta0 = cand[top].reshape(m * c, dim)
     frac = jnp.clip((theta0 - lo) / width, 0.02, 0.98)
     u = jnp.log(frac) - jnp.log1p(-frac)
     lp_vec = logpost(u)

@@ -85,8 +85,11 @@ def test_fitter_hpo_smoke(small_fitter):
     study, best = optimize_sbi(
         small_fitter, model_type="mdn",
         search_space={
-            "hidden_features": ("int", 8, 24),
-            "num_components": ("int", 2, 4),
+            # singleton architecture dims: both trials share one compiled
+            # program (the HPO machinery, not the search breadth, is what
+            # this smoke test covers)
+            "hidden_features": ("categorical", [16]),
+            "num_components": ("categorical", [3]),
             "learning_rate": ("float", 3e-4, 3e-3, "log"),
             "batch_size": ("categorical", [256]),
         },
@@ -228,6 +231,14 @@ class TestConfigDriven:
                     "n_trials": 2,
                     "build_final_model": True,
                     "pruner": {"type": "Median", "n_startup_trials": 2},
+                    # reference custom_loop.yaml-style explicit space;
+                    # singleton architecture dims share one compile
+                    "search_space": {
+                        "hidden_features": ["categorical", [16]],
+                        "num_components": ["categorical", [2]],
+                        "learning_rate": ["float", 3e-4, 3e-3, "log"],
+                        "batch_size": ["categorical", [256]],
+                    },
                 },
             },
         }

@@ -213,12 +213,16 @@ class TestPruner:
 
         max_epochs = 12
         # learning_rate spans a huge range so late (TPE) trials with bad lr
-        # produce val losses far above the median -> pruning fires
+        # produce val losses far above the median -> pruning fires. The
+        # architecture dims are FIXED (categorical singletons) so all 10
+        # trials share one compiled program — varying hidden_features here
+        # cost ~10 distinct XLA compiles for no extra assertion power
+        # (suite wall time, VERDICT r4 item 5).
         study, best = optimize_sbi(
             fitter, model_type="mdn",
             search_space={
-                "hidden_features": ("int", 8, 24),
-                "num_components": ("int", 2, 4),
+                "hidden_features": ("categorical", [16]),
+                "num_components": ("categorical", [3]),
                 "learning_rate": ("float", 1e-6, 1e-1, "log"),
             },
             n_trials=10, max_epochs=max_epochs, verbose=False,
@@ -295,8 +299,10 @@ def test_zoo_search_space():
 
     space = dict(DEFAULT_SEARCH_SPACES["zoo"])
     space["model_type"] = ("categorical", ["mdn", "maf", "realnvp"])
-    space["hidden_features"] = ("int", 8, 24)
-    space["num_transforms"] = ("int", 2, 3)
+    # fixed width/depth: the family axis is what this test exercises, and
+    # singleton dims let repeat-family trials reuse one compiled program
+    space["hidden_features"] = ("categorical", [16])
+    space["num_transforms"] = ("categorical", [2])
     study, best = optimize_sbi(
         fitter, model_type="zoo", search_space=space,
         n_trials=4, max_epochs=3, verbose=False)

@@ -39,6 +39,32 @@ class TestMCMC:
         np.testing.assert_allclose(samples.mean(0), np.asarray(mu), atol=0.08)
         np.testing.assert_allclose(samples.std(0), np.asarray(sd), atol=0.1)
 
+    def test_init_theta_seeds_walkers(self):
+        """NPE-seeded walker init ("NPE proposes, exact likelihood
+        refines", posterior_width_crosscheck protocol): a narrow Gaussian
+        far from the box center is found ONLY when walkers start near it
+        within a short budget — and a wrong-shaped init raises."""
+        from synference_tpu.mcmc import run_batched_mcmc
+
+        mu, sd = 4.5, 0.02  # 0.2% of the box width: prior-init can't find it
+
+        def loglike(theta, x):
+            return -0.5 * jnp.sum(((theta - mu) / sd) ** 2, axis=-1)
+
+        prior = BoxUniform([-5.0] * 3, [5.0] * 3)
+        xs = np.zeros((2, 1), np.float32)
+        init = np.full((2, 32, 3), mu, np.float32) + 0.02 * np.asarray(
+            jax.random.normal(KEY, (2, 32, 3)))
+        samples, acc, diag = run_batched_mcmc(
+            loglike, prior, xs, key=KEY, n_walkers=32, n_steps=600,
+            burn_in=300, init_theta=init, return_diagnostics=True)
+        assert abs(float(samples.mean()) - mu) < 0.05
+        assert float(np.asarray(diag["rhat"]).max()) < 1.25
+        with pytest.raises(ValueError, match="init_theta"):
+            run_batched_mcmc(loglike, prior, xs, key=KEY, n_walkers=32,
+                             n_steps=10, burn_in=0,
+                             init_theta=np.zeros((2, 8, 3), np.float32))
+
     def test_respects_prior_bounds(self):
         def logp(theta):
             return jnp.zeros(theta.shape[0])
