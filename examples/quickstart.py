@@ -22,6 +22,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_synference")
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import jax
+
+if "--cpu" in sys.argv:  # force the host platform (the axon TPU plugin
+    jax.config.update("jax_platforms", "cpu")  # ignores JAX_PLATFORMS)
+
 import numpy as np
 
 import synference_tpu as st
