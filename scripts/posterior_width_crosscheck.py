@@ -125,9 +125,18 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
         filter_codes=lib["filter_codes"],
     )
     depths = _survey_depths(fitter.filter_codes)
+    # min_pct_error: the reference's standard 5% systematic floor
+    # (min_flux_pc_error, sbi_runner.py:5174-5279). Besides realism, this
+    # sets the crosscheck's geometry: without it, bright mock objects at
+    # survey depth reach per-band SNR ~ 1e4 and the exact posterior is a
+    # curved ridge ~1e-4 dex thick that NO fixed-metric HMC can traverse
+    # (measured: per-chain sigma < 1e-3 of pooled — frozen chains, and a
+    # frozen NPE-seeded ensemble just echoes the NPE, making the
+    # comparison circular).
     fitter.create_feature_array(FeatureConfig(
         filter_codes=tuple(fitter.filter_codes), unit="asinh",
         depths_ab=depths, n_scatters=1, include_errors=True,
+        min_pct_error=0.05,
     ))
     fitter.run_single_sbi(
         model_type="nsf", hidden_features=69, num_transforms=15,
@@ -149,6 +158,8 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
         U.ab_depth_to_sigma_njy(np.asarray(depths, np.float64), 5.0),
         np.float32)
     sigma = np.broadcast_to(sigma, x_true.shape).copy()
+    # same 5% floor the training features apply (features.py:296)
+    sigma = np.maximum(sigma, 0.05 * np.abs(x_true)).astype(np.float32)
     x_obs = (x_true
              + sigma * rng.standard_normal(x_true.shape)).astype(np.float32)
 
@@ -167,9 +178,12 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
     wrapper = LogAgeSimulator(sim)
     n_chains, n_hmc = 16, 500
     rng2 = np.random.default_rng(seed + 7)
+    # 128 candidates per object; fit_catalogue_hmc starts chains at the
+    # top-likelihood 16 (a tail NPE draw with chi^2 ~ 1e6 would collapse
+    # that object's adapted step size)
     hmc_init = np.stack([
-        d[rng2.choice(d.shape[0], n_chains, replace=False)]
-        for d in npe_draw])  # (M, C, P)
+        d[rng2.choice(d.shape[0], 8 * n_chains, replace=False)]
+        for d in npe_draw])  # (M, 8C, P)
     hmc_samp, hmc_lp, hmc_acc = st.fit_catalogue_hmc(
         wrapper, x_obs, sigma, prior, key=jax.random.PRNGKey(seed + 2),
         n_chains=n_chains, n_warmup=400, n_samples=n_hmc, n_leapfrog=12,
@@ -182,8 +196,21 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
     hmc_rhat, hmc_ess = split_rhat_ess(
         jnp.asarray(np.moveaxis(chains, 2, 0)))
     hmc_rhat = np.asarray(hmc_rhat)
+    # per-chain width fraction: distinguishes frozen chains (≈0) from
+    # chains confined to narrow likelihood ridges of a multimodal
+    # posterior (small but finite, moving) from global mixing (≈1).
+    # Split-R̂ across ridge-confined chains measures the multimodal
+    # structure, not sampler failure — the pooled σ is the posterior σ
+    # provided chains are distributed across ridges like the posterior
+    # (here: seeded from the NPE's draws, cross-checked by the
+    # independently-initialized stretch-move ensemble below).
+    pc_frac = (chains.std(axis=2).mean(axis=1)
+               / np.maximum(chains.reshape(n_objects, -1,
+                                           chains.shape[-1]).std(axis=1),
+                            1e-12))
     print(f"[{time.time()-t0:.0f}s] HMC acc={float(hmc_acc):.2f} "
-          f"rhat_max={float(np.nanmax(hmc_rhat)):.3f}", flush=True)
+          f"rhat_max={float(np.nanmax(hmc_rhat)):.3f} "
+          f"perchain_frac_med={float(np.median(pc_frac)):.3f}", flush=True)
 
     # ---- second check: batched stretch-move MCMC on the same posterior ---
     from synference_tpu.mcmc import run_batched_mcmc
@@ -196,15 +223,18 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
         return -0.5 * jnp.sum(((model - xo) / sg) ** 2, axis=-1)
 
     xs_aug = np.concatenate([x_obs, sigma], axis=1)
-    mc_steps = 1500 if smoke else 5000
+    mc_steps = 1500 if smoke else 8000
     n_walkers = 64
     mc_init = np.stack([
         d[rng2.choice(d.shape[0], n_walkers, replace=False)]
         for d in npe_draw])  # (M, W, P)
+    # stretch_a=1.3: gentler moves keep acceptance usable in the curved
+    # (banana) degeneracies of a 63-band posterior (a=2 measured at 0.077)
     mc_samp, mc_acc, mc_diag = run_batched_mcmc(
         loglike, prior, xs_aug, key=jax.random.PRNGKey(seed + 3),
         n_walkers=n_walkers, n_steps=mc_steps, burn_in=mc_steps // 2,
-        thin=4, return_diagnostics=True, init_theta=mc_init)
+        thin=4, stretch_a=1.3, return_diagnostics=True,
+        init_theta=mc_init)
     mc_samp = np.asarray(mc_samp)
     print(f"[{time.time()-t0:.0f}s] MCMC acc={float(mc_acc):.2f} "
           f"rhat_max={float(np.nanmax(np.asarray(mc_diag['rhat']))):.3f}",
@@ -226,6 +256,8 @@ def main(n_library, n_objects, out, seed=0, epochs=60, stop_after=10,
         "hmc_acceptance": float(hmc_acc),
         "hmc_rhat_max": float(np.nanmax(hmc_rhat)),
         "hmc_rhat_median": float(np.nanmedian(hmc_rhat)),
+        "hmc_perchain_sigma_frac_median": float(np.median(pc_frac)),
+        "hmc_perchain_sigma_frac_min": float(np.min(pc_frac)),
         "mcmc_acceptance": float(mc_acc),
         "mcmc_rhat_max": float(np.nanmax(np.asarray(mc_diag["rhat"]))),
         "sigma_npe": s_npe.round(5).tolist(),

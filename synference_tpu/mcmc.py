@@ -602,17 +602,23 @@ def fit_catalogue_hmc(
     M objects × C chains advance as one `lax.scan` program — every
     leapfrog step is a single (M·C, P) batched photometry + VJP on the
     MXU. Chains sample in the prior box's logit space (softplus-stable
-    Jacobian), start at each object's best-of-prior-sweep candidates,
-    and share one dual-averaged step size (the χ² scales are comparable
-    across objects of a common survey; divergent trajectories reject).
+    Jacobian), start at each object's best-of-prior-sweep candidates, and
+    adapt a PER-OBJECT dual-averaged step size plus a per-object diagonal
+    mass matrix in a two-phase warmup (scalar eps first while accumulating
+    per-coordinate u variance, then eps against the adapted mass —
+    without the mass a single scalar eps serves the stiffest coordinate
+    and soft directions freeze; divergent trajectories reject).
 
     Args:
         x_obs_njy: (M, F) observed fluxes; sigma_njy: (F,) or (M, F).
-        init_theta: optional (M, n_chains, P) chain starts replacing the
-            prior-sweep initialization — seed from an amortized
-            posterior's draws when the likelihood is too peaked for 256
-            prior candidates to land near the typical set (63-band survey
-            depths concentrate the posterior to ~1e-6 of the prior box).
+        init_theta: optional (M, K, P), K >= n_chains, chain-start
+            candidates replacing the prior-sweep initialization — seed
+            from an amortized posterior's draws when the likelihood is too
+            peaked for 256 prior candidates to land near the typical set
+            (63-band survey depths concentrate the posterior to ~1e-6 of
+            the prior box). With K > n_chains the top-likelihood C
+            candidates start the chains (tail draws with huge χ² would
+            collapse the object's adapted step size).
     Returns:
         samples (M, n_chains·n_samples, P), log-posteriors
         (M, n_chains·n_samples), mean acceptance (float).
@@ -664,22 +670,24 @@ def fit_catalogue_hmc(
     # one extra full batched photometry pass per HMC step
     val_grad = jax.value_and_grad(_lp_sum, has_aux=True)
 
-    def leapfrog(u, p, eps):
+    def leapfrog(u, p, eps_v):
+        # eps_v: scalar·s_vec — per-coordinate step sizes ARE a diagonal
+        # mass matrix (the map stays symplectic for the separable H)
         (_, _), g = val_grad(u)
-        p = p + 0.5 * eps * g
+        p = p + 0.5 * eps_v * g
         for _ in range(n_leapfrog - 1):
-            u = u + eps * p
+            u = u + eps_v * p
             (_, _), g = val_grad(u)
-            p = p + eps * g
-        u = u + eps * p
+            p = p + eps_v * g
+        u = u + eps_v * p
         (_, lp_new), g = val_grad(u)
-        p = p + 0.5 * eps * g
+        p = p + 0.5 * eps_v * g
         return u, p, lp_new
 
-    def hmc_step(u, lp_vec, key_s, eps):
+    def hmc_step(u, lp_vec, key_s, eps_v):
         k1, k2 = jax.random.split(key_s)
         p0 = jax.random.normal(k1, u.shape)
-        u_new, p_new, lp_new = leapfrog(u, p0, eps)
+        u_new, p_new, lp_new = leapfrog(u, p0, eps_v)
         h0 = lp_vec - 0.5 * jnp.sum(p0**2, axis=-1)
         h1 = lp_new - 0.5 * jnp.sum(p_new**2, axis=-1)
         # a diverged trajectory gives a NaN Hamiltonian difference ->
@@ -697,14 +705,37 @@ def fit_catalogue_hmc(
                   < log_alpha)
         u = jnp.where(accept[:, None], u_new, u)
         lp_vec = jnp.where(accept, lp_new, lp_vec)
-        return u, lp_vec, jnp.exp(log_alpha).mean()
+        # per-OBJECT mean acceptance (M,): step sizes adapt per object, so
+        # one object's pathological chains cannot freeze the others
+        a_obj = jnp.exp(log_alpha).reshape(m, c).mean(axis=1)
+        return u, lp_vec, a_obj
 
     k_init, k_warm, k_run = jax.random.split(key, 3)
     if init_theta is not None:
         theta0 = jnp.asarray(init_theta, jnp.float32)
-        if theta0.shape != (m, c, dim):
+        if (theta0.ndim != 3 or theta0.shape[0] != m
+                or theta0.shape[1] < c or theta0.shape[2] != dim):
             raise ValueError(
-                f"init_theta must be ({m}, {c}, {dim}), got {theta0.shape}")
+                f"init_theta must be ({m}, >= {c}, {dim}), "
+                f"got {theta0.shape}")
+        if theta0.shape[1] > c:
+            # K > C candidates per object (e.g. amortized-posterior
+            # draws): rank by likelihood and start chains at the top C —
+            # a tail draw with chi^2 ~ 1e6 has u-space gradients that
+            # collapse the adapted step size for every chain of the
+            # object (measured on the 63-band crosscheck: shared eps
+            # froze ALL chains at split-R-hat ~ 1e6)
+            kk = theta0.shape[1]
+            flat = theta0.reshape(m * kk, dim)
+            ll0 = censored_gaussian_loglike_rows(
+                simulator.photometry(flat),
+                jnp.repeat(x_obs, kk, axis=0),
+                jnp.repeat(sigma, kk, axis=0),
+                None if lim is None else jnp.repeat(lim, kk, axis=0),
+            ).reshape(m, kk)
+            top0 = jnp.argsort(-ll0, axis=1)[:, :c]  # (M, C)
+            theta0 = jnp.take_along_axis(
+                theta0, top0[:, :, None], axis=1)
         theta0 = theta0.reshape(m * c, dim)
     else:
         # initialize each object's chains at its best-of-prior-sweep points
@@ -727,35 +758,81 @@ def fit_catalogue_hmc(
     u = jnp.log(frac) - jnp.log1p(-frac)
     lp_vec = logpost(u)
 
-    # dual-averaging warmup (Hoffman & Gelman 2014 defaults)
-    mu = jnp.log(10.0 * 0.1)
-    state0 = (u, lp_vec, jnp.log(0.1), 0.0, 0.0)
+    # Two-phase warmup: (A) scalar dual-averaging (Hoffman & Gelman 2014)
+    # with unit mass while Welford-accumulating per-coordinate u variance,
+    # then (B) dual-averaging again against the adapted DIAGONAL MASS
+    # (per-object posterior scales). Without the mass adaptation a single
+    # scalar eps serves the stiffest coordinate: on a 63-band survey-depth
+    # posterior the per-coordinate scales span ~2-3 decades, so soft
+    # directions would need (s_max/s_min)² ~ 1e4-1e6 steps to diffuse —
+    # chains LOOK converged (acceptance on target) while split-R̂ is 1e6
+    # (measured; posterior_width_crosscheck round 5).
+    # Per-OBJECT dual averaging: log_eps/h_bar are (M,) vectors, expanded
+    # to chains via repeat. One object's divergence-prone chains shrink
+    # only their own eps.
+    def _expand(log_eps):  # (M,) -> (M·C, 1)
+        return jnp.repeat(jnp.exp(log_eps), c)[:, None]
 
-    def warm_step(carry, xs):
-        u, lp_vec, log_eps, h_bar, log_eps_bar = carry
-        i, kw = xs
-        i = i.astype(jnp.float32)
-        u, lp_vec, a_mean = hmc_step(u, lp_vec, kw, jnp.exp(log_eps))
-        h_bar = ((1.0 - 1.0 / (i + 11.0)) * h_bar
-                 + (target_accept - a_mean) / (i + 11.0))
-        # cap at 0.5: early H-bar noise can briefly explode eps, and one
-        # huge trajectory is what strands chains at the u-wall
-        log_eps = jnp.minimum(
-            mu - jnp.sqrt(i + 1.0) / 0.05 * h_bar, jnp.log(0.5))
-        w = (i + 1.0) ** -0.75
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (u, lp_vec, log_eps, h_bar, log_eps_bar), a_mean
+    def make_warm(s_vec):
+        def warm_step(carry, xs):
+            u, lp_vec, log_eps, h_bar, log_eps_bar, mu0, cnt, mean, m2 = \
+                carry
+            i, kw = xs
+            i = i.astype(jnp.float32)
+            u, lp_vec, a_obj = hmc_step(
+                u, lp_vec, kw, _expand(log_eps) * s_vec)
+            h_bar = ((1.0 - 1.0 / (i + 11.0)) * h_bar
+                     + (target_accept - a_obj) / (i + 11.0))
+            # cap at 0.5: early H-bar noise can briefly explode eps, and
+            # one huge trajectory is what strands chains at the u-wall
+            log_eps = jnp.minimum(
+                mu0 - jnp.sqrt(i + 1.0) / 0.05 * h_bar, jnp.log(0.5))
+            w = (i + 1.0) ** -0.75
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            cnt = cnt + 1.0
+            d = u - mean
+            mean = mean + d / cnt
+            m2 = m2 + d * (u - mean)
+            return (u, lp_vec, log_eps, h_bar, log_eps_bar, mu0, cnt,
+                    mean, m2), a_obj
+        return warm_step
 
-    idx = jnp.arange(n_warmup)
-    kws = jax.random.split(k_warm, n_warmup)
-    (u, lp_vec, _, _, log_eps_bar), _ = jax.lax.scan(
-        warm_step, state0, (idx, kws))
-    eps = jnp.exp(log_eps_bar)
+    def run_warm(u, lp_vec, s_vec, log_eps0, mu0, n_steps, k):
+        z = jnp.zeros_like(u)
+        state0 = (u, lp_vec, log_eps0, jnp.zeros((m,), jnp.float32),
+                  log_eps0, mu0, jnp.float32(0.0), z, jnp.zeros_like(u))
+        (u, lp_vec, _, _, log_eps_bar, _, cnt, mean, m2), _ = jax.lax.scan(
+            make_warm(s_vec), state0,
+            (jnp.arange(n_steps), jax.random.split(k, n_steps)))
+        return u, lp_vec, log_eps_bar, cnt, mean, m2
+
+    k_wa, k_wb = jax.random.split(k_warm)
+    n_wa = max(n_warmup // 2, 1)
+    n_wb = max(n_warmup - n_wa, 1)
+    ones = jnp.ones((1, dim), jnp.float32)
+    mvec = jnp.full((m,), jnp.log(0.1), jnp.float32)
+    u, lp_vec, log_eps_a, cnt, mean, m2 = run_warm(
+        u, lp_vec, ones, mvec, mvec + jnp.log(10.0), n_wa, k_wa)
+    # per-object scale: within-chain variance + between-chain-mean variance
+    var_w = (m2 / jnp.maximum(cnt - 1.0, 1.0)).reshape(m, c, dim)
+    mean_o = mean.reshape(m, c, dim)
+    var_o = var_w.mean(axis=1) + mean_o.var(axis=1)
+    s_obj = jnp.sqrt(var_o + 1.0e-8)
+    # geometric-mean-normalize (keeps the scalar eps comparable across
+    # phases) and cap the condition number at ~1e3
+    s_obj = s_obj / jnp.exp(
+        jnp.log(s_obj).mean(axis=-1, keepdims=True))
+    s_obj = jnp.clip(s_obj, 1.0 / 30.0, 30.0)
+    s_vec = jnp.repeat(s_obj, c, axis=0)  # (M·C, P)
+    u, lp_vec, log_eps_bar, _, _, _ = run_warm(
+        u, lp_vec, s_vec, log_eps_a, jnp.log(10.0) + log_eps_a, n_wb,
+        k_wb)
+    eps = _expand(log_eps_bar) * s_vec
 
     def run_step(carry, kr):
         u, lp_vec = carry
-        u, lp_vec, a_mean = hmc_step(u, lp_vec, kr, eps)
-        return (u, lp_vec), (u, lp_vec, a_mean)
+        u, lp_vec, a_obj = hmc_step(u, lp_vec, kr, eps)
+        return (u, lp_vec), (u, lp_vec, a_obj)
 
     (_, _), (chain_u, chain_lp, accs) = jax.lax.scan(
         run_step, (u, lp_vec), jax.random.split(k_run, n_samples))
