@@ -120,7 +120,10 @@ def main(n_library: int, out: str):
     # -- calibration ------------------------------------------------------
     t0 = time.time()
     report = fitter.evaluate_model(n_samples=256, max_objects=512)
-    members = fitter.evaluate_members(n_samples=256, max_objects=512)
+    # member CIs at half size: the CI measures seed-to-seed spread, which
+    # 256x128 resolves — the full 8-member 512x256 chain costs ~4x the
+    # wall (it is the single biggest program of the run)
+    members = fitter.evaluate_members(n_samples=128, max_objects=256)
     timings["evaluation_s"] = round(time.time() - t0, 1)
     timings["total_s"] = round(time.time() - t_start, 1)
 

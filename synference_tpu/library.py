@@ -818,25 +818,62 @@ class LibraryGenerator:
             return cache[key]
         if n_chunks < 4:
             return False
+        # persistent decision cache: the probe compiles BOTH window bodies,
+        # which costs real wall time every fresh process — ride the same
+        # directory as the persistent XLA compile cache
+        grid = getattr(sim, "grid", None)
+        filts = getattr(sim, "filters", None)
+        disk_key = None if grid is None or filts is None else "|".join(
+            map(str, (
+                getattr(grid, "name", ""), grid.n_wav, len(filts.codes),
+                hash(tuple(filts.codes)) & 0xffff, *key)))
+        disk = None
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache_dir and disk_key is not None:
+            disk = os.path.join(cache_dir, "zsorted_probe.json")
+            try:
+                with open(disk) as f:
+                    stored = json.load(f)
+                if disk_key in stored:
+                    cache[key] = bool(stored[disk_key])
+                    return cache[key]
+            except (OSError, ValueError):
+                stored = {}
         import time as _time
 
         call = (sim.photometry_zsorted_device if device
                 else sim.photometry_zsorted)
+
+        def _force(r):
+            # block_until_ready returns immediately on axon-tunnel buffers
+            # (measured); a 1-element host fetch is the only reliable sync
+            return np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[:1])
+
         times = {}
         for f_try in (False, True):
             try:
-                r = call(probe_theta, sub_chunk=sub, kc=kc, w_cols=w_cols,
-                         fused=f_try)
-                jax.block_until_ready(r)  # compile + first dispatch
+                _force(call(probe_theta, sub_chunk=sub, kc=kc,
+                            w_cols=w_cols, fused=f_try))
                 t0 = _time.time()
-                r = call(probe_theta, sub_chunk=sub, kc=kc, w_cols=w_cols,
-                         fused=f_try)
-                jax.block_until_ready(r)
+                _force(call(probe_theta, sub_chunk=sub, kc=kc,
+                            w_cols=w_cols, fused=f_try))
                 times[f_try] = _time.time() - t0
             except Exception:  # Mosaic VMEM/lowering failure -> never pick
                 times[f_try] = float("inf")
         choice = bool(times[True] < times[False])
         cache[key] = choice
+        if disk is not None:
+            try:
+                with open(disk) as f:
+                    stored = json.load(f)
+            except (OSError, ValueError):
+                stored = {}
+            stored[disk_key] = choice
+            try:
+                with open(disk, "w") as f:
+                    json.dump(stored, f)
+            except OSError:
+                pass
         return choice
 
     def _generate_device(self, n, batch_size, seed, out_path, resume_path,
